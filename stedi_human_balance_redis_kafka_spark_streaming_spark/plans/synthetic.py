@@ -1,0 +1,108 @@
+"""Deterministic synthesis of reference-shaped Kafka payloads from testdata.
+
+The reference's inputs are Kafka topics (SURVEY.md §1.1); the driver's
+correctness gate runs on Parquet tables.  Bridge: deterministically encode
+the ``customer`` / ``events`` tables into the exact wire envelopes the
+reference consumes (FIXTURES.md §3) — base64-inside-JSON for the Redis CDC
+feed, plain JSON for the risk feed — then run the real decode chain over
+them.  The DuckDB oracle computes the *final* columns directly, so any
+encode/decode asymmetry shows up as a hash mismatch.
+
+All synthesis is pure Column expressions → the encode is a narrow map
+stage that scales with input splits, and both the encode and decode stay
+in whole-stage codegen.
+
+Derivation rules (mirrored 1:1 in the oracle SQL in plans/registry.py):
+  email     = 'user' || c_custkey || '@test.com'       (join key; matches
+              events' 'user' || user_id || '@test.com')
+  phone     = lpad(c_custkey, 10, '0')
+  birthDay  = (1940 + key%60) '-' lpad(1+key%12) '-' lpad(1+key%28)
+  riskDate  = ts formatted yyyy-MM-dd'T'HH:mm:ss'Z' (second precision —
+              truncation semantics agree between Spark and DuckDB)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+
+def _email(key: Column) -> Column:
+    return F.concat(F.lit("user"), key.cast("string"), F.lit("@test.com"))
+
+
+def _birth_day(key: Column) -> Column:
+    return F.concat_ws(
+        "-",
+        (F.lit(1940) + key % 60).cast("string"),
+        F.lpad((F.lit(1) + key % 12).cast("string"), 2, "0"),
+        F.lpad((F.lit(1) + key % 28).cast("string"), 2, "0"),
+    )
+
+
+def customer_struct(key: Column, name: Column) -> Column:
+    """The decoded customer record (schemas.CUSTOMER) as a struct column."""
+    return F.struct(
+        name.alias("customerName"),
+        _email(key).alias("email"),
+        F.lpad(key.cast("string"), 10, "0").alias("phone"),
+        _birth_day(key).alias("birthDay"),
+    )
+
+
+def redis_envelope_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer table → one Redis CDC envelope per row (single col ``value``).
+
+    Shape matches the golden payload at
+    /root/reference/project/starter/README.md:55-56 (sans the redundant
+    lower-cased twin, which the declared schema ignores anyway).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cust = customer_struct(F.col("c_custkey"), F.col("c_name"))
+    envelope = F.to_json(
+        F.struct(
+            F.base64(F.lit("Customer").cast("binary")).alias("key"),
+            F.lit("NONE").alias("existType"),
+            F.lit(False).alias("Ch"),
+            F.lit(False).alias("Incr"),
+            F.array(
+                F.struct(
+                    F.base64(F.to_json(cust).cast("binary")).alias("element"),
+                    F.lit("0").alias("score"),
+                )
+            ).alias("zSetEntries"),
+        )
+    )
+    return c.select(envelope.alias("value"))
+
+
+def stedi_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → one stedi-events JSON payload per row (col ``value``).
+
+    Shape matches /root/reference/project/starter/README.md:98-103.
+    """
+    e = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            _email(F.col("user_id")).alias("customer"),
+            F.col("value").alias("score"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("riskDate"),
+        )
+    )
+    return e.select(payload.alias("value"))
+
+
+# DuckDB SQL fragments computing the same derivations directly (no
+# encode/decode round-trip) — composed into full oracles in registry.py.
+SQL_EMAIL_FROM_CUSTKEY = "'user' || CAST(c_custkey AS VARCHAR) || '@test.com'"
+SQL_EMAIL_FROM_USERID = "'user' || CAST(user_id AS VARCHAR) || '@test.com'"
+SQL_BIRTH_YEAR = "CAST(1940 + (c_custkey % 60) AS VARCHAR)"
+SQL_BIRTH_DAY = (
+    "CAST(1940 + (c_custkey % 60) AS VARCHAR) || '-' || "
+    "lpad(CAST(1 + (c_custkey % 12) AS VARCHAR), 2, '0') || '-' || "
+    "lpad(CAST(1 + (c_custkey % 28) AS VARCHAR), 2, '0')"
+)
+SQL_PHONE = "lpad(CAST(c_custkey AS VARCHAR), 10, '0')"
+SQL_RISK_DATE = "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-sane defaults.
+
+The reference leaves every knob at its default (no ``.config`` call in any
+of its scripts — SURVEY.md §4 "Shuffle partitioning"); at 100 TB that is
+wrong in both directions.  This factory pins the settings that matter:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join strategy);
+* shuffle partitions sized to the local core count for tests (on a real
+  cluster, callers pass ``shuffle_partitions`` ≈ 2-3× total executor cores);
+* Arrow enabled so the few sanctioned Pandas-UDF operators batch-transfer;
+* UTC session timezone so results compare bit-for-bit with the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "stedi-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this machine.
+
+    In ``local[N]`` mode there is a single JVM; ``spark.driver.memory`` is
+    the only memory knob.  On a real cluster the same configs apply, with
+    ``master`` supplied by spark-submit instead.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
