@@ -1,0 +1,249 @@
+"""Deduplication operators over document corpora (SURVEY.md §2.6).
+
+The reference has no dedup (its data plane is a keyed CDC stream); these
+are the north-star extension operators a 100 TB training-data pipeline
+needs.  All variants are pure DataFrame compositions — no Python UDFs:
+
+* exact          — hash-groupBy on content digest; one shuffle, fully
+                   partial-aggregable.
+* n-gram Jaccard — inverted-index self-join on shingles.  The classic
+                   exact near-dup method; the shingle join is the
+                   bottleneck at scale, so high-document-frequency
+                   shingles can be pruned (``max_shingle_freq``) — the
+                   standard stopword-shingle optimization.
+* MinHash + LSH  — shingle → per-seed min-hash signature → banded bucket
+                   join.  Candidate generation is linear in corpus size
+                   (bucket join, not pairwise); candidates are verified
+                   with exact Jaccard.  This is the 100 TB-scale path.
+* SimHash        — near-dup fingerprints; Hamming-ball lookups.
+* embedding cosine — semantic near-dup over embedding vectors.
+
+Determinism contract: all hashing is md5-based (functions.hashing) so
+every operator has an exact DuckDB oracle (plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    lsh_band_keys,
+    minhash_signature,
+    simhash16,
+    token_shingles,
+    tokens,
+)
+from ..functions.vectors import cosine
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group rows by content digest, keep the min-id representative.
+
+    Output: (text_md5, doc_id, n_dups).  Map-side partial aggregation
+    makes this one shuffle over the digest key regardless of corpus size.
+    """
+    return docs.groupBy(
+        F.md5(F.col(text_col).cast("binary")).alias("text_md5")
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+def _exploded_terms(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) with distinct terms per doc; n=1 → tokens, n>1 → shingles."""
+    terms = (
+        F.array_distinct(tokens(text_col))
+        if n == 1
+        else token_shingles(text_col, n)
+    )
+    return docs.select("doc_id", F.explode(terms).alias("term"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥
+    threshold.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a ratio of exact
+    integers, so it is bit-deterministic across engines.
+
+    ``max_shingle_freq`` drops terms appearing in more than that many
+    docs before the self-join; at scale this is what prevents the
+    quadratic blowup on stop-shingles (a term in f docs contributes f²
+    join rows).
+    """
+    e = _exploded_terms(docs, n)
+    if max_shingle_freq is not None:
+        freq = e.groupBy("term").agg(F.count("*").alias("df"))
+        e = (
+            e.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "term")
+            .select("doc_id", "term")
+        )
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → signature → band-bucket join
+    → exact-Jaccard verification of candidates.
+
+    Output: (doc_a, doc_b, jaccard) for candidate pairs with verified
+    Jaccard ≥ threshold.  Recall follows the LSH S-curve
+    1-(1-J^r)^b (r = num_hashes/num_bands rows per band) — pairs the
+    banding misses are absent by design; the same banding runs in the
+    oracle, so results are still exactly reproducible.
+
+    Scale shape: candidate generation is a groupBy-join on band buckets —
+    linear in corpus size + bucket collisions, never all-pairs.  Verify
+    joins the (small) candidate set back to shingle arrays and intersects
+    JVM-side.
+    """
+    rows_per_band = num_hashes // num_bands
+    sh = docs.select(
+        "doc_id", token_shingles("text", shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias(
+            "bkey"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint per document (16-bit; see hashing.simhash16).
+
+    Output: (doc_id, simhash).  Near-dup lookup is then a Hamming-ball
+    probe — pairs within distance d are found by joining on fingerprint
+    chunks (pigeonhole), not pairwise comparison.
+    """
+    return docs.select("doc_id", simhash16(text_col).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Joins on fingerprint halves (pigeonhole: distance ≤ 2 over 16 bits →
+    at least one 8-bit half matches exactly), then verifies with
+    bit_count(xor).  Avoids the all-pairs product the same way a banded
+    LSH does.
+    """
+    fp = simhash_fingerprints(docs)
+    halves = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lo:"), (F.col("simhash") % 256).cast("string")),
+                F.concat(F.lit("hi:"), (F.col("simhash") / 256).cast("int").cast("string")),
+            )
+        ).alias("half"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float, round_digits: int = 6
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine(embedding_a, embedding_b) ≥ threshold.
+
+    Output: (vec_a, vec_b, cos_sim).  Vectors are widened float→double
+    before any arithmetic so the fold is bit-comparable with the DuckDB
+    oracle; the filter applies to the *rounded* value so both engines
+    threshold identical numbers.
+
+    This is the brute-force O(n²) baseline — correct and fine below ~10⁵
+    vectors; at scale use similarity.ivf_topk's bucketing instead.
+    """
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

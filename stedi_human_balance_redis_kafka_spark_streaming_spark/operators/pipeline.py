@@ -58,9 +58,14 @@ def extract_first_zset_element(df: DataFrame) -> DataFrame:
     losing them is not acceptable.
     The NOT NULL guard is the P6 filter at sparkpykafkajoin.py:137 (skips
     non-zset Redis events such as string SETs from other apps).
+
+    Uses ``get`` (NULL on out-of-bounds) rather than ``arr[0]``: the
+    reference ran pre-ANSI Spark 3 where ``arr[0]`` of an empty array was
+    NULL; under Spark 4's default ANSI mode it throws, so ``get`` is the
+    semantics-preserving translation.
     """
     return df.filter(F.col("zSetEntries").isNotNull()).select(
-        F.col("zSetEntries").getItem(0).getField("element").alias("encodedCustomer")
+        F.get(F.col("zSetEntries"), 0).getField("element").alias("encodedCustomer")
     )
 
 
@@ -78,9 +83,15 @@ def explode_zset_elements(df: DataFrame) -> DataFrame:
 def decode_base64_json(df: DataFrame, col: str = "encodedCustomer") -> DataFrame:
     """P5: unwind the base64 layer — binary→utf8 JSON string.
 
-    Mirrors sparkpykafkajoin.py:156-158 (``unbase64(...).cast("string")``).
+    Mirrors sparkpykafkajoin.py:156-158 (``unbase64(...).cast("string")``),
+    but via ``try_to_binary(.., 'base64')``: Spark 4's ANSI-mode
+    ``unbase64`` throws on malformed input, whereas the reference's Spark 3
+    decoded leniently; NULL-on-invalid (then filtered by P6) is the
+    closest safe semantics for a stream that carries foreign payloads.
     """
-    return df.select(F.unbase64(F.col(col)).cast("string").alias("customerJson"))
+    return df.select(
+        F.try_to_binary(F.col(col), F.lit("base64")).cast("string").alias("customerJson")
+    )
 
 
 def parse_customer(df: DataFrame, col: str = "customerJson") -> DataFrame:

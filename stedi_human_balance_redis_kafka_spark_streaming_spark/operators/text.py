@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.6).
+
+Language ID, quality scoring, token counting, and document fingerprinting —
+all as pure Column expressions (codegen'd, shuffle-free map stages), all
+with exact DuckDB oracles because every statistic is a ratio/combination
+of integers or an md5 derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import token_shingles, tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small and ASCII so the same lists inline into the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+# Stopwords for quality scoring (subset of the 'en' markers + connectives).
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+# BPE-ish token pattern: word pieces, digit runs, single non-space symbols.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _count_in(arr, wordlist: tuple[str, ...]):
+    return F.size(F.filter(arr, lambda t: t.isin(*wordlist)))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics.
+
+    Output: (doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    quality_score).  quality_score is a deterministic [0,1] blend of
+    length, lexical diversity and stopword load — the usual cheap
+    pre-filter before expensive dedup/scoring stages.
+    """
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    stop_ratio = _count_in(t, STOPWORDS).cast("double") / n_tokens
+    avg_token_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double") / n_tokens
+    quality = F.round(
+        F.least(n_tokens.cast("double") / 20.0, F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.3
+        + (1.0 - stop_ratio) * 0.3,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex pieces, and the
+    chars/4 heuristic LLM-token estimate.
+
+    Output: (doc_id, ws_tokens, bpe_tokens, est_llm_tokens).
+    """
+    ws = F.size(tokens(text_col)).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+    ).cast("long")
+    est = F.ceil(F.length(F.col(text_col)) / 4.0).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        est.alias("est_llm_tokens"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID heuristic.
+
+    Scores each language by marker-token hits; predicts the argmax with
+    lexicographic tie-break, 'und' (undetermined) when no marker hits.
+    Output: (doc_id, lang_pred, lang_hits).
+    """
+    t = tokens(text_col)
+    scores = [
+        _count_in(t, words).alias(lang) for lang, words in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)  # lexicographic tie-break order
+    best_hits = F.greatest(*[F.col(l) for l in langs])
+    pred = F.lit("und")
+    # fold right-to-left so earlier (lexicographically smaller) langs win ties
+    for l in reversed(langs):
+        pred = F.when(
+            (F.col(l) == best_hits) & (best_hits > 0), F.lit(l)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best_hits.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    mod_prefixes: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """MOD-p document fingerprinting (winnowing-lite).
+
+    A document's fingerprint is the set of shingle hashes whose first hex
+    digit falls in ``mod_prefixes`` (p = len(prefixes)/16 selectivity) —
+    the content-defined sampling used for plagiarism/near-dup sketches at
+    corpus scale.  Output: (doc_id, fp) exploded, one row per selected
+    fingerprint, distinct.
+    """
+    sh = token_shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.md5(s.cast("binary")))
+    selected = F.filter(
+        hashes, lambda h: F.substring(h, 1, 1).isin(*mod_prefixes)
+    )
+    return (
+        docs.select("doc_id", F.explode(selected).alias("fp"))
+        .distinct()
+    )

@@ -1,0 +1,310 @@
+"""Batch analytics queries (TPC-H-shaped) over the testdata star schema.
+
+These exercise the engine's general OLAP capability — multi-way joins,
+partial-aggregable groupBys, windows, rollups, sessionization — and are
+the bench.py headline set.
+
+Floating-point determinism strategy: monetary doubles are quantized
+per-row to exact int64 units (cents / basis points) with ``round`` —
+deterministic for any given double in both Spark and DuckDB — and then
+aggregated with EXACT integer arithmetic.  Derived doubles (averages,
+dollar values) are produced by a single deterministic scalar op on the
+exact sums.  This removes all reassociation-order risk from the oracle
+comparison, and at cluster scale integer aggregation is also simply
+faster than decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from .registry import register
+
+# Per-row exact quantizations (mirrored verbatim in oracle SQL).
+_QTY = F.col("l_quantity").cast("long")
+_PRICE_C = F.round(F.col("l_extendedprice") * 100).cast("long")
+_DISC_B = F.round(F.col("l_discount") * 10000).cast("long")
+_TAX_B = F.round(F.col("l_tax") * 10000).cast("long")
+# revenue in 1e-6 dollar units: cents * (10000 - disc_bp) — exact int64.
+_REV_E6 = _PRICE_C * (F.lit(10000) - _DISC_B)
+
+SQL_QTY = "CAST(l_quantity AS BIGINT)"
+SQL_PRICE_C = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+SQL_DISC_B = "CAST(round(l_discount * 10000) AS BIGINT)"
+SQL_TAX_B = "CAST(round(l_tax * 10000) AS BIGINT)"
+SQL_REV_E6 = f"{SQL_PRICE_C} * (10000 - {SQL_DISC_B})"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({SQL_QTY}) AS BIGINT) AS sum_qty,
+           CAST(SUM({SQL_PRICE_C}) AS BIGINT) AS sum_base_price_cents,
+           CAST(SUM({SQL_REV_E6}) AS BIGINT) AS sum_disc_price_e6,
+           CAST(CAST(SUM({SQL_QTY}) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM({SQL_PRICE_C}) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0
+             AS avg_price,
+           CAST(CAST(SUM({SQL_DISC_B}) AS BIGINT) AS DOUBLE) / COUNT(*) / 10000.0
+             AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 7 aggregates.
+
+    Fully partial-aggregable — one shuffle of 4 groups regardless of
+    scale; the parquet scan prunes to the 8 referenced columns.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_QTY).alias("sum_qty"),
+            F.sum(_PRICE_C).alias("sum_base_price_cents"),
+            F.sum(_REV_E6).alias("sum_disc_price_e6"),
+            (F.sum(_QTY).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_PRICE_C).cast("double") / F.count("*") / 100.0).alias("avg_price"),
+            (F.sum(_DISC_B).cast("double") / F.count("*") / 10000.0).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(SUM({SQL_REV_E6}) AS BIGINT) AS revenue_e6,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e6 DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → top-10.
+
+    customer is the small side (broadcast); the orders⨝lineitem join
+    shuffles on orderkey.  Deterministic tie-break on o_orderkey.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_REV_E6).alias("revenue_e6"))
+        .select("o_orderkey", "revenue_e6", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_e6"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({SQL_REV_E6}) AS BIGINT) AS revenue_e6,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join → groupBy nation.
+
+    region/nation/supplier/customer are broadcast dims; only
+    orders⨝lineitem shuffles.  (No region filter — every region kept so
+    the result exercises all nations.)
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_REV_E6).alias("revenue_e6"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rank FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+      FROM part
+    ) WHERE rank <= 3
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window row_number (common OLAP pattern)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank")
+    )
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets capability)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+@register(
+    "customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS spend_cents
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregation (customers with zero orders kept)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("spend_cents"),
+        )
+    )
+
+
+@register(
+    "event_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + count distinct (expands to two-phase agg under the hood)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@register(
+    "user_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session (batch dual
+    of streaming session_window).  Gap math in exact epoch-microseconds
+    on both sides (second-truncated casts would disagree at boundaries).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

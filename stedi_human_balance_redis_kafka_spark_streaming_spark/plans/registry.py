@@ -1,0 +1,569 @@
+"""The engine's registered queries and their DuckDB oracle SQL.
+
+Every operator claimed done in SURVEY.md §2 gets (a) a Spark callable
+``(spark, sf_dir) -> DataFrame`` and (b) where SQL-expressible, an ANSI-SQL
+oracle DuckDB runs on the same Parquet tables (driver contract in
+/root/repo/__spark_entry__.py).  Column names/aliases match exactly on
+both sides — the driver's compare sorts columns by name before hashing.
+
+Floating-point policy: any aggregate that *re-associates* doubles
+(sum/avg) is rounded to a fixed number of decimals on BOTH sides, because
+Spark and DuckDB may reduce in different orders.  Values that pass through
+unchanged (raw doubles, casts) are compared exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, joins, pipeline
+from ..sources.files import load_table
+from . import synthetic
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Reference pipeline queries (SURVEY.md §2.5) over synthesized wire payloads
+# --------------------------------------------------------------------------
+
+@register(
+    "stedi_customers_decode",
+    oracle=f"""
+    SELECT c_name AS "customerName",
+           {synthetic.SQL_EMAIL_FROM_CUSTKEY} AS email,
+           {synthetic.SQL_PHONE} AS phone,
+           {synthetic.SQL_BIRTH_DAY} AS "birthDay",
+           {synthetic.SQL_BIRTH_YEAR} AS "birthYear"
+    FROM customer
+    """,
+)
+def stedi_customers_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-customers (SURVEY.md §2.5.1): full Redis-CDC decode chain.
+
+    Encodes the customer table into golden-payload envelopes, then runs the
+    P1-P7 chain; the oracle computes the same columns directly, so the
+    base64/JSON round-trip must be exact.
+    """
+    raw = synthetic.redis_envelope_raw(spark, sf_dir)
+    return pipeline.customers_from_redis_stream(raw)
+
+
+@register(
+    "stedi_risk_events",
+    oracle=f"""
+    SELECT {synthetic.SQL_EMAIL_FROM_USERID} AS customer,
+           value AS score,
+           {synthetic.SQL_RISK_DATE} AS "riskDate"
+    FROM events
+    """,
+)
+def stedi_risk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-risk (SURVEY.md §2.5.2): parse + null-filter the stedi-events feed."""
+    raw = synthetic.stedi_events_raw(spark, sf_dir)
+    return pipeline.parse_risk_events(raw)
+
+
+@register(
+    "stedi_customer_risk_join",
+    oracle=f"""
+    WITH cust AS (
+      SELECT {synthetic.SQL_EMAIL_FROM_CUSTKEY} AS email,
+             {synthetic.SQL_BIRTH_YEAR} AS "birthYear"
+      FROM customer
+    ), ev AS (
+      SELECT {synthetic.SQL_EMAIL_FROM_USERID} AS customer, value AS score
+      FROM events
+    )
+    SELECT ev.customer,
+           CAST(ev.score AS VARCHAR) AS score,
+           cust.email,
+           cust."birthYear"
+    FROM ev JOIN cust ON ev.customer = cust.email
+    """,
+)
+def stedi_customer_risk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-join flagship (J1 + P9 contract): decode both feeds end-to-end,
+    inner-join on customer == email, emit the string-typed output contract.
+
+    Batch dual of the reference's stream-stream join
+    (sparkpykafkajoin.py:246-257) — same plan shape; the profiles side is
+    small relative to events, so Catalyst broadcasts it (AQE confirms at
+    runtime).
+    """
+    customers = stedi_customers_decode(spark, sf_dir)
+    risk = stedi_risk_events(spark, sf_dir)
+    out = joins.join_risk_with_customers(risk, customers)
+    return out.select(
+        "customer",
+        F.col("score").cast("string").alias("score"),
+        "email",
+        F.col("birthYear").cast("string").alias("birthYear"),
+    )
+
+
+@register(
+    "stedi_risk_gate",
+    oracle=f"""
+    SELECT customer,
+           COUNT(*) AS n_assessments,
+           ROUND(AVG(score), 4) AS avg_score,
+           MAX("riskDate") AS last_risk_date
+    FROM (
+      SELECT {synthetic.SQL_EMAIL_FROM_USERID} AS customer,
+             value AS score,
+             {synthetic.SQL_RISK_DATE} AS "riskDate"
+      FROM events
+    )
+    GROUP BY customer
+    HAVING COUNT(*) >= 4
+    """,
+)
+def stedi_risk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (SURVEY.md §2.4): the ≥4-assessments risk gate the reference
+    delegates to the STEDI Java app (project/starter/README.md:96) —
+    internalized as a partial-aggregable groupBy (map-side combine, one
+    shuffle on the customer key).
+    """
+    risk = stedi_risk_events(spark, sf_dir)
+    return (
+        risk.groupBy("customer")
+        .agg(
+            F.count("*").alias("n_assessments"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.max("riskDate").alias("last_risk_date"),
+        )
+        .filter(F.col("n_assessments") >= 4)
+    )
+
+
+@register(
+    "stedi_risk_by_birth_year",
+    oracle=f"""
+    WITH cust AS (
+      SELECT {synthetic.SQL_EMAIL_FROM_CUSTKEY} AS email,
+             {synthetic.SQL_BIRTH_YEAR} AS "birthYear"
+      FROM customer
+    ), ev AS (
+      SELECT {synthetic.SQL_EMAIL_FROM_USERID} AS customer, value AS score
+      FROM events
+    )
+    SELECT cust."birthYear",
+           COUNT(*) AS n_scores,
+           ROUND(AVG(ev.score), 4) AS avg_score
+    FROM ev JOIN cust ON ev.customer = cust.email
+    GROUP BY cust."birthYear"
+    """,
+)
+def stedi_risk_by_birth_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (SURVEY.md §2.4): population risk-by-birth-year — the aggregation
+    behind the reference UI's "Risk Score by Birth Year" graph
+    (README.md:26-28), internalized as join + groupBy.
+    """
+    customers = stedi_customers_decode(spark, sf_dir)
+    risk = stedi_risk_events(spark, sf_dir)
+    joined = joins.join_risk_with_customers(risk, customers)
+    return joined.groupBy("birthYear").agg(
+        F.count("*").alias("n_scores"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup operators (SURVEY.md §2.6) over the documents / embeddings tables
+# --------------------------------------------------------------------------
+
+# DuckDB mirrors of functions.hashing — same md5 derivations, so results
+# must match bit-for-bit.
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _sql_minhash_mins(num_hashes: int) -> str:
+    return ", ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes)
+    )
+
+
+def _sql_band_keys(num_bands: int, rows_per_band: int) -> str:
+    keys = []
+    for b in range(num_bands):
+        parts = " || '|' || ".join(
+            f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        keys.append(f"md5('{b}' || '|' || {parts})")
+    return ", ".join(keys)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one representative + multiplicity per digest."""
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_token_jaccard",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (inverted-index self-join)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.95, n=1
+    )
+
+
+_MINHASH_N, _MINHASH_BANDS = 8, 4
+_MINHASH_R = _MINHASH_N // _MINHASH_BANDS
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, {_sql_minhash_mins(_MINHASH_N)} FROM e GROUP BY doc_id
+    ), bandk AS (
+      SELECT doc_id, unnest([{_sql_band_keys(_MINHASH_BANDS, _MINHASH_R)}]) AS bkey
+      FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandk a JOIN bandk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand
+      JOIN sh sa ON cand.doc_a = sa.doc_id
+      JOIN sh sb ON cand.doc_b = sb.doc_id
+    )
+    SELECT * FROM verified WHERE jaccard >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation with exact-Jaccard verification."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.7,
+        shingle_n=3,
+        num_hashes=_MINHASH_N,
+        num_bands=_MINHASH_BANDS,
+    )
+
+
+def _sql_simhash() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ), votes AS (
+      SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(
+               list_sum(list_transform(generate_series(1, len(a.v)),
+                                       i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+               6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT * FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (brute-force cosine baseline)."""
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (SURVEY.md §2.6) over the embeddings table
+# --------------------------------------------------------------------------
+
+from ..operators import similarity  # noqa: E402
+
+# Shared DuckDB fragments: double-widened vectors, explicit sequential-style
+# cosine (mirrors functions.vectors.cosine's fold).
+_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+_SQL_COS = (
+    "round(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
+
+
+@register(
+    "ann_brute_force_topk",
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    p AS (
+      SELECT q.query_id, e.vec_id, {_SQL_COS.format(a="e.v", b="q.qv")} AS cos_sim
+      FROM e JOIN q ON e.vec_id != q.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM p
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the deterministic query set (vec_id%100==0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, 100)
+    return similarity.brute_force_topk(emb, q, k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC
+               ) AS arank
+        FROM e CROSS JOIN c
+      ) WHERE arank = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC, c.cid ASC
+               ) AS prank
+        FROM q CROSS JOIN c
+      ) WHERE prank <= 2
+    ), p AS (
+      SELECT probes.query_id, assign.vec_id,
+             {_SQL_COS.format(a="assign.v", b="probes.qv")} AS cos_sim
+      FROM assign JOIN probes ON assign.cid = probes.cid
+      WHERE assign.vec_id != probes.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM p
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (centroids vec_id%50==0, nprobe=2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, 100)
+    return similarity.ivf_topk(emb, q, k=10, centroid_modulus=50, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (SURVEY.md §2.6) over the documents table
+# --------------------------------------------------------------------------
+
+from ..operators import text as text_ops  # noqa: E402
+
+_SQL_STOP = "['" + "', '".join(text_ops.STOPWORDS) + "']"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
+             AS avg_token_len,
+           round(CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t), 6)
+             AS stopword_ratio,
+           round(least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
+                 + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+                 + (1.0 - CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t)) * 0.3,
+                 6) AS quality_score
+    FROM s
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics (length/diversity/stopword blend)."""
+    return text_ops.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{text_ops.BPE_PATTERN}')) AS BIGINT)
+             AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / BPE-ish regex / chars-per-4 token counts."""
+    return text_ops.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(text_ops.LANG_MARKERS)
+    hits = ", ".join(
+        "len(list_filter(t, x -> list_contains(['"
+        + "', '".join(text_ops.LANG_MARKERS[l])
+        + "'], x))) AS " + l
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(langs) + ")"
+    cases = " ".join(
+        f"WHEN {l} = best THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    h AS (SELECT doc_id, {hits} FROM s),
+    b AS (SELECT *, {best} AS best FROM h)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred,
+           CAST(best AS BIGINT) AS lang_hits
+    FROM b
+    """
+
+
+@register("text_language_id", oracle=_sql_lang_id())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic."""
+    return text_ops.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    )
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(shingles, s -> md5(s)),
+                                h -> substr(h, 1, 1) IN ('0', '1'))) AS fp
+      FROM sh
+    )
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOD-p shingle fingerprints (winnowing-lite content sketch)."""
+    return text_ops.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (SURVEY.md §2.6): binary columns + typed metadata
+# --------------------------------------------------------------------------
+
+from ..operators import multimodal  # noqa: E402
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           lower(sha256(text)) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (byte length + sha256), computed JVM-side."""
+    blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@register("multimodal_byte_features")  # mapInPandas — rows-only driver check
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake feature extraction over binary blobs
+    (mapInPandas plumbing; deterministic byte histogram)."""
+    blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_byte_features(blobs)
+
+
+# Batch analytics queries register themselves on import (plugin pattern).
+from . import analytics  # noqa: E402,F401
