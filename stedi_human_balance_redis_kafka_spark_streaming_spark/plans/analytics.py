@@ -22,13 +22,24 @@ from pyspark.sql import functions as F
 from ..sources.files import load_table
 from .registry import register
 
-# Per-row exact quantizations (mirrored verbatim in oracle SQL).
-_QTY = F.col("l_quantity").cast("long")
-_PRICE_C = F.round(F.col("l_extendedprice") * 100).cast("long")
-_DISC_B = F.round(F.col("l_discount") * 10000).cast("long")
-_TAX_B = F.round(F.col("l_tax") * 10000).cast("long")
-# revenue in 1e-6 dollar units: cents * (10000 - disc_bp) — exact int64.
-_REV_E6 = _PRICE_C * (F.lit(10000) - _DISC_B)
+# Per-row exact quantizations (mirrored verbatim in oracle SQL).  Lazy
+# functions, not module-level Columns — Column construction needs an
+# active SparkContext, which doesn't exist at import time.
+def _qty():
+    return F.col("l_quantity").cast("long")
+
+
+def _price_c():
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
+def _disc_b():
+    return F.round(F.col("l_discount") * 10000).cast("long")
+
+
+def _rev_e6():
+    # revenue in 1e-6 dollar units: cents * (10000 - disc_bp) — exact int64.
+    return _price_c() * (F.lit(10000) - _disc_b())
 
 SQL_QTY = "CAST(l_quantity AS BIGINT)"
 SQL_PRICE_C = "CAST(round(l_extendedprice * 100) AS BIGINT)"
@@ -66,12 +77,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_QTY).alias("sum_qty"),
-            F.sum(_PRICE_C).alias("sum_base_price_cents"),
-            F.sum(_REV_E6).alias("sum_disc_price_e6"),
-            (F.sum(_QTY).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_PRICE_C).cast("double") / F.count("*") / 100.0).alias("avg_price"),
-            (F.sum(_DISC_B).cast("double") / F.count("*") / 10000.0).alias("avg_disc"),
+            F.sum(_qty()).alias("sum_qty"),
+            F.sum(_price_c()).alias("sum_base_price_cents"),
+            F.sum(_rev_e6()).alias("sum_disc_price_e6"),
+            (F.sum(_qty()).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_price_c()).cast("double") / F.count("*") / 100.0).alias("avg_price"),
+            (F.sum(_disc_b()).cast("double") / F.count("*") / 10000.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -118,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(_REV_E6).alias("revenue_e6"))
+        .agg(F.sum(_rev_e6()).alias("revenue_e6"))
         .select("o_orderkey", "revenue_e6", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue_e6"), F.asc("o_orderkey"))
         .limit(10)
@@ -169,7 +180,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(_REV_E6).alias("revenue_e6"),
+            F.sum(_rev_e6()).alias("revenue_e6"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -1,0 +1,112 @@
+"""Stateful streaming operators (SURVEY.md §2.4 A1/A2 + §2.6 streaming dedup).
+
+These internalize the aggregation-shaped logic the reference keeps outside
+Spark (the STEDI Java app's ≥4-assessments risk gate, the UI's
+risk-by-birth-year graph) and add the streaming dedup the north star
+mandates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_risk_gate_agg(risk: DataFrame) -> DataFrame:
+    """A1 as a streaming aggregation (complete/update output modes).
+
+    groupBy(customer) with the ≥4-assessments gate
+    (reference rule: project/starter/README.md:96).  Identical plan in
+    batch — this is the batch-testable form.
+    """
+    return (
+        risk.groupBy("customer")
+        .agg(
+            F.count("*").alias("n_assessments"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.max("riskDate").alias("last_risk_date"),
+        )
+        .filter(F.col("n_assessments") >= 4)
+    )
+
+
+RISK_GATE_STATE_SCHEMA = "n long, total double"
+RISK_GATE_OUTPUT_SCHEMA = (
+    "customer string, n_assessments long, avg_score double"
+)
+
+
+def _risk_gate_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful A1: running (count, sum) per customer; emits a row
+    whenever the gate (n ≥ 4) is satisfied after ingesting a batch."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["score"].sum())
+    state.update((n, total))
+    if n >= 4:
+        yield pd.DataFrame(
+            [
+                {
+                    "customer": key[0],
+                    "n_assessments": n,
+                    "avg_score": round(total / n, 4),
+                }
+            ]
+        )
+
+
+def streaming_risk_gate_stateful(risk: DataFrame) -> DataFrame:
+    """A1 via applyInPandasWithState — the custom-stateful-operator form
+    (running count/sum state per customer, no full re-aggregation).
+
+    Use with update output mode; state lives in the state store across
+    micro-batches.
+    """
+    return risk.groupBy("customer").applyInPandasWithState(
+        _risk_gate_fn,
+        outputStructType=RISK_GATE_OUTPUT_SCHEMA,
+        stateStructType=RISK_GATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_risk_by_birth_year(
+    joined: DataFrame,
+    *,
+    time_col: str = "riskTime",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """A2 streaming: event-time windowed avg score per birthYear with a
+    watermark bounding state (late rows beyond the delay are dropped)."""
+    return (
+        joined.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(time_col, window_duration), "birthYear")
+        .agg(
+            F.count("*").alias("n_scores"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    time_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes it (vs dropDuplicates' unbounded state)."""
+    return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)

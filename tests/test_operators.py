@@ -1,0 +1,187 @@
+"""Unit tests for extension operators on handcrafted inputs.
+
+The oracle-parity suite proves Spark==DuckDB on the driver tables; these
+prove the operators' *semantics* on inputs designed to trigger them
+(actual duplicates, known-similar docs, known vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.functions.hashing import (
+    minhash_signature,
+    token_shingles,
+)
+from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "der schnelle braune fuchs und das faule hund"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_duplicates(docs):
+    out = {r.doc_id: r.n_dups for r in dedup.dedup_exact(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_signature_seeds_differ(spark):
+    """Regression: seeds must produce distinct hash families (a default-arg
+    lambda capture silently collapsed all seeds to one)."""
+    df = spark.createDataFrame([("a b c d e f",)], "text string")
+    sig = df.select(
+        minhash_signature(token_shingles("text", 3), 8).alias("sig")
+    ).collect()[0].sig
+    assert len(sig) == 8
+    assert len(set(sig)) > 1
+
+
+def test_minhash_lsh_finds_duplicates(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide in every band
+
+
+def test_simhash_semantics(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < 2**16
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_pairs_finds_duplicates(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to 0
+            (2, [0.9, 0.1, 0.0]),   # close to 0
+            (3, [0.0, 0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_brute_force_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = similarity.queries_by_modulus(emb, 4)  # query = vec 0
+    out = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in out] == [(0, 1, 1), (0, 2, 2)]
+
+
+def test_text_stats_known_values(spark):
+    df = spark.createDataFrame([(0, "the cat sat")], "doc_id long, text string")
+    r = text_ops.text_stats(df).collect()[0]
+    assert r.n_chars == 11
+    assert r.n_tokens == 3
+    assert r.avg_token_len == 3.0
+    assert r.stopword_ratio == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world42 it's x")], "doc_id long, text string"
+    )
+    r = text_ops.token_counts(df).collect()[0]
+    assert r.ws_tokens == 4
+    # hello | world | 42 | it | ' | s | x
+    assert r.bpe_tokens == 7
+    assert r.est_llm_tokens == 5  # ceil(20/4)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze ist von hier"),
+            (2, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text_ops.language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_fingerprints_deterministic(docs):
+    a = sorted(map(tuple, text_ops.fingerprints(docs).collect()))
+    b = sorted(map(tuple, text_ops.fingerprints(docs).collect()))
+    assert a == b
+    # identical docs → identical fingerprint sets
+    by_doc = {}
+    for doc_id, fp in a:
+        by_doc.setdefault(doc_id, set()).add(fp)
+    if 0 in by_doc or 1 in by_doc:
+        assert by_doc.get(0, set()) == by_doc.get(1, set())
+
+
+def test_multimodal_metadata_and_features(docs):
+    blobs = multimodal.attach_binary(docs)
+    meta = {r.doc_id: r.meta for r in blobs.collect()}
+    text0 = DOCS[0][1].encode()
+    assert meta[0].n_bytes == len(text0)
+    assert meta[0].sha256 == hashlib.sha256(text0).hexdigest()
+
+    feats = {r.doc_id: r for r in multimodal.extract_byte_features(blobs).collect()}
+    assert feats[0].n_bytes == len(text0)
+    assert len(feats[0].byte_hist) == multimodal.N_HIST_BINS
+    assert sum(feats[0].byte_hist) == pytest.approx(1.0, abs=1e-9)
+    assert feats[0].byte_hist == feats[1].byte_hist  # identical blobs
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(iter([]))
