@@ -1,0 +1,170 @@
+"""Additional registered queries: SQL-form decode (P10), JSON props
+parsing, pivot, exact quantiles, as-of join, approximate sketches.
+
+These round out SURVEY.md §2 coverage: P10 (the reference's SQL-over-view
+idiom) gets a literal SQL implementation proving both IR forms produce
+identical results, and the as-of/pivot/quantile/sketch entries cover the
+"common OLAP patterns" a reference user would expect from a general
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.files import load_table
+from . import synthetic
+from .registry import register
+
+_ENVELOPE_DDL = (
+    "key STRING, value STRING, expiredType STRING, expiredValue STRING, "
+    "existType STRING, Ch BOOLEAN, Incr BOOLEAN, "
+    "zSetEntries ARRAY<STRUCT<element: STRING, score: STRING>>"
+)
+_CUSTOMER_DDL = "customerName STRING, email STRING, phone STRING, birthDay STRING"
+
+
+@register(
+    "stedi_customers_decode_sql",
+    oracle=f"""
+    SELECT c_name AS "customerName",
+           {synthetic.SQL_EMAIL_FROM_CUSTKEY} AS email,
+           {synthetic.SQL_PHONE} AS phone,
+           {synthetic.SQL_BIRTH_DAY} AS "birthDay",
+           {synthetic.SQL_BIRTH_YEAR} AS "birthYear"
+    FROM customer
+    """,
+)
+def stedi_customers_decode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: the decode chain in the reference's SQL-over-view idiom
+    (sparkpykafkajoin.py:128-187 mixes temp views + spark.sql for the
+    array-index syntax).  Same oracle as the fluent form — both IRs must
+    unify in Catalyst to the same result.
+    """
+    raw = synthetic.redis_envelope_raw(spark, sf_dir)
+    raw.createOrReplaceTempView("redis_raw_sql_form")
+    return spark.sql(f"""
+        WITH env AS (
+          SELECT from_json(value, '{_ENVELOPE_DDL}') AS e FROM redis_raw_sql_form
+        ), extracted AS (
+          SELECT get(e.zSetEntries, 0).element AS encodedCustomer
+          FROM env WHERE e.zSetEntries IS NOT NULL
+        ), decoded AS (
+          SELECT from_json(CAST(try_to_binary(encodedCustomer, 'base64') AS STRING),
+                           '{_CUSTOMER_DDL}') AS c
+          FROM extracted
+        )
+        SELECT c.customerName, c.email, c.phone, c.birthDay,
+               split(c.birthDay, '-')[0] AS birthYear
+        FROM decoded
+        WHERE c.email IS NOT NULL AND c.birthDay IS NOT NULL
+    """)
+
+
+@register(
+    "events_props_parse",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+    FROM events
+    """,
+)
+def events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 on the events table's real JSON column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events-per-type matrix per user (explicit value list — no
+    extra distinct-values pass, which matters at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` —
+    exact, not the approx sketch; rounded because the two engines'
+    interpolation formulas differ in the last float bits)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "events_asof_last_order",
+    oracle="""
+    WITH last_d AS (
+      SELECT e.event_id, e.user_id,
+             (SELECT max(o.o_orderdate) FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_ts
+      FROM events e
+    )
+    SELECT event_id,
+           strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS asof_time,
+           (SELECT max(o.o_orderkey) FROM orders o
+            WHERE o.o_custkey = last_d.user_id AND o.o_orderdate = last_d.asof_ts)
+             AS asof_val
+    FROM last_d
+    """,
+)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time (union+window formulation — one sort, no
+    per-group Python)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        e, o, left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate", right_val="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("asof_time", "yyyy-MM-dd HH:mm:ss").alias("asof_time"),
+        F.col("asof_val").cast("long").alias("asof_val"),
+    )
+
+
+@register("events_approx_distinct")  # HLL sketch — engine-specific, rows-only
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++).  No
+    oracle: sketch estimates are engine-specific by nature; the driver
+    records the weaker rows-only check, and event_type_stats carries the
+    exact COUNT(DISTINCT) parity."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )

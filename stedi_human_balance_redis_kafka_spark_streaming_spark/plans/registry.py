@@ -565,5 +565,6 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_byte_features(blobs)
 
 
-# Batch analytics queries register themselves on import (plugin pattern).
+# Batch analytics + extras queries register themselves on import.
 from . import analytics  # noqa: E402,F401
+from . import extras  # noqa: E402,F401
