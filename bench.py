@@ -35,6 +35,10 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # Drop operator-local caches so queries are timed independently
+        # (leaked cached frames + pinned broadcasts degrade later queries).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -22,20 +22,36 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
-def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-grams of whitespace tokens, joined by single spaces.
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct n-grams from an ALREADY-PROJECTED token-array column.
+
+    ``t`` must be a plain column reference (project ``tokens(...)`` into a
+    named column first).  Interpreted higher-order lambdas re-evaluate
+    their argument subtree per element, so passing the raw
+    ``split(trim(lower(text)))`` expression here makes shingling
+    O(tokens²) per document — measured minutes instead of seconds on a
+    5k-doc corpus.
 
     Built on ``slice`` (bounds-safe) rather than ``element_at`` (which
     raises under ANSI mode, the Spark 4 default, on out-of-range indexes).
     Texts with fewer than ``n`` tokens yield an empty array.
     """
-    t = tokens(text)
     idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - n + 1)).otherwise(
         F.array().cast("array<integer>")
     )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     )
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct token n-grams straight from a text column.
+
+    Convenience form for small inputs/tests; hot paths should project
+    ``tokens(text)`` first and call :func:`shingles_from_tokens` (see its
+    docstring for the quadratic-re-evaluation trap).
+    """
+    return shingles_from_tokens(tokens(text), n)
 
 
 def _seeded_md5(seed: int):

@@ -33,3 +33,40 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Unrolled (fixed-dimension) variants.
+#
+# Spark's higher-order functions (zip_with/aggregate) are interpreted per
+# element — outside whole-stage codegen — which makes them the bottleneck of
+# any O(n²) similarity stage (measured: minutes for 2M pairs × 64 dims).
+# When the dimension is known, an explicit 64-term arithmetic expression
+# compiles into codegen and runs ~2 orders of magnitude faster, while
+# keeping the same left-associated accumulation order as the fold (and as
+# DuckDB's list_sum), so oracle bit-parity is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as an explicit ``dim``-term codegen'd expression."""
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """L2 norm as an explicit codegen'd expression."""
+    out = F.element_at(a, 1) * F.element_at(a, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(a, i)
+    return F.sqrt(out)
+
+
+def embedding_dim(emb, col: str = "embedding") -> int:
+    """Read the (constant) vector dimension from the first row."""
+    row = emb.select(F.size(F.col(col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer embedding dimension from column {col!r}")
+    return int(row.d)

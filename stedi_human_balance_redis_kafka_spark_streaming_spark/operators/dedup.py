@@ -24,17 +24,11 @@ every operator has an exact DuckDB oracle (plans/registry.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    lsh_band_keys,
-    minhash_signature,
-    simhash16,
-    token_shingles,
-    tokens,
-)
-from ..functions.vectors import cosine
+from ..functions.hashing import tokens
+from ..functions.vectors import dot_unrolled, embedding_dim, norm_unrolled
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -52,13 +46,28 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _exploded_terms(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
-    """(doc_id, term) with distinct terms per doc; n=1 → tokens, n>1 → shingles."""
-    terms = (
-        F.array_distinct(tokens(text_col))
-        if n == 1
-        else token_shingles(text_col, n)
+    """(doc_id, term) with DISTINCT terms per doc; n=1 → tokens, n>1 → shingles.
+
+    Shingles are built with posexplode + window ``lead`` — fully
+    whole-stage-codegen'd.  The array-transform formulation
+    (hashing.shingles_from_tokens) is semantically identical but runs
+    interpreted lambdas, and Catalyst's project-collapsing + generate
+    filter inference can replicate that interpreted expression into
+    several per-row evaluation sites (measured: ~200 s for a 5k-doc LSH
+    pass vs ~15 s for this shape).
+    """
+    toks = docs.select("doc_id", tokens(text_col).alias("t"))
+    if n == 1:
+        return toks.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        pe.select("doc_id", F.concat_ws(" ", *parts).alias("term"), parts[-1].alias("_full"))
+        .filter(F.col("_full").isNotNull())  # drop trailing sub-n-grams
+        .select("doc_id", "term")
+        .distinct()
     )
-    return docs.select("doc_id", F.explode(terms).alias("term"))
 
 
 def ngram_jaccard_pairs(
@@ -78,7 +87,13 @@ def ngram_jaccard_pairs(
     quadratic blowup on stop-shingles (a term in f docs contributes f²
     join rows).
     """
-    e = _exploded_terms(docs, n)
+    # The inverted index is read three times (sizes + both join sides) —
+    # persist it (MEMORY_AND_DISK) and materialize eagerly: AQE runs the
+    # branches as concurrent query stages that would all miss a lazy
+    # cache and recompute the lineage.  At cluster scale this is the
+    # materialize-the-index step of any shingle pipeline.
+    e = _exploded_terms(docs, n).persist()
+    e.count()
     if max_shingle_freq is not None:
         freq = e.groupBy("term").agg(F.count("*").alias("df"))
         e = (
@@ -133,19 +148,38 @@ def minhash_lsh_pairs(
     JVM-side.
     """
     rows_per_band = num_hashes // num_bands
-    sh = docs.select(
-        "doc_id", token_shingles("text", shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sig = sh.select(
-        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    # Explode + groupBy formulation: every md5 runs inside whole-stage
+    # codegen.  The array-transform formulation (functions.hashing.
+    # minhash_signature) computes identical values but evaluates
+    # interpreted lambdas — ~10× slower on the signature pass.
+    # Persist the inverted index AND materialize it eagerly: with AQE the
+    # downstream branches execute as concurrent query stages, which all
+    # MISS a lazily-filled cache and recompute the full
+    # scan+explode+window+distinct lineage (measured 3-5× the runtime).
+    e = _exploded_terms(docs, shingle_n).persist()
+    e.count()
+    # One pass computes set size AND all signature mins (shared groupBy).
+    sig = e.groupBy("doc_id").agg(
+        F.count("*").alias("sz"),
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("term")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias(
-            "bkey"
-        ),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)],
+            )
+        )
+        for b in range(num_bands)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
+    a, b = bands.alias("a"), F.broadcast(bands).alias("b")
     cand = (
         a.join(
             b,
@@ -157,28 +191,57 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - inter
+    # Exact-Jaccard verification over the (small) candidate set: join the
+    # per-doc term sets in as broadcasts and intersect per pair.  At
+    # larger corpora swap the broadcasts for the join/agg formulation in
+    # ngram_jaccard_pairs restricted to candidate pairs.
+    sets = e.groupBy("doc_id").agg(
+        F.collect_set("term").alias("terms"), F.count("*").alias("sz")
     )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("terms").alias("t_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("terms").alias("t_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint per document (16-bit; see hashing.simhash16).
+    """SimHash fingerprint per document (16-bit; semantics of
+    hashing.simhash16, computed via explode + groupBy so the md5/vote
+    arithmetic stays in whole-stage codegen).
 
     Output: (doc_id, simhash).  Near-dup lookup is then a Hamming-ball
     probe — pairs within distance d are found by joining on fingerprint
     chunks (pigeonhole), not pairwise comparison.
     """
-    return docs.select("doc_id", simhash16(text_col).alias("simhash"))
+    toks = docs.select("doc_id", tokens(text_col).alias("t"))
+    e = toks.select("doc_id", F.explode("t").alias("tok"))
+    md5c = F.md5(F.col("tok").cast("binary"))
+    votes = e.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(md5c, j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    fp = F.lit(0)
+    for j in range(16):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select("doc_id", fp.cast("int").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
@@ -232,12 +295,25 @@ def embedding_cosine_pairs(
 
     This is the brute-force O(n²) baseline — correct and fine below ~10⁵
     vectors; at scale use similarity.ivf_topk's bucketing instead.
+    Norms are precomputed per vector (linear map stage), and the dot is a
+    fixed-dimension unrolled expression (codegen'd — interpreted
+    higher-order folds are ~100× slower on the quadratic stage).
     """
+    dim = embedding_dim(emb)
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits)
+    e = e.select("vec_id", "v", norm_unrolled(F.col("v"), dim).alias("nrm"))
+    # The source is typically a single parquet file → one input split; the
+    # O(n²) nested-loop stage inherits that and runs on ONE core unless the
+    # stream side is re-split (measured 70 s single-task vs seconds at 32).
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a, b = e.repartition(par).alias("a"), F.broadcast(e).alias("b")
+    cos = F.round(
+        dot_unrolled(F.col("a.v"), F.col("b.v"), dim)
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        round_digits,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

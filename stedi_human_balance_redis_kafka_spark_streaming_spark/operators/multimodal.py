@@ -85,4 +85,12 @@ def extract_byte_features(blobs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "byte_hist"])
 
-    return blobs.select("doc_id", "blob").mapInPandas(_extract, FEATURE_SCHEMA)
+    # Re-split before the Python stage: a single-file source yields one
+    # input partition, which would serialize the whole corpus through one
+    # Python worker.
+    par = blobs.sparkSession.sparkContext.defaultParallelism
+    return (
+        blobs.select("doc_id", "blob")
+        .repartition(par)
+        .mapInPandas(_extract, FEATURE_SCHEMA)
+    )

@@ -14,6 +14,10 @@ Two paths:
   assignment is embarrassingly parallel, candidate sets are pruned before
   the expensive ranking).
 
+Hot-path arithmetic uses the unrolled fixed-dimension expressions from
+functions.vectors (codegen'd; interpreted higher-order folds are ~100×
+slower on the O(n·q) stage).  Norms are precomputed once per vector.
+
 Determinism: all ranking uses (rounded cosine DESC, vec_id ASC) so ties
 break identically in Spark and the DuckDB oracle.
 """
@@ -23,12 +27,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot_unrolled, embedding_dim, norm_unrolled
 
 
-def _as_double(emb: DataFrame) -> DataFrame:
-    return emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+def _with_norm(emb: DataFrame, dim: int) -> DataFrame:
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return e.select("vec_id", "v", norm_unrolled(F.col("v"), dim).alias("nrm"))
+
+
+def _cos(a_vec, a_nrm, b_vec, b_nrm, dim: int, round_digits: int):
+    return F.round(
+        dot_unrolled(a_vec, b_vec, dim) / (a_nrm * b_nrm), round_digits
+    )
+
+
+def queries_by_modulus(emb: DataFrame, modulus: int) -> DataFrame:
+    """Deterministic query-vector selection: vec_id % modulus == 0."""
+    return (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("vec_id") % modulus == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
 
 
@@ -44,25 +62,24 @@ def brute_force_topk(
     (query_id == vec_id) are excluded.  Output: (query_id, vec_id,
     cos_sim, rank), rank 1..k.
     """
-    e = _as_double(emb)
-    cos = F.round(cosine(F.col("v"), F.col("qv")), round_digits)
-    scored = (
-        e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cos_sim"))
+    dim = embedding_dim(emb)
+    # Re-split the scored side: a single-file source yields one input
+    # split and the O(n·q) scoring stage would run on a single core.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = _with_norm(emb, dim).repartition(par)
+    q = queries.select(
+        "query_id", "qv", norm_unrolled(F.col("qv"), dim).alias("qnrm")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        _cos(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qnrm"), dim, round_digits).alias(
+            "cos_sim"
+        ),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
-
-
-def queries_by_modulus(emb: DataFrame, modulus: int) -> DataFrame:
-    """Deterministic query-vector selection: vec_id % modulus == 0."""
-    return _as_double(emb).filter(F.col("vec_id") % modulus == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )
 
 
@@ -83,43 +100,62 @@ def ivf_topk(
     query probes its ``nprobe`` nearest centroids and ranks exactly
     within those buckets.  Output: (query_id, vec_id, cos_sim, rank).
     """
-    e = _as_double(emb)
+    dim = embedding_dim(emb)
+    e = _with_norm(emb, dim)
     cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
 
-    cos_vc = F.round(cosine(F.col("v"), F.col("cv")), round_digits)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cid")
-    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
     assigned = (
         e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", cos_vc.alias("cos_c"))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "cid",
+            _cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm"), dim, round_digits).alias(
+                "cos_c"
+            ),
+        )
         .withColumn("arank", F.row_number().over(w_assign))
         .filter(F.col("arank") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "nrm", "cid")
     )
 
-    cos_qc = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_c"), F.asc("cid")
+    q = queries.select(
+        "query_id", "qv", norm_unrolled(F.col("qv"), dim).alias("qnrm")
     )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
     probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cid", cos_qc.alias("cos_c"))
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "qnrm",
+            "cid",
+            _cos(F.col("qv"), F.col("qnrm"), F.col("cv"), F.col("cnrm"), dim, round_digits).alias(
+                "cos_c"
+            ),
+        )
         .withColumn("prank", F.row_number().over(w_probe))
         .filter(F.col("prank") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qnrm", "cid")
     )
 
-    cos = F.round(cosine(F.col("v"), F.col("qv")), round_digits)
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
-    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qnrm"), dim, round_digits).alias(
+                "cos_sim"
+            ),
+        )
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import token_shingles, tokens
+from ..functions.hashing import tokens
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately small and ASCII so the same lists inline into the SQL oracle.
@@ -125,12 +125,12 @@ def fingerprints(
     corpus scale.  Output: (doc_id, fp) exploded, one row per selected
     fingerprint, distinct.
     """
-    sh = token_shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.md5(s.cast("binary")))
-    selected = F.filter(
-        hashes, lambda h: F.substring(h, 1, 1).isin(*mod_prefixes)
-    )
+    from .dedup import _exploded_terms  # exploded codegen'd shingling
+
+    e = _exploded_terms(docs, shingle_n, text_col)
+    h = F.md5(F.col("term").cast("binary"))
     return (
-        docs.select("doc_id", F.explode(selected).alias("fp"))
+        e.select("doc_id", h.alias("fp"))
+        .filter(F.substring("fp", 1, 1).isin(*mod_prefixes))
         .distinct()
     )

@@ -231,10 +231,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_token_jaccard",
+    "dedup_ngram_jaccard",
     oracle=f"""
     WITH e AS (
-      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
     ), sz AS (
       SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
     ), inter AS (
@@ -247,13 +249,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
     """,
 )
-def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs (inverted-index self-join)."""
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join).
+
+    Trigram shingles, not unigrams: on a small-vocabulary corpus unigram
+    document frequency is O(corpus), which makes the inverted-index
+    self-join quadratic (measured 4.5e8 join rows at sf0.1 vs 3.7e6 for
+    trigrams).  Exact recall baseline for dedup_minhash_lsh (same
+    shingling, same threshold).
+    """
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.95, n=1
+        load_table(spark, sf_dir, "documents"), threshold=0.7, n=3
     )
 
 

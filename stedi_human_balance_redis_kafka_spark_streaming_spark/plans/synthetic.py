@@ -59,7 +59,12 @@ def redis_envelope_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/project/starter/README.md:55-56 (sans the redundant
     lower-cased twin, which the declared schema ignores anyway).
     """
-    c = load_table(spark, sf_dir, "customer")
+    # Re-split: the single-file table gives one input split, which would
+    # run the whole encode→decode chain on one core (in production the
+    # Kafka topic's partitions provide this parallelism).
+    c = load_table(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cust = customer_struct(F.col("c_custkey"), F.col("c_name"))
     envelope = F.to_json(
         F.struct(
@@ -83,7 +88,9 @@ def stedi_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape matches /root/reference/project/starter/README.md:98-103.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     payload = F.to_json(
         F.struct(
             _email(F.col("user_id")).alias("customer"),

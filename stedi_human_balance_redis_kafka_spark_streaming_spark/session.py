@@ -44,12 +44,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # ContextCleaner triggers System.gc(); make that a concurrent G1
+        # cycle, not a stop-the-world full GC — on a multi-GB heap the
+        # full-GC pauses otherwise land on whatever query is running.
+        .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos
         # type; read as long and convert in sources.files.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ContextCleaner cleanup rides on GC.  Measured tradeoff on this
+        # box: with the default 30min interval a multi-query session
+        # degrades catastrophically (trivial queries → 80-160 s late in a
+        # run); at 2-5min the cleanup keeps pace, costing one bounded GC
+        # pause per interval (mitigated by ExplicitGCInvokesConcurrent).
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
