@@ -95,11 +95,17 @@ def ngram_jaccard_pairs(
     e = _exploded_terms(docs, n).persist()
     e.count()
     if max_shingle_freq is not None:
-        freq = e.groupBy("term").agg(F.count("*").alias("df"))
-        e = (
-            e.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "term")
-            .select("doc_id", "term")
+        # Anti-join against the STOP-shingle set (df > cap) — the small
+        # side by construction (heavy hitters are few), so AQE broadcasts
+        # it at any corpus size.  Joining on the kept terms instead would
+        # ship the whole rare-term vocabulary.
+        stop = (
+            e.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("term")
         )
+        e = e.join(stop, "term", "left_anti").select("doc_id", "term")
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = e.alias("a"), e.alias("b")
     inter = (
@@ -178,8 +184,12 @@ def minhash_lsh_pairs(
         )
         for b in range(num_bands)
     ]
+    # Candidate generation: plain shuffle self-join on the band key.  No
+    # broadcast hint — both sides are the full corpus's band table, which
+    # grows with the corpus; the bucket join hash-partitions on bkey and
+    # stays linear in (corpus + bucket collisions).
     bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
-    a, b = bands.alias("a"), F.broadcast(bands).alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
@@ -191,12 +201,22 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # Exact-Jaccard verification over the (small) candidate set: join the
-    # per-doc term sets in as broadcasts and intersect per pair.  At
-    # larger corpora swap the broadcasts for the join/agg formulation in
-    # ngram_jaccard_pairs restricted to candidate pairs.
-    sets = e.groupBy("doc_id").agg(
-        F.collect_set("term").alias("terms"), F.count("*").alias("sz")
+    # Exact-Jaccard verification, candidate-bounded: semi-join the
+    # exploded index down to docs that appear in ANY candidate pair
+    # BEFORE collect_set, so the expensive set materialization (and every
+    # downstream join input) scales with |candidates|, not |corpus|.
+    # No broadcast hints anywhere: AQE broadcasts the (small) candidate
+    # side at runtime when it fits, and degrades to a shuffle join when
+    # it doesn't — the shape that survives 100×.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        e.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("terms"), F.count("*").alias("sz"))
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
@@ -211,8 +231,8 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -25,6 +25,28 @@ FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, byte_hist array<double>"
 )
 
+FEATURE_LONG_SCHEMA = "doc_id long, n_bytes long, bin int, bin_count long"
+
+
+def _batch_hist(pdf: pd.DataFrame):
+    """Vectorized 16-bin high-nibble histogram for a whole Arrow batch.
+
+    One ``np.bincount`` over the concatenated buffers with per-doc offset
+    codes — no per-row Python loop (the round-1 per-row version spent
+    34.8 s at sf0.1; this shape is bounded by memory bandwidth).
+    Returns (lens[int64 m], hist[int64 m×16]).
+    """
+    import numpy as np
+
+    m = len(pdf)
+    blobs = pdf["blob"]
+    lens = np.fromiter((len(b) for b in blobs), dtype="int64", count=m)
+    arr = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    doc_idx = np.repeat(np.arange(m, dtype="int64"), lens)
+    codes = doc_idx * N_HIST_BINS + (arr >> 4)
+    hist = np.bincount(codes, minlength=m * N_HIST_BINS).reshape(m, N_HIST_BINS)
+    return lens, hist
+
 
 def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Model a media payload: binary blob + typed metadata struct.
@@ -71,19 +93,18 @@ def extract_byte_features(blobs: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in pdf_iter:
-            out = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype("float64")
-                total = hist.sum()
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_bytes": len(blob),
-                        "byte_hist": (hist / total if total else hist).tolist(),
-                    }
-                )
-            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "byte_hist"])
+            if not len(pdf):
+                continue
+            lens, hist = _batch_hist(pdf)
+            denom = np.where(lens > 0, lens, 1).astype("float64")
+            norm = hist / denom[:, None]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": lens,
+                    "byte_hist": norm.tolist(),
+                }
+            )
 
     # Re-split before the Python stage: a single-file source yields one
     # input partition, which would serialize the whole corpus through one
@@ -93,4 +114,40 @@ def extract_byte_features(blobs: DataFrame) -> DataFrame:
         blobs.select("doc_id", "blob")
         .repartition(par)
         .mapInPandas(_extract, FEATURE_SCHEMA)
+    )
+
+
+def byte_features_long(blobs: DataFrame) -> DataFrame:
+    """Driver-checkable long form of :func:`extract_byte_features`:
+    one row per (doc, non-empty bin) with EXACT integer counts.
+
+    Output: (doc_id, n_bytes, bin, bin_count) — all hashable primitives
+    (the array<double> form crashes the driver's pandas canonicalizer),
+    and exactly reproducible in SQL: the high nibble of each byte is the
+    odd-position hex digit of the blob, so the DuckDB oracle can mirror
+    it via hex(encode(text)).  Empty docs emit no rows on either side.
+    """
+
+    def _extract(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            lens, hist = _batch_hist(pdf)
+            docs, bins = np.nonzero(hist)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[docs],
+                    "n_bytes": lens[docs],
+                    "bin": bins.astype("int32"),
+                    "bin_count": hist[docs, bins],
+                }
+            )
+
+    par = blobs.sparkSession.sparkContext.defaultParallelism
+    return (
+        blobs.select("doc_id", "blob")
+        .repartition(par)
+        .mapInPandas(_extract, FEATURE_LONG_SCHEMA)
     )

@@ -108,7 +108,13 @@ def ivf_topk(
         F.col("nrm").alias("cnrm"),
     )
 
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    # Nearest-centroid assignment via partial-aggregable max_by: the
+    # broadcast crossJoin scores map-side, and the per-partition partial
+    # aggregate collapses the n×|centroids| scored rows back to n BEFORE
+    # the exchange (vec_ids are unique, so each group is fully reduced in
+    # its own partition).  The round-1 window formulation shuffled the
+    # full n×|centroids| scored table on vec_id — a |centroids|× larger
+    # exchange.  Ordering struct (cos_c, -cid) == (cos DESC, cid ASC).
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .select(
@@ -120,9 +126,19 @@ def ivf_topk(
                 "cos_c"
             ),
         )
-        .withColumn("arank", F.row_number().over(w_assign))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "v", "nrm", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "v", "nrm"),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.v").alias("v"),
+            F.col("best.nrm").alias("nrm"),
+            F.col("best.cid").alias("cid"),
+        )
     )
 
     q = queries.select(

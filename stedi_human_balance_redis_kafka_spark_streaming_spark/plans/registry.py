@@ -126,12 +126,35 @@ def stedi_customer_risk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FP policy (module docstring + plans/analytics.py): scores are quantized
+# per-row to exact 1e-4 units and summed as int64 — reassociation-proof —
+# and the average double is derived ONCE from the exact sum.  round(avg(
+# double)) is NOT deterministic across engines: Spark's partial aggregation
+# reassociates the sum differently from DuckDB's sequential reduce, and a
+# group landing within an ULP of a rounding boundary flips the 4th decimal
+# (this exact failure: CORRECTNESS_r01 stedi_risk_by_birth_year).
+def _score_e4():
+    return F.round(F.col("score") * 10000).cast("long")
+
+
+def _avg_score_from_e4():
+    return F.round(
+        F.sum(_score_e4()).cast("double") / F.count("*") / 10000.0, 4
+    )
+
+
+SQL_SCORE_E4 = "CAST(round(score * 10000) AS BIGINT)"
+SQL_AVG_SCORE = (
+    f"ROUND(CAST(SUM({SQL_SCORE_E4}) AS DOUBLE) / COUNT(*) / 10000.0, 4)"
+)
+
+
 @register(
     "stedi_risk_gate",
     oracle=f"""
     SELECT customer,
            COUNT(*) AS n_assessments,
-           ROUND(AVG(score), 4) AS avg_score,
+           {SQL_AVG_SCORE} AS avg_score,
            MAX("riskDate") AS last_risk_date
     FROM (
       SELECT {synthetic.SQL_EMAIL_FROM_USERID} AS customer,
@@ -154,7 +177,7 @@ def stedi_risk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         risk.groupBy("customer")
         .agg(
             F.count("*").alias("n_assessments"),
-            F.round(F.avg("score"), 4).alias("avg_score"),
+            _avg_score_from_e4().alias("avg_score"),
             F.max("riskDate").alias("last_risk_date"),
         )
         .filter(F.col("n_assessments") >= 4)
@@ -174,7 +197,7 @@ def stedi_risk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cust."birthYear",
            COUNT(*) AS n_scores,
-           ROUND(AVG(ev.score), 4) AS avg_score
+           {SQL_AVG_SCORE} AS avg_score
     FROM ev JOIN cust ON ev.customer = cust.email
     GROUP BY cust."birthYear"
     """,
@@ -189,7 +212,7 @@ def stedi_risk_by_birth_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.join_risk_with_customers(risk, customers)
     return joined.groupBy("birthYear").agg(
         F.count("*").alias("n_scores"),
-        F.round(F.avg("score"), 4).alias("avg_score"),
+        _avg_score_from_e4().alias("avg_score"),
     )
 
 
@@ -230,13 +253,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+_MAX_SHINGLE_FREQ = 50
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH e AS (
+    WITH e0 AS (
       SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in generate_series(1, len(t) - 2)])) AS term
       FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), stop AS (
+      SELECT term FROM e0 GROUP BY term HAVING count(*) > {_MAX_SHINGLE_FREQ}
+    ), e AS (
+      SELECT doc_id, term FROM e0 ANTI JOIN stop USING (term)
     ), sz AS (
       SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
     ), inter AS (
@@ -258,11 +288,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigram shingles, not unigrams: on a small-vocabulary corpus unigram
     document frequency is O(corpus), which makes the inverted-index
     self-join quadratic (measured 4.5e8 join rows at sf0.1 vs 3.7e6 for
-    trigrams).  Exact recall baseline for dedup_minhash_lsh (same
-    shingling, same threshold).
+    trigrams).  ``max_shingle_freq`` prunes stop-shingles before the
+    self-join — the knob that bounds the f² blowup at scale, exercised
+    here so the scale-safe path IS the tested path.  Exact recall
+    baseline for dedup_minhash_lsh (same shingling, same threshold).
     """
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.7, n=3
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.7,
+        n=3,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
     )
 
 
@@ -566,12 +601,36 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_byte_features")  # mapInPandas — rows-only driver check
+@register(
+    "multimodal_byte_features",
+    # The high nibble of byte i is the (2i-1)-th hex digit of the blob, so
+    # the mapInPandas histogram is exactly reproducible in SQL from
+    # hex(encode(text)) — integer counts, no FP at all.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), e AS (
+      SELECT doc_id, n_bytes,
+             unnest([substr(hx, 2 * i - 1, 1)
+                     for i in generate_series(1, n_bytes)]) AS nib
+      FROM h
+    )
+    SELECT doc_id, n_bytes,
+           CAST(strpos('0123456789ABCDEF', nib) - 1 AS INTEGER) AS bin,
+           COUNT(*) AS bin_count
+    FROM e
+    GROUP BY doc_id, n_bytes, bin
+    """,
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake feature extraction over binary blobs
-    (mapInPandas plumbing; deterministic byte histogram)."""
+    (mapInPandas plumbing; deterministic byte histogram, long form —
+    the array<double> form is the API surface, tested in pytest)."""
     blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_byte_features(blobs)
+    return multimodal.byte_features_long(blobs)
 
 
 # Batch analytics + extras queries register themselves on import.

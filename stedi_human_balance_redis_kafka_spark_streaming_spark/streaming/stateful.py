@@ -16,6 +16,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _avg_score_e4():
+    """Reassociation-proof average: per-row quantize to exact 1e-4 int
+    units, sum exactly, derive the double once (repo FP policy —
+    plans/analytics.py docstring).  round(avg(double)) is not stable
+    across partial-aggregation orders."""
+    q = F.round(F.col("score") * 10000).cast("long")
+    return F.round(F.sum(q).cast("double") / F.count("*") / 10000.0, 4)
+
+
 def streaming_risk_gate_agg(risk: DataFrame) -> DataFrame:
     """A1 as a streaming aggregation (complete/update output modes).
 
@@ -27,14 +36,14 @@ def streaming_risk_gate_agg(risk: DataFrame) -> DataFrame:
         risk.groupBy("customer")
         .agg(
             F.count("*").alias("n_assessments"),
-            F.round(F.avg("score"), 4).alias("avg_score"),
+            _avg_score_e4().alias("avg_score"),
             F.max("riskDate").alias("last_risk_date"),
         )
         .filter(F.col("n_assessments") >= 4)
     )
 
 
-RISK_GATE_STATE_SCHEMA = "n long, total double"
+RISK_GATE_STATE_SCHEMA = "n long, total_e4 long"
 RISK_GATE_OUTPUT_SCHEMA = (
     "customer string, n_assessments long, avg_score double"
 )
@@ -45,20 +54,28 @@ def _risk_gate_fn(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Custom stateful A1: running (count, sum) per customer; emits a row
-    whenever the gate (n ≥ 4) is satisfied after ingesting a batch."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Custom stateful A1: running (count, exact-int sum) per customer;
+    emits a row whenever the gate (n ≥ 4) is satisfied after a batch.
+    The sum is kept in quantized 1e-4 units (repo FP policy) so the
+    running state is exact and the derived average matches the batch
+    form bit-for-bit regardless of batch boundaries."""
+    import numpy as np
+
+    n, total_e4 = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["score"].sum())
-    state.update((n, total))
+        # HALF_UP (away from zero) to match Spark's F.round exactly;
+        # pandas .round() is half-to-even.
+        s = (pdf["score"].to_numpy(dtype="float64")) * 10000.0
+        total_e4 += int((np.sign(s) * np.floor(np.abs(s) + 0.5)).sum())
+    state.update((n, total_e4))
     if n >= 4:
         yield pd.DataFrame(
             [
                 {
                     "customer": key[0],
                     "n_assessments": n,
-                    "avg_score": round(total / n, 4),
+                    "avg_score": round(float(total_e4) / n / 10000.0, 4),
                 }
             ]
         )
@@ -94,7 +111,7 @@ def windowed_risk_by_birth_year(
         .groupBy(F.window(time_col, window_duration), "birthYear")
         .agg(
             F.count("*").alias("n_scores"),
-            F.round(F.avg("score"), 4).alias("avg_score"),
+            _avg_score_e4().alias("avg_score"),
         )
     )
 
