@@ -39,6 +39,12 @@ def main() -> None:
         # Drop operator-local caches so queries are timed independently
         # (leaked cached frames + pinned broadcasts degrade later queries).
         spark.catalog.clearCache()
+        # ContextCleaner reclaims broadcasts/shuffles only when the JVM
+        # GCs; a 32-query run accumulates enough dead state between GCs
+        # that late queries degrade ~8× (round-1: 6.7 s isolated → 55.6 s
+        # in-bench).  Force a concurrent cycle (ExplicitGCInvokesConcurrent
+        # is set in session.py) after each query so cleanup keeps pace.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

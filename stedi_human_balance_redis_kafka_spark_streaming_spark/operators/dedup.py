@@ -200,7 +200,15 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # The candidate table feeds THREE consumers (cand_docs and both
+        # sides of the verify join); persist + eager materialize or each
+        # consumer recomputes the full band self-join lineage (measured
+        # 185 s unpersisted vs ~30 s persisted at sf0.1).  Candidates are
+        # LSH-collision-bounded — orders of magnitude smaller than the
+        # corpus — so this cache is scale-safe.
+        .persist()
     )
+    cand.count()
     # Exact-Jaccard verification, candidate-bounded: semi-join the
     # exploded index down to docs that appear in ANY candidate pair
     # BEFORE collect_set, so the expensive set materialization (and every
@@ -264,42 +272,49 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", fp.cast("int").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 2, bits: int = 16
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Joins on fingerprint halves (pigeonhole: distance ≤ 2 over 16 bits →
-    at least one 8-bit half matches exactly), then verifies with
-    bit_count(xor).  Avoids the all-pairs product the same way a banded
-    LSH does.
+    Pigeonhole candidate generation: the fingerprint is split into
+    ``max_hamming + 1`` disjoint bit chunks — a pair within distance d
+    has d differing bits, which can touch at most d chunks, so at least
+    one of the d+1 chunks matches exactly.  (Two halves only guarantee
+    d ≤ 1; round-1 shipped halves with d=2 and silently missed pairs
+    differing once in each half.)  Candidates join on (chunk index,
+    chunk value) buckets — linear like a banded LSH, never all-pairs —
+    then verify with bit_count(xor), which makes the result set exactly
+    the brute-force Hamming ball (the DuckDB oracle runs brute force).
     """
     fp = simhash_fingerprints(docs)
-    halves = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                F.concat(F.lit("lo:"), (F.col("simhash") % 256).cast("string")),
-                F.concat(F.lit("hi:"), (F.col("simhash") / 256).cast("int").cast("string")),
-            )
-        ).alias("half"),
+    nchunks = max_hamming + 1
+    sizes = [bits // nchunks + (1 if i < bits % nchunks else 0) for i in range(nchunks)]
+    chunk_keys, off = [], 0
+    for i, size in enumerate(sizes):
+        val = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1))
+        chunk_keys.append(F.concat(F.lit(f"{i}:"), val.cast("string")))
+        off += size
+    chunks = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_keys)).alias("chunk")
     )
-    a, b = halves.alias("a"), halves.alias("b")
+    a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
         a.join(
             b,
-            (F.col("a.half") == F.col("b.half"))
+            (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -313,8 +328,9 @@ def embedding_cosine_pairs(
     oracle; the filter applies to the *rounded* value so both engines
     threshold identical numbers.
 
-    This is the brute-force O(n²) baseline — correct and fine below ~10⁵
-    vectors; at scale use similarity.ivf_topk's bucketing instead.
+    This is the brute-force O(n²) RECALL BASELINE — correct and fine
+    below ~10⁵ vectors; the registered scale path is
+    :func:`embedding_bucketed_pairs` (IVF-bucketed, no cartesian).
     Norms are precomputed per vector (linear map stage), and the dot is a
     fixed-dimension unrolled expression (codegen'd — interpreted
     higher-order folds are ~100× slower on the quadratic stage).
@@ -336,6 +352,67 @@ def embedding_cosine_pairs(
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_bucketed_pairs(
+    emb: DataFrame,
+    threshold: float,
+    centroid_modulus: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scale-path semantic near-dup: IVF-bucketed cosine pairs.
+
+    Every vector is assigned to its nearest centroid (deterministic
+    centroids: vec_id % centroid_modulus == 0 — a production system
+    would k-means them; the index structure is identical), and pairs are
+    scored only WITHIN a bucket.  Output: (vec_a, vec_b, cos_sim) with
+    vec_a < vec_b, rounded cosine ≥ threshold.
+
+    Scale shape: the centroid broadcast is |corpus|/modulus (bounded by
+    construction), assignment is a map-side crossJoin + partial-agg
+    max_by, and the only shuffle of the big table is the bucket
+    self-join on cid — linear in corpus + intra-bucket pairs, never the
+    all-pairs cartesian of :func:`embedding_cosine_pairs`.  Bucket skew
+    is handled by AQE skew-join splitting.  Recall is the IVF
+    approximation (cross-bucket near-dups are missed by design); the
+    identical bucketing runs in the DuckDB oracle, so results are still
+    exactly reproducible.
+    """
+    from .similarity import assign_nearest_centroid
+
+    dim = embedding_dim(emb)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.select("vec_id", "v", norm_unrolled(F.col("v"), dim).alias("nrm"))
+    # Re-split: single-file sources arrive as one input partition.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(par)
+    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        dot_unrolled(F.col("a.v"), F.col("b.v"), dim)
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        round_digits,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -83,6 +83,46 @@ def brute_force_topk(
     )
 
 
+def assign_nearest_centroid(
+    e: DataFrame, cents: DataFrame, dim: int, round_digits: int = 6
+) -> DataFrame:
+    """Map every vector to its nearest centroid: (vec_id, v, nrm, cid).
+
+    Partial-aggregable max_by: the broadcast crossJoin scores map-side,
+    and the per-partition partial aggregate collapses the n×|centroids|
+    scored rows back to n BEFORE the exchange (vec_ids are unique, so
+    each group is fully reduced in its own partition).  A window
+    formulation would shuffle the full n×|centroids| scored table on
+    vec_id — a |centroids|× larger exchange.  Ordering struct
+    (cos_c, -cid) == (cos DESC, cid ASC) for deterministic ties.
+    """
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "cid",
+            _cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm"), dim, round_digits).alias(
+                "cos_c"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "v", "nrm"),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.v").alias("v"),
+            F.col("best.nrm").alias("nrm"),
+            F.col("best.cid").alias("cid"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -108,38 +148,7 @@ def ivf_topk(
         F.col("nrm").alias("cnrm"),
     )
 
-    # Nearest-centroid assignment via partial-aggregable max_by: the
-    # broadcast crossJoin scores map-side, and the per-partition partial
-    # aggregate collapses the n×|centroids| scored rows back to n BEFORE
-    # the exchange (vec_ids are unique, so each group is fully reduced in
-    # its own partition).  The round-1 window formulation shuffled the
-    # full n×|centroids| scored table on vec_id — a |centroids|× larger
-    # exchange.  Ordering struct (cos_c, -cid) == (cos DESC, cid ASC).
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            "cid",
-            _cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm"), dim, round_digits).alias(
-                "cos_c"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "v", "nrm"),
-                F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid")),
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.v").alias("v"),
-            F.col("best.nrm").alias("nrm"),
-            F.col("best.cid").alias("cid"),
-        )
-    )
+    assigned = assign_nearest_centroid(e, cents, dim, round_digits)
 
     q = queries.select(
         "query_id", "qv", norm_unrolled(F.col("qv"), dim).alias("qnrm")

@@ -158,13 +158,36 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_approx_distinct")  # HLL sketch — engine-specific, rows-only
+@register(
+    "events_approx_distinct",
+    # Sketch estimates are engine-specific, so the checkable contract is
+    # a BOUNDS assertion: the HLL++ estimate (rsd=0.01) must land within
+    # ±5% of the exact distinct count.  The oracle emits the exact count
+    # and a constant TRUE — if any group's estimate drifts out of
+    # bounds, the hash compare fails.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per event type (HyperLogLog++).  No
-    oracle: sketch estimates are engine-specific by nature; the driver
-    records the weaker rows-only check, and event_type_stats carries the
-    exact COUNT(DISTINCT) parity."""
+    """Approximate distinct users per event type (HyperLogLog++), checked
+    as a bounds assertion against the exact count computed alongside."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )

@@ -74,6 +74,28 @@ def stedi_customers_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stedi_customers_decode_exploded",
+    # Same oracle as stedi_customers_decode: synthetic envelopes carry
+    # exactly one zSet entry, so the lossless explode variant (P4's
+    # multi-entry mode, reference sparkpykafkajoin.py:133-138 caveat)
+    # must produce identical rows to the [0]-element form.
+    oracle=f"""
+    SELECT c_name AS "customerName",
+           {synthetic.SQL_EMAIL_FROM_CUSTKEY} AS email,
+           {synthetic.SQL_PHONE} AS phone,
+           {synthetic.SQL_BIRTH_DAY} AS "birthDay",
+           {synthetic.SQL_BIRTH_YEAR} AS "birthYear"
+    FROM customer
+    """,
+)
+def stedi_customers_decode_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 explode variant: decode EVERY zSetEntries element (lossless
+    multi-entry mode) instead of element [0]."""
+    raw = synthetic.redis_envelope_raw(spark, sf_dir)
+    return pipeline.customers_from_redis_stream(raw, explode=True)
+
+
+@register(
     "stedi_risk_events",
     oracle=f"""
     SELECT {synthetic.SQL_EMAIL_FROM_USERID} AS customer,
@@ -370,6 +392,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_pairs",
+    # Brute-force Hamming ball in the oracle vs pigeonhole-chunked
+    # candidates in Spark: identical result sets prove the chunk scheme
+    # is complete for max_hamming=2 (the round-1 two-half scheme missed
+    # pairs differing once in each half and would FAIL this hash).
+    oracle=f"""
+    WITH fp AS ({_sql_simhash()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ 2 (3-chunk pigeonhole
+    candidates + exact verify; linear bucket join, never all-pairs)."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=2
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -389,6 +433,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (brute-force cosine baseline)."""
     return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "dedup_embedding_bucketed",
+    # Identical deterministic IVF bucketing on both sides (centroids =
+    # vec_id%50, nearest-centroid assignment with (cos DESC, cid ASC)
+    # ties) — the scale path: no cartesian, pairs scored only within a
+    # bucket.  Mirrors ann_ivf_topk's assignment fragments.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i]))
+                          / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                             * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) DESC,
+                          c.cid ASC
+               ) AS arank
+        FROM e CROSS JOIN c
+      ) WHERE arank = 1
+    ), p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup pairs — the 100 TB scale path
+    (bucket self-join, no all-pairs cartesian)."""
+    return dedup.embedding_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
