@@ -29,6 +29,7 @@ def join_risk_with_customers(
     watermark_delay: str = "1 hour",
     risk_time_col: str = "riskTime",
     customer_time_col: str = "customerTime",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Inner equi-join risk events to customer profiles on customer == email.
 
@@ -40,6 +41,10 @@ def join_risk_with_customers(
     ``watermarked`` mode requires TimestampType columns ``risk_time_col``
     / ``customer_time_col`` on the respective sides and bounds state with
     ``withWatermark`` + a time-range join condition.
+
+    ``extra_cols`` appends pass-through columns to the 4-column contract —
+    e.g. ``("riskTime",)`` so a downstream windowed aggregation (A2) can
+    keep the event-time column across the join.
     """
     if mode == "unbounded":
         cond = risk["customer"] == customers["email"]
@@ -58,7 +63,7 @@ def join_risk_with_customers(
         joined = r.join(c, cond, "inner")
     else:
         raise ValueError(f"unknown join mode: {mode!r}")
-    return joined.select("customer", "score", "email", "birthYear")
+    return joined.select("customer", "score", "email", "birthYear", *extra_cols)
 
 
 def format_customer_risk(df: DataFrame) -> DataFrame:

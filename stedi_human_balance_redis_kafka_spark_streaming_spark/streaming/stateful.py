@@ -102,13 +102,23 @@ def windowed_risk_by_birth_year(
     *,
     time_col: str = "riskTime",
     window_duration: str = "1 hour",
-    watermark_delay: str = "2 hours",
+    watermark_delay: str | None = "2 hours",
 ) -> DataFrame:
     """A2 streaming: event-time windowed avg score per birthYear with a
-    watermark bounding state (late rows beyond the delay are dropped)."""
+    watermark bounding state (late rows beyond the delay are dropped).
+
+    Pass ``watermark_delay=None`` when ``joined`` is the output of an
+    upstream stateful operator (e.g. the watermarked J1 join): Spark
+    propagates the watermark through chained stateful operators and
+    DISALLOWS redefining it mid-pipeline.
+    """
+    src = (
+        joined
+        if watermark_delay is None
+        else joined.withWatermark(time_col, watermark_delay)
+    )
     return (
-        joined.withWatermark(time_col, watermark_delay)
-        .groupBy(F.window(time_col, window_duration), "birthYear")
+        src.groupBy(F.window(time_col, window_duration), "birthYear")
         .agg(
             F.count("*").alias("n_scores"),
             _avg_score_e4().alias("avg_score"),

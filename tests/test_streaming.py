@@ -155,8 +155,163 @@ def test_windowed_risk_by_birth_year_streaming(spark, stream_dirs):
         .withColumn("riskTime", F.to_timestamp("riskDate", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .withColumn("birthYear", F.substring("customer", 5, 1))
         .groupBy(F.window("riskTime", "1 hour"), "birthYear")
-        .agg(F.count("*").alias("n_scores"), F.round(F.avg("score"), 4).alias("avg_score"))
+        .agg(
+            F.count("*").alias("n_scores"),
+            # must mirror stateful._avg_score_e4 (quantized FP policy)
+            F.round(
+                F.sum(F.round(F.col("score") * 10000).cast("long")).cast("double")
+                / F.count("*")
+                / 10000.0,
+                4,
+            ).alias("avg_score"),
+        )
     )
     got = {tuple(r) for r in out.collect()}
     expected = {tuple(r) for r in batch.collect()}
     assert got <= expected and len(got) > 0
+
+
+def _write_ordered_files(spark, base, name, schema, batches):
+    """Write one parquet file per micro-batch with strictly increasing
+    mtimes so the file source (maxFilesPerTrigger=1) replays them in
+    order — the only way to exercise watermark progression from a file
+    stand-in for Kafka."""
+    import os
+    import time
+
+    paths = []
+    for i, rows in enumerate(batches):
+        d = str(base / f"{name}_{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        t = time.time() + i * 10
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+        paths.append(d)
+    root = str(base / name)
+    os.makedirs(root, exist_ok=True)
+    for i, d in enumerate(paths):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(d, f), os.path.join(root, f"{i:03d}_{f}"))
+                t = time.time() + i * 10
+                os.utime(os.path.join(root, f"{i:03d}_{f}"), (t, t))
+    return root
+
+
+CUST_SCHEMA = "customerName string, email string, birthYear string, customerTime timestamp"
+RISK_SCHEMA = "customer string, score double, riskTime timestamp"
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_watermarked_join_drops_late_rows(spark, tmp_path):
+    """J1 watermarked mode (SURVEY §2.3 production variant): on-time rows
+    join within the time-range condition; a row arriving behind the
+    watermark is dropped even though its event time satisfies the range.
+    """
+    # Timeline (watermark delay 10 min, range [customerTime, +10 min]):
+    #   batch 0: on-time pair (10:00 ⨝ 10:05) joins; advancers at 12:00
+    #            push the post-batch watermark to 11:50.
+    #   batch 1: more advancers; during this batch the 11:50 watermark is
+    #            in effect, so the a@test.com customer state (evictable
+    #            once watermark > 10:10) is REMOVED.  Inner-join lateness
+    #            is state-eviction-based — a late row arriving in the
+    #            same batch that sets the watermark can still match,
+    #            which is why the late row arrives one batch later.
+    #   batch 2: late risk row (10:06) — satisfies the range but its
+    #            partner state is gone and it is behind the watermark.
+    cust_dir = _write_ordered_files(
+        spark, tmp_path, "cust", CUST_SCHEMA,
+        [
+            [
+                ("A", "a@test.com", "1980", _ts("2024-01-01T10:00:00")),
+                # watermark advancer (no matching risk key)
+                ("Z", "zz@none.com", "1999", _ts("2024-01-01T12:00:00")),
+            ],
+            [("X", "xx@none.com", "1990", _ts("2024-01-01T12:30:00"))],
+        ],
+    )
+    risk_dir = _write_ordered_files(
+        spark, tmp_path, "risk", RISK_SCHEMA,
+        [
+            [
+                # on-time: within [customerTime, customerTime + 10 min]
+                ("a@test.com", 1.5, _ts("2024-01-01T10:05:00")),
+                # watermark advancer (no matching customer key)
+                ("wm@none.com", 0.0, _ts("2024-01-01T12:00:00")),
+            ],
+            [("wm2@none.com", 0.0, _ts("2024-01-01T12:30:00"))],
+            [
+                # LATE: satisfies the range, but arrives behind the
+                # watermark after the partner state was evicted.
+                ("a@test.com", 9.9, _ts("2024-01-01T10:06:00")),
+            ],
+        ],
+    )
+    c = (
+        spark.readStream.schema(CUST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cust_dir)
+    )
+    r = (
+        spark.readStream.schema(RISK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(risk_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        joins.join_risk_with_customers(
+            r, c, mode="watermarked", watermark_delay="10 minutes"
+        ),
+        f"wmj_{uuid.uuid4().hex[:8]}",
+    )
+    rows = [(x.customer, x.score) for x in out.collect()]
+    assert rows == [("a@test.com", 1.5)]  # late 9.9 row dropped
+
+
+def test_join_then_windowed_agg_composition(spark, tmp_path):
+    """The actually-hard streaming case (reference UI intent,
+    sparkpykafkajoin.py:246-250 + risk-by-birth-year): TWO stateful
+    operators stacked — watermarked stream-stream join feeding the
+    windowed A2 aggregation, event-time column carried through the join.
+    """
+    cust_dir = _write_ordered_files(
+        spark, tmp_path, "cust2", CUST_SCHEMA,
+        [
+            [
+                ("A", "user1@test.com", "1980", _ts("2024-01-01T10:00:00")),
+                ("B", "user2@test.com", "1985", _ts("2024-01-01T10:10:00")),
+                ("Z", "zz@none.com", "1999", _ts("2024-01-01T20:00:00")),
+            ],
+        ],
+    )
+    risk_dir = _write_ordered_files(
+        spark, tmp_path, "risk2", RISK_SCHEMA,
+        [
+            [
+                ("user1@test.com", 5.0, _ts("2024-01-01T10:05:00")),
+                ("user2@test.com", 7.0, _ts("2024-01-01T10:15:00")),
+                ("none@none.com", 1.0, _ts("2024-01-01T20:00:00")),
+            ],
+        ],
+    )
+    c = spark.readStream.schema(CUST_SCHEMA).parquet(cust_dir)
+    r = spark.readStream.schema(RISK_SCHEMA).parquet(risk_dir)
+    joined = joins.join_risk_with_customers(
+        r, c, mode="watermarked", watermark_delay="10 minutes",
+        extra_cols=("riskTime",),
+    )
+    # watermark_delay=None: the join's watermark propagates; redefining
+    # it across stacked stateful operators is an AnalysisException.
+    agg = stateful.windowed_risk_by_birth_year(joined, watermark_delay=None)
+    out = _run_to_memory(
+        spark, agg, f"jw_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    got = {
+        (r.birthYear, r.n_scores, r.avg_score) for r in out.collect()
+    }
+    assert got == {("1980", 1, 5.0), ("1985", 1, 7.0)}
