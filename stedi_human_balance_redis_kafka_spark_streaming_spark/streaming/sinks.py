@@ -15,10 +15,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
-def _write_partition_to_redis(rows, host: str, port: int, key_col: str, value_col: str):
-    import redis  # gated: not bundled in this container
+def _write_partition_to_redis(
+    rows, host: str, port: int, key_col: str, value_col: str, client_factory=None
+):
+    if client_factory is None:
+        import redis  # gated: not bundled in this container
 
-    client = redis.Redis(host=host, port=port)
+        client = redis.Redis(host=host, port=port)
+    else:
+        client = client_factory(host, port)
     pipe = client.pipeline(transaction=False)
     for row in rows:
         pipe.set(row[key_col], row[value_col])
@@ -33,23 +38,32 @@ def redis_set_sink(
     host: str = "localhost",
     port: int = 6379,
     checkpoint_location: str,
+    client_factory=None,
 ) -> StreamingQuery:
     """Write (key, value) rows to Redis as SETs, one pipeline per partition.
 
     Executor-side connections (inside foreachPartition), never a driver
     collect — the batch streams partition-parallel into Redis.
+
+    ``client_factory`` (picklable ``(host, port) -> client``) substitutes
+    the redis-py constructor — the seam that lets the full executor-side
+    write path run under test without a server (and the hook for auth /
+    cluster-mode clients in production).
     """
-    try:
-        import redis  # noqa: F401
-    except ImportError as e:  # pragma: no cover - depends on environment
-        raise ImportError(
-            "redis-py is not installed in this environment; "
-            "redis_set_sink requires it at runtime"
-        ) from e
+    if client_factory is None:
+        try:
+            import redis  # noqa: F401
+        except ImportError as e:  # pragma: no cover - depends on environment
+            raise ImportError(
+                "redis-py is not installed in this environment; "
+                "redis_set_sink requires it at runtime"
+            ) from e
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.foreachPartition(
-            lambda rows: _write_partition_to_redis(rows, host, port, key_col, value_col)
+            lambda rows: _write_partition_to_redis(
+                rows, host, port, key_col, value_col, client_factory
+            )
         )
 
     return (

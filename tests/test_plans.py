@@ -1,0 +1,106 @@
+"""Physical-plan audits: assert the plan SHAPES that make the scale
+story true, so a regression (a lost pushdown, an accidental cartesian,
+a de-broadcast dim) fails CI instead of surfacing at 100 TB.
+
+These mirror the review checklist applied per-operator during
+development (`df.explain("formatted")` iteration): filters reach the
+Parquet scan, small dims broadcast, scale-path dedup/ANN operators never
+produce an all-pairs cartesian over the big table, and Python only ever
+appears as Arrow-batched MapInPandas.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    """Formatted physical plan of a registered query (pre-execution;
+    AQE may only improve on it at runtime)."""
+    df = registry.queries()[name](spark, SF)
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+# Scale-path operators must never plan an all-pairs cartesian over the
+# corpus.  (dedup_embedding_cosine is the documented brute-force recall
+# baseline and is exempt by design.)
+SCALE_PATH_QUERIES = [
+    "dedup_embedding_bucketed",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "ann_ivf_topk",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", SCALE_PATH_QUERIES)
+def test_no_cartesian_in_scale_paths(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # the shipdate predicate must reach the Parquet reader
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1][:200]
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # ReadSchema must not include columns q1 never touches
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    # region/nation are tiny dims — they must broadcast, not shuffle
+    assert "BroadcastHashJoin" in _plan(spark, "q5_local_supplier_volume")
+
+
+def test_minhash_verify_not_hint_broadcast(spark):
+    # round-1 regression: the verify stage HINT-broadcast the full
+    # per-doc term-set table (dies at scale — the broadcast grows with
+    # the corpus, unconditionally).  No broadcast hints may appear in
+    # the analyzed plan; size-estimated broadcasts Catalyst/AQE choose
+    # at a small SF are fine because they degrade gracefully when the
+    # estimate exceeds the threshold at scale.
+    df = registry.queries()["dedup_minhash_lsh"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+
+
+def test_narrow_maps_are_shuffle_free(spark):
+    # text_stats is a pure narrow map — scan → project, no exchange
+    plan = _plan(spark, "text_stats")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_python_is_arrow_batched(spark):
+    # the one sanctioned Python surface is Arrow-batched mapInPandas —
+    # never row-at-a-time BatchEvalPython
+    plan = _plan(spark, "multimodal_byte_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in registry.queries()
+        if n not in ("multimodal_byte_features",)
+    ),
+)
+def test_no_row_python_udfs_anywhere(spark, name):
+    # BatchEvalPython (row-at-a-time Python UDF) must not appear in ANY
+    # registered query's plan
+    assert "BatchEvalPython" not in _plan(spark, name)

@@ -131,6 +131,77 @@ def test_foreach_batch_sink_plumbing(spark, stream_dirs):
     assert sum(seen) == spark.read.parquet(redis_dir).count()
 
 
+def test_redis_sink_write_path(spark, stream_dirs, tmp_path):
+    """S-row closure (SURVEY §2.1): the Redis sink's full executor-side
+    write path — keyed SETs, pipeline-per-partition — against a fake
+    client, no server required."""
+    import os
+
+    # Defined INSIDE the test so cloudpickle serializes the class by
+    # value — executor workers cannot import the test module.
+    class _FileBackedFakeRedis:
+        """Stand-in for redis-py: SET pipelines append to a spool
+        directory (executor-side, one file per pipeline flush) so the
+        driver can assert what reached 'Redis'.  Exercises the real
+        foreachBatch → foreachPartition → pipeline path; only the
+        socket is faked."""
+
+        def __init__(self, spool_dir):
+            self.spool_dir = spool_dir
+            self.ops = []
+
+        def __call__(self, host, port):  # the client_factory protocol
+            return self
+
+        def pipeline(self, transaction=True):
+            return self
+
+        def set(self, key, value):
+            self.ops.append((key, value))
+
+        def execute(self):
+            import uuid
+
+            path = os.path.join(self.spool_dir, uuid.uuid4().hex)
+            with open(path, "w") as f:
+                for k, v in self.ops:
+                    f.write(f"{k}\t{v}\n")
+            self.ops = []
+
+    redis_dir, events_dir = stream_dirs
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    sdf = sq.customer_risk_stream(
+        _read_stream(spark, redis_dir), _read_stream(spark, events_dir)
+    )
+    q = sinks.redis_set_sink(
+        sdf,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        client_factory=_FileBackedFakeRedis(str(spool)),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = {}
+    for fn in os.listdir(spool):
+        for line in open(spool / fn):
+            k, v = line.rstrip("\n").split("\t", 1)
+            written[k] = v
+    batch = joins.format_customer_risk(
+        joins.join_risk_with_customers(
+            pipeline.parse_risk_events(spark.read.parquet(events_dir)),
+            pipeline.customers_from_redis_stream(spark.read.parquet(redis_dir)),
+        )
+    )
+    expected_pairs = {(r.key, r.value) for r in batch.collect()}
+    expected_keys = {k for k, _ in expected_pairs}
+    # SET is last-write-wins per key: every key reached Redis, and every
+    # written (key, value) is a pair the join actually produced
+    assert written.keys() == expected_keys
+    assert all((k, v) in expected_pairs for k, v in written.items())
+
+
 def test_windowed_risk_by_birth_year_streaming(spark, stream_dirs):
     _, events_dir = stream_dirs
     # single-stream form: birthYear surrogate derived from the event itself
