@@ -1,0 +1,163 @@
+"""Training-data curation operators: the steps between "deduped corpus"
+and "training mixture" in a large-scale LLM data pipeline.
+
+* ``sample_by_hash``      — deterministic hash-based stratified sampling
+                            (per-stratum rates, e.g. downsample web,
+                            keep all wiki).  No RNG: membership is a
+                            pure function of (salt, id), so samples are
+                            reproducible across engines, runs, and
+                            re-partitioning — the property that makes a
+                            100 TB sample auditable.
+* ``pack_sequences``      — concatenate-and-chunk sequence packing:
+                            documents are ordered within a stratum,
+                            token counts are cumulated, and each doc is
+                            assigned the chunk (``pack_id``) containing
+                            its first token.  The standard pretraining
+                            packing shape, as a pure window expression.
+* ``connected_components``— duplicate-CLUSTER extraction: near-dup
+                            pair lists (from minhash/jaccard/simhash)
+                            are only half the dedup story; keeping one
+                            representative per transitive cluster needs
+                            connected components.  Iterative min-label
+                            propagation over DataFrames.
+
+All three are pure DataFrame compositions with exact-integer /
+string-comparison semantics, so each has a bit-exact DuckDB oracle
+(plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import tokens
+
+
+def _hex_threshold(rate: float) -> str:
+    """2-hex-digit threshold with 1/256 granularity; 'zz' sorts after
+    every hex string → keep-all."""
+    if rate >= 1.0:
+        return "zz"
+    return format(max(int(round(rate * 256)), 0), "02x")
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff the first 2 hex digits of md5(salt || id) sort
+    below the stratum's threshold — deterministic per-stratum sampling
+    at 1/256 rate granularity.
+
+    Strata absent from ``rates`` are dropped (null threshold → filter
+    false), which doubles as the "unknown source" guard.  Scale shape:
+    a narrow codegen'd filter — no shuffle, no RNG state, trivially
+    pushdown-composable.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 2
+    )
+    thresh = F.create_map(
+        *[
+            lit
+            for k, v in sorted(rates.items())
+            for lit in (F.lit(k), F.lit(_hex_threshold(v)))
+        ]
+    )
+    return df.filter(bucket < thresh[F.col(stratum_col)])
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    *,
+    partition_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chunk packing: within each stratum, documents are
+    laid out in ``id_col`` order and cut into ``budget``-token chunks;
+    ``pack_id`` is the chunk holding the document's first token.
+
+    Output: (id, *partition_cols, n_tokens, pack_id).  Scale shape: the
+    running sum is a per-stratum window — strata pack in parallel, and
+    at 100 TB the stratum key should include a shard component (e.g.
+    crawl snapshot) so no single window partition is unbounded; the
+    global sort a stratum-free window would need is exactly what this
+    formulation avoids.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col, *partition_cols, n_tok.alias("n_tokens"))
+        .withColumn(
+            "pack_id", F.floor(cum_excl / F.lit(float(budget))).cast("long")
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every node's label converges to the minimum
+    node id reachable from it.  Output: (doc_id, cluster_id).
+
+    Each iteration is one shuffle join + one partial-aggregable min —
+    linear in |edges|; convergence takes O(component diameter) rounds,
+    which for near-dup graphs (dense clique-ish clusters) is 2-4.  At
+    billions of edges swap in the large-star/small-star contraction
+    (O(log n) rounds) — same DataFrame skeleton, different message rule.
+    ``localCheckpoint`` truncates the growing lineage each round so the
+    plan stays O(1) deep.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["u"] == labels["node"]).select(
+            F.col("v").alias("node"), F.col("label")
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

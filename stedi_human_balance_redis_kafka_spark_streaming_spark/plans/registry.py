@@ -278,10 +278,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_SHINGLE_FREQ = 50
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH e0 AS (
+# Shared CTE chain producing trigram-Jaccard near-dup pairs — reused by
+# the pairs query and the cluster (connected-components) oracle.
+_SQL_NGRAM_PAIR_CTES = f"""
+    e0 AS (
       SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in generate_series(1, len(t) - 2)])) AS term
       FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
@@ -295,13 +295,21 @@ _MAX_SHINGLE_FREQ = 50
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_NGRAM_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +482,101 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data curation (sampling / packing / duplicate clusters)
+# --------------------------------------------------------------------------
+
+from ..operators import curation  # noqa: E402
+
+# Per-language mixture rates (1/256 hex-threshold granularity; see
+# curation._hex_threshold).  Kept as one dict so the Spark filter and
+# the oracle CASE expression cannot drift.
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+_SQL_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN '{curation._hex_threshold(v)}'"
+    for k, v in sorted(_SAMPLE_RATES.items())
+) + " END"
+
+
+@register(
+    "curation_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_SQL_RATE_CASE}
+    """,
+)
+def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language mixture
+    rates, membership a pure function of doc_id (reproducible at any
+    scale/partitioning — no RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.sample_by_hash(docs, _SAMPLE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing ({_PACK_BUDGET}-token
+    chunks per (lang, source) stratum) — the standard pretraining
+    packing layout as a pure window expression."""
+    return curation.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    )
+
+
+@register(
+    "dedup_clusters",
+    # Transitive duplicate clusters over the trigram-Jaccard pair graph:
+    # Spark runs iterative min-label propagation; the oracle computes the
+    # same fixpoint via a recursive reachability CTE (cluster_id == min
+    # reachable doc_id, self included).
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: connected components (iterative
+    min-label propagation) over the ngram-Jaccard near-dup pair graph."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.7,
+        n=3,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
+    return curation.connected_components(pairs)
 
 
 # --------------------------------------------------------------------------

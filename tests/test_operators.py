@@ -185,3 +185,63 @@ def test_multimodal_metadata_and_features(docs):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(iter([]))
+
+
+# ---------------------------------------------------------------------------
+# curation operators
+# ---------------------------------------------------------------------------
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import curation
+
+
+def test_connected_components_known_graph(spark):
+    # two components: {1,2,3,7} (chain + extra edge) and {5,6}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in curation.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 10-node path needs several propagation rounds (diameter 9)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in curation.connected_components(edges).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 11
+
+
+def test_sample_by_hash_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 1.0, "zh": 0.25}
+    a = sorted(r.doc_id for r in curation.sample_by_hash(df, rates).collect())
+    b = sorted(r.doc_id for r in curation.sample_by_hash(df, rates).collect())
+    assert a == b  # pure function of (salt, id) — no RNG
+    en = [i for i in a if i % 2 == 1]
+    zh = [i for i in a if i % 2 == 0]
+    assert len(en) == 500  # rate 1.0 keeps every row
+    assert 50 <= len(zh) <= 200  # ~25% of 500, hash-binomial spread
+    # unknown stratum → dropped
+    extra = spark.createDataFrame([(10_000, "xx")], "doc_id long, lang string")
+    assert curation.sample_by_hash(extra, rates).count() == 0
+
+
+def test_pack_sequences_chunk_layout(spark):
+    # 5 docs of 4 tokens each in one stratum, budget 8 → packs [0,0,1,1,2]
+    rows = [(i, "en", "s", "a b c d") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in curation.pack_sequences(df, budget=8).collect()
+    }
+    assert got == {0: (4, 0), 1: (4, 0), 2: (4, 1), 3: (4, 1), 4: (4, 2)}
