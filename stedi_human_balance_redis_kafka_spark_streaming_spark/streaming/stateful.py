@@ -59,15 +59,10 @@ def _risk_gate_fn(
     The sum is kept in quantized 1e-4 units (repo FP policy) so the
     running state is exact and the derived average matches the batch
     form bit-for-bit regardless of batch boundaries."""
-    import numpy as np
-
     n, total_e4 = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        # HALF_UP (away from zero) to match Spark's F.round exactly;
-        # pandas .round() is half-to-even.
-        s = (pdf["score"].to_numpy(dtype="float64")) * 10000.0
-        total_e4 += int((np.sign(s) * np.floor(np.abs(s) + 0.5)).sum())
+        total_e4 += _quantize_e4(pdf["score"])
     state.update((n, total_e4))
     if n >= 4:
         yield pd.DataFrame(
@@ -137,3 +132,62 @@ def dedup_within_watermark(
     dropDuplicatesWithinWatermark keeps each key's state only until the
     watermark passes it (vs dropDuplicates' unbounded state)."""
     return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def _quantize_e4(scores) -> int:
+    """Exact 1e-4-unit sum of a float series, HALF_UP to match F.round."""
+    import numpy as np
+
+    s = scores.to_numpy(dtype="float64") * 10000.0
+    return int((np.sign(s) * np.floor(np.abs(s) + 0.5)).sum())
+
+
+def streaming_risk_gate_tws(risk: DataFrame) -> DataFrame:
+    """A1 via ``transformWithStateInPandas`` — the Spark-4 arbitrary-state
+    API (typed state handles, timers, TTL) that supersedes
+    applyInPandasWithState.  Same semantics and FP policy as
+    :func:`streaming_risk_gate_stateful`: running (count, exact-int sum)
+    per customer, emit whenever the n ≥ 4 gate holds after a batch.
+
+    Use with update output mode.  Runtime-gated: the API's state-server
+    protocol needs ``protobuf`` in the Python environment (absent in
+    this container — the query fails at start, not import; the pytest
+    is importorskip-gated the same way as the Redis sink).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RiskGateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("gate", RISK_GATE_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total_e4 = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total_e4 += _quantize_e4(pdf["score"])
+            self._state.update((n, total_e4))
+            if n >= 4:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "customer": key[0],
+                            "n_assessments": n,
+                            "avg_score": round(float(total_e4) / n / 10000.0, 4),
+                        }
+                    ]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return risk.groupBy("customer").transformWithStateInPandas(
+        RiskGateProcessor(),
+        outputStructType=RISK_GATE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

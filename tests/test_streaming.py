@@ -97,6 +97,29 @@ def test_stateful_risk_gate(spark, stream_dirs):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_stateful_risk_gate_tws(spark, stream_dirs):
+    """Same gate through the Spark-4 transformWithStateInPandas API —
+    must agree with both the agg form and the applyInPandasWithState
+    form on the same finite input.  The API's state protocol needs
+    protobuf at runtime; skip where the container lacks it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol requires protobuf",
+    )
+    _, events_dir = stream_dirs
+    risk = pipeline.parse_risk_events(_read_stream(spark, events_dir))
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_risk_gate_tws(risk),
+        f"tws_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    batch = stateful.streaming_risk_gate_agg(
+        pipeline.parse_risk_events(spark.read.parquet(events_dir))
+    ).select("customer", "n_assessments", "avg_score")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     path = str(tmp_path / "dups")
     rows = spark.createDataFrame(
