@@ -819,6 +819,77 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features_long(blobs)
 
 
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline: dedup → quality filter → sample → pack
+# --------------------------------------------------------------------------
+
+_MIN_QUALITY = 0.5
+_MIN_TOKENS = 5
+
+
+@register(
+    "curation_pipeline",
+    # The composed training-data flow as ONE query: exact dedup (min-id
+    # representative per content digest), quality gate, deterministic
+    # stratified sampling, token-budget packing — each stage's SQL is the
+    # same fragment its standalone oracle uses, composed as CTEs.
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), d AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM keep)
+    ), q AS (
+      SELECT doc_id, text, lang, source, t FROM (
+        SELECT *, {_SQL_TOKENS} AS t FROM d
+      ) WHERE CAST(len(t) AS BIGINT) >= {_MIN_TOKENS}
+        AND round(least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
+              + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+              + (1.0 - CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t)) * 0.3,
+              6) >= {_MIN_QUALITY}
+    ), s AS (
+      SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM q
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_SQL_RATE_CASE}
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM s
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: exact dedup → quality gate (text_stats
+    blend ≥ {_MIN_QUALITY}, ≥ {_MIN_TOKENS} tokens) → per-language
+    hash-stratified sampling → token-budget packing.
+
+    Scale shape: one digest shuffle (partial-aggregable min) + a semi
+    join for dedup; the quality gate and sample are narrow codegen'd
+    filters fused into the same stage; packing windows per stratum.
+    Four pipeline stages, two shuffles + one window total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = docs.join(keep, "doc_id", "left_semi")
+    stats = text_ops.text_stats(d).select("doc_id", "n_tokens", "quality_score")
+    filtered = (
+        d.join(stats, "doc_id")
+        .filter(
+            (F.col("quality_score") >= _MIN_QUALITY)
+            & (F.col("n_tokens") >= _MIN_TOKENS)
+        )
+        .select("doc_id", "text", "lang", "source")
+    )
+    sampled = curation.sample_by_hash(filtered, _SAMPLE_RATES)
+    return curation.pack_sequences(sampled, budget=_PACK_BUDGET)
+
+
 # Batch analytics + extras queries register themselves on import.
 from . import analytics  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
