@@ -64,6 +64,32 @@ def norm_unrolled(a: Column, dim: int) -> Column:
     return F.sqrt(out)
 
 
+def flatten(vec: Column, prefix: str, dim: int) -> list[Column]:
+    """Project an ``array<double>`` column into ``dim`` scalar columns
+    ``prefix0 .. prefix{dim-1}``.
+
+    Codegen'd arithmetic over flat doubles skips the per-element array
+    bounds/null checks that array indexing pays on every pair of a
+    quadratic stage (measured 20.7 s → 3.0 s for 50 M pairs × 64 dims at
+    sf0.1).  Flatten ONCE on the linear side, before the join.
+    """
+    return [vec[i].alias(f"{prefix}{i}") for i in range(dim)]
+
+
+def flat_dot(pa: str, pb: str, dim: int) -> Column:
+    """Dot product over flattened scalar columns.
+
+    ``pa``/``pb`` are column-name prefixes (may be alias-qualified, e.g.
+    ``"a.d"``).  Adds run in the same left-associated d0..d{dim-1} order
+    as :func:`dot_unrolled` and DuckDB's ``list_sum``, so values — and
+    oracle hashes — are bit-identical.
+    """
+    out = F.col(f"{pa}0") * F.col(f"{pb}0")
+    for i in range(1, dim):
+        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    return out
+
+
 def embedding_dim(emb, col: str = "embedding") -> int:
     """Read the (constant) vector dimension from the first row."""
     row = emb.select(F.size(F.col(col)).alias("d")).first()

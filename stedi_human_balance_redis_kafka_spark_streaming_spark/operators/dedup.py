@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
-from ..functions.vectors import dot_unrolled, embedding_dim, norm_unrolled
+from ..functions.vectors import embedding_dim, flat_dot, flatten, norm_unrolled
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -342,24 +342,21 @@ def embedding_cosine_pairs(
     # 20.7 s → 3.0 s at sf0.1, 50 M pairs).  The adds run in the same
     # d0..d{dim-1} sequential order as the array fold, so values — and
     # the DuckDB oracle hash — are bit-identical.
+    v = F.col("embedding").cast("array<double>")
     e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    e = e.select(
         "vec_id",
-        norm_unrolled(F.col("v"), dim).alias("nrm"),
-        *[F.col("v")[i].alias(f"d{i}") for i in range(dim)],
+        norm_unrolled(v, dim).alias("nrm"),
+        *flatten(v, "d", dim),
     )
     # The source is typically a single parquet file → one input split; the
     # O(n²) nested-loop stage inherits that and runs on ONE core unless the
     # stream side is re-split (measured 70 s single-task vs seconds at 32).
     par = emb.sparkSession.sparkContext.defaultParallelism
     a, b = e.repartition(par).alias("a"), F.broadcast(e).alias("b")
-    dot = None
-    for i in range(dim):
-        term = F.col(f"a.d{i}") * F.col(f"b.d{i}")
-        dot = term if dot is None else dot + term
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), round_digits)
+    cos = F.round(
+        flat_dot("a.d", "b.d", dim) / (F.col("a.nrm") * F.col("b.nrm")),
+        round_digits,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -398,23 +395,26 @@ def embedding_bucketed_pairs(
     from .similarity import assign_nearest_centroid
 
     dim = embedding_dim(emb)
+    v = F.col("embedding").cast("array<double>")
+    # Flattened scalar columns before every scored stage (see
+    # embedding_cosine_pairs for the measured rationale).
     e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        norm_unrolled(v, dim).alias("nrm"),
+        *flatten(v, "d", dim),
     )
-    e = e.select("vec_id", "v", norm_unrolled(F.col("v"), dim).alias("nrm"))
     # Re-split: single-file sources arrive as one input partition.
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = e.repartition(par)
     cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
         F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
+        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
     )
     assigned = assign_nearest_centroid(e, cents, dim, round_digits)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
-        dot_unrolled(F.col("a.v"), F.col("b.v"), dim)
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        flat_dot("a.d", "b.d", dim) / (F.col("a.nrm") * F.col("b.nrm")),
         round_digits,
     )
     return (

@@ -14,9 +14,11 @@ Two paths:
   assignment is embarrassingly parallel, candidate sets are pruned before
   the expensive ranking).
 
-Hot-path arithmetic uses the unrolled fixed-dimension expressions from
-functions.vectors (codegen'd; interpreted higher-order folds are ~100×
-slower on the O(n·q) stage).  Norms are precomputed once per vector.
+Hot-path arithmetic: vectors are FLATTENED to scalar columns before any
+O(n·q) / O(n·|centroids|) stage (functions.vectors.flatten/flat_dot) —
+codegen'd flat-double arithmetic skips the per-element array bounds/null
+checks array indexing pays per scored pair, and interpreted higher-order
+folds are ~100× slower still.  Norms are precomputed once per vector.
 
 Determinism: all ranking uses (rounded cosine DESC, vec_id ASC) so ties
 break identically in Spark and the DuckDB oracle.
@@ -27,17 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot_unrolled, embedding_dim, norm_unrolled
+from ..functions.vectors import embedding_dim, flat_dot, flatten, norm_unrolled
 
 
-def _with_norm(emb: DataFrame, dim: int) -> DataFrame:
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return e.select("vec_id", "v", norm_unrolled(F.col("v"), dim).alias("nrm"))
-
-
-def _cos(a_vec, a_nrm, b_vec, b_nrm, dim: int, round_digits: int):
-    return F.round(
-        dot_unrolled(a_vec, b_vec, dim) / (a_nrm * b_nrm), round_digits
+def _flat(emb: DataFrame, id_col: str, prefix: str, dim: int) -> DataFrame:
+    """(id, nrm, prefix0..prefix{dim-1}) from an embedding table."""
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        F.col(id_col),
+        norm_unrolled(v, dim).alias("nrm"),
+        *flatten(v, prefix, dim),
     )
 
 
@@ -66,16 +67,15 @@ def brute_force_topk(
     # Re-split the scored side: a single-file source yields one input
     # split and the O(n·q) scoring stage would run on a single core.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    e = _with_norm(emb, dim).repartition(par)
+    e = _flat(emb, "vec_id", "d", dim).repartition(par)
     q = queries.select(
-        "query_id", "qv", norm_unrolled(F.col("qv"), dim).alias("qnrm")
-    )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
-        "vec_id",
-        _cos(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qnrm"), dim, round_digits).alias(
-            "cos_sim"
-        ),
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    cos = F.round(flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits)
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", cos.alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
@@ -86,7 +86,11 @@ def brute_force_topk(
 def assign_nearest_centroid(
     e: DataFrame, cents: DataFrame, dim: int, round_digits: int = 6
 ) -> DataFrame:
-    """Map every vector to its nearest centroid: (vec_id, v, nrm, cid).
+    """Map every vector to its nearest centroid.
+
+    ``e``: flattened corpus (vec_id, nrm, d0..).  ``cents``: flattened
+    centroids (cid, cnrm, c0..) — bounded by construction; broadcast.
+    Returns ``e``'s columns plus ``cid``.
 
     Partial-aggregable max_by: the broadcast crossJoin scores map-side,
     and the per-partition partial aggregate collapses the n×|centroids|
@@ -96,30 +100,21 @@ def assign_nearest_centroid(
     vec_id — a |centroids|× larger exchange.  Ordering struct
     (cos_c, -cid) == (cos DESC, cid ASC) for deterministic ties.
     """
+    carry = [c for c in e.columns if c != "vec_id"]
+    cos_c = F.round(
+        flat_dot("d", "c", dim) / (F.col("nrm") * F.col("cnrm")), round_digits
+    )
     return (
         e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            "cid",
-            _cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm"), dim, round_digits).alias(
-                "cos_c"
-            ),
-        )
+        .select("vec_id", *carry, "cid", cos_c.alias("cos_c"))
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct("cid", "v", "nrm"),
+                F.struct("cid", *carry),
                 F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid")),
             ).alias("best")
         )
-        .select(
-            "vec_id",
-            F.col("best.v").alias("v"),
-            F.col("best.nrm").alias("nrm"),
-            F.col("best.cid").alias("cid"),
-        )
+        .select("vec_id", *[F.col(f"best.{c}").alias(c) for c in ["cid", *carry]])
     )
 
 
@@ -141,46 +136,46 @@ def ivf_topk(
     within those buckets.  Output: (query_id, vec_id, cos_sim, rank).
     """
     dim = embedding_dim(emb)
-    e = _with_norm(emb, dim)
+    e = _flat(emb, "vec_id", "d", dim)
     cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
         F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
+        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
     )
 
     assigned = assign_nearest_centroid(e, cents, dim, round_digits)
 
     q = queries.select(
-        "query_id", "qv", norm_unrolled(F.col("qv"), dim).alias("qnrm")
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    cos_probe = F.round(
+        flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")), round_digits
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
     probes = (
         q.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
-            "qv",
             "qnrm",
+            *[f"q{i}" for i in range(dim)],
             "cid",
-            _cos(F.col("qv"), F.col("qnrm"), F.col("cv"), F.col("cnrm"), dim, round_digits).alias(
-                "cos_c"
-            ),
+            cos_probe.alias("cos_c"),
         )
         .withColumn("prank", F.row_number().over(w_probe))
         .filter(F.col("prank") <= nprobe)
-        .select("query_id", "qv", "qnrm", "cid")
+        .drop("cos_c", "prank")
     )
 
+    cos_sim = F.round(
+        flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
+    )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            _cos(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qnrm"), dim, round_digits).alias(
-                "cos_sim"
-            ),
-        )
+        .select("query_id", "vec_id", cos_sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
