@@ -416,3 +416,218 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_e6"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q4_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then priority counts.
+
+    Scale shape: the returnflag filter pushes into the lineitem scan;
+    the semi-join shuffles both sides on orderkey but emits each order
+    at most once (no fact-fact row blowup), and the 5-group aggregate
+    is fully partial-aggregable.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional (CASE) aggregation.
+
+    Integer CASE counts — no FP anywhere.  One shuffle for the orderkey
+    join (AQE may broadcast the filtered side at small SF), one tiny
+    3-group aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_REV_E6}) AS BIGINT) AS revenue_e6,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1  AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 20 AND 45
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions predicate mixing both join sides.
+
+    The part-only disjuncts (brand + size) prefilter the dim side before
+    the broadcast — the union-of-brands filter reaches the part scan, so
+    the build side is a few % of part regardless of scale; the mixed
+    residual predicate evaluates post-join inside the same codegen stage.
+    """
+    def _branch(brand, smin, smax, qmin, qmax, side):
+        if side == "p":
+            return (F.col("p_brand") == brand) & F.col("p_size").between(smin, smax)
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+
+    branches = [
+        ("Brand#3", 1, 15, 1, 20),
+        ("Brand#14", 10, 30, 10, 40),
+        ("Brand#22", 20, 45, 20, 50),
+    ]
+    p_pred = None
+    full_pred = None
+    for br in branches:
+        pp, fp = _branch(*br, "p"), _branch(*br, "f")
+        p_pred = pp if p_pred is None else p_pred | pp
+        full_pred = fp if full_pred is None else full_pred | fp
+
+    p = load_table(spark, sf_dir, "part").filter(p_pred)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(full_pred)
+        .agg(
+            F.sum(_rev_e6()).alias("revenue_e6"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# Exact-integer global-threshold comparisons (Q11/Q22 shapes): the scalar
+# "average" / "share of total" thresholds are never materialized as doubles
+# — membership tests multiply through by the count instead
+# (cents * n > total_cents), so there is no ULP boundary to disagree on.
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join.
+
+    Above-average-balance customers with no urgent orders, by nation.
+    The global average is a 1-row broadcast; the anti-join shuffles on
+    custkey (high-cardinality, uniform).  Exact-integer threshold per
+    the module FP policy.
+    """
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("bal_c").alias("tot"), F.count("*").alias("n")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cand = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_c") * F.col("n") > F.col("tot")
+    )
+    return (
+        cand.join(urgent, cand.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_cents"),
+        )
+    )
+
+
+@register(
+    "q11_supplier_concentration",
+    oracle="""
+    WITH t AS (
+      SELECT s_nationkey,
+             SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS value_cents
+      FROM supplier GROUP BY s_nationkey
+    ), g AS (SELECT SUM(value_cents) AS tot FROM t)
+    SELECT t.s_nationkey, t.value_cents
+    FROM t, g WHERE t.value_cents * 20 > g.tot
+    """,
+)
+def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar (>5% share).
+
+    Two passes over one tiny aggregate (25 groups): the total is a
+    1-row broadcast re-joined to the per-nation sums; share compare is
+    exact-integer (value_cents * 20 > tot).
+    """
+    s = load_table(spark, sf_dir, "supplier").withColumn(
+        "bal_c", F.round(F.col("s_acctbal") * 100).cast("long")
+    )
+    t = s.groupBy("s_nationkey").agg(F.sum("bal_c").alias("value_cents"))
+    g = t.agg(F.sum("value_cents").alias("tot"))
+    return (
+        t.crossJoin(F.broadcast(g))
+        .filter(F.col("value_cents") * 20 > F.col("tot"))
+        .select("s_nationkey", "value_cents")
+    )

@@ -77,6 +77,32 @@ def test_minhash_verify_not_hint_broadcast(spark):
     assert "broadcast" not in analyzed.lower()
 
 
+def test_q4_plans_semi_join(spark):
+    # EXISTS must compile to a semi join (each order emitted ≤ once —
+    # no fact-fact row blowup), never a join + distinct
+    plan = _plan(spark, "q4_priority_semi")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_plans_anti_join(spark):
+    # NOT EXISTS must compile to an anti join
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_part_filter_pushed_and_broadcast(spark):
+    # the union-of-brands disjunct must reach the part scan, and the
+    # prefiltered dim side must broadcast
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    pushed_lines = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
+    assert any("p_brand" in ln for ln in pushed_lines)
+    # Catalyst also extracts the l_quantity disjunction into the fact scan
+    assert any("l_quantity" in ln for ln in pushed_lines)
+
+
 def test_narrow_maps_are_shuffle_free(spark):
     # text_stats is a pure narrow map — scan → project, no exchange
     plan = _plan(spark, "text_stats")
