@@ -161,3 +161,43 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_modulus: int = 97,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any n-gram
+    shingle with a held-out benchmark set.
+
+    The standard pretraining hygiene step — eval-set n-grams must not
+    leak into training data.  Here the "benchmark" is the deterministic
+    doc_id % ``bench_modulus`` == 0 subset (stands in for an external
+    eval set; the operator only sees two row sets).  Output:
+    (doc_id, n_hits) — training docs with ≥1 overlapping shingle and
+    the count of distinct shared shingles.
+
+    Scale shape: shingling is the same codegen'd posexplode+lead chain
+    dedup uses; the overlap join shuffles on the shingle term.  A real
+    eval set is bounded (~10⁴-10⁶ n-grams) so AQE broadcasts it; no
+    hint, because THIS stand-in benchmark scales with the corpus and
+    hint-broadcasting it would violate the broadcast policy
+    (SCALING.md).  Production would hash terms to fixed-width before
+    the shuffle; raw terms keep the oracle trivially exact.
+    """
+    from .dedup import _exploded_terms
+
+    sh = _exploded_terms(docs, shingle_n, text_col)
+    bench = (
+        sh.filter(F.col("doc_id") % bench_modulus == 0)
+        .select("term")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % bench_modulus != 0)
+    return (
+        train.join(bench, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -111,6 +111,45 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — corpus-statistics ranking.
+
+    FP-free scoring per the engine's determinism policy: instead of
+    ``tf * ln(N/df)`` (a transcendental whose last ULP engines may
+    disagree on), the idf factor is the exact integer
+    ``(1_000_000 * N) div df`` — monotone in df, so rankings match the
+    float formulation for any fixed tf, and bit-identical across
+    engines.  Ties break (score DESC, term ASC).
+
+    Output: (doc_id, term, tf, df, tfidf_e6, rank), rank 1..k.
+
+    Scale shape: tf groupBy shuffles on (doc_id, term); df is a
+    partial-aggregable rollup of tf; the tf⨝df join shuffles on term
+    (vocabulary-sized — AQE broadcasts it when small); the top-k window
+    shuffles ranked rows on doc_id.  N is a 1-row broadcast, never a
+    driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_e6", F.col("tf") * F.expr("(1000000 * n_docs) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_e6"), F.asc("term"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf_e6", "rank")
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -761,6 +761,55 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_tfidf_top_terms",
+    # Integer idf surrogate (1e6*N div df) on both sides — exact integer
+    # division, no transcendental ln to disagree on (operators/text.py
+    # docstring).
+    oracle=f"""
+    WITH e AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY doc_id, term),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT doc_id, term, tf, df, tf * ((1000000 * n_docs) // df) AS tfidf_e6
+      FROM tf JOIN dfx USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_e6 DESC, term ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, tfidf_e6, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (corpus-statistics ranking)."""
+    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), b AS (SELECT DISTINCT term FROM sh WHERE doc_id % 97 = 0),
+    t AS (SELECT doc_id, term FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM t JOIN b USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥1 trigram
+    shingle with the deterministic doc_id%97 benchmark subset."""
+    return curation.decontaminate(
+        load_table(spark, sf_dir, "documents"), bench_modulus=97, shingle_n=3
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (SURVEY.md §2.6): binary columns + typed metadata
 # --------------------------------------------------------------------------

@@ -245,3 +245,43 @@ def test_pack_sequences_chunk_layout(spark):
         for r in curation.pack_sequences(df, budget=8).collect()
     }
     assert got == {0: (4, 0), 1: (4, 0), 2: (4, 1), 3: (4, 1), 4: (4, 2)}
+
+
+def test_tfidf_top_terms_ranking_and_ties(spark):
+    # 3 docs; "rare" appears twice in doc 0 only (tf=2, df=1 → top);
+    # "the" is in every doc (df=3 → idf floor(1e6*3/3)=1e6, low score).
+    df = spark.createDataFrame(
+        [
+            (0, "rare rare the cat"),
+            (1, "the cat sat"),
+            (2, "the dog sat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r.rank)[0]
+    assert top0.term == "rare" and top0.tf == 2 and top0.df == 1
+    # idf surrogate is exact integer division: (1e6 * 3) div 1 = 3e6
+    assert top0.tfidf_e6 == 2 * 3_000_000
+    # ties (equal tf, df) break lexicographically by term
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.rank for r in d1] == [1, 2]
+    assert d1[0].term < d1[1].term or d1[0].tfidf_e6 > d1[1].tfidf_e6
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    # doc 0 is the "benchmark" (0 % 97 == 0); doc 1 shares its trigram,
+    # doc 2 shares nothing.  Benchmark docs never appear in the output.
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n_hits for r in curation.decontaminate(df).collect()}
+    assert rows == {1: 1}  # only "alpha beta gamma" is shared
