@@ -151,3 +151,67 @@ def byte_features_long(blobs: DataFrame) -> DataFrame:
         .repartition(par)
         .mapInPandas(_extract, FEATURE_LONG_SCHEMA)
     )
+
+
+FRAME_BYTES = 100
+SAMPLE_K = 4
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_sig string"
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """Deterministic frame sampling — the video-modality fan-out shape.
+
+    Treats each blob as a fake video of ``n_frames = n_bytes div
+    FRAME_BYTES + 1`` fixed-size frames and emits ``SAMPLE_K`` evenly
+    spaced frames per doc (``idx_j = j·n_frames div k``, duplicates
+    collapsed for short docs) — the standard "sample k frames per clip"
+    pretraining step.  ``frame_sig`` is the hex of the frame's first 16
+    bytes; a real pipeline would hand the frame bytes to a codec/encoder
+    exactly where the slice happens.  Output: (doc_id, frame_idx,
+    frame_off, frame_sig), one row per sampled frame.
+
+    Scale shape: mapInPandas (Arrow-batched) with k-row fan-out per doc
+    — index math is numpy over the whole batch; only the k tiny
+    per-frame slices touch Python objects (unlike the per-byte
+    histogram, this is O(k) per doc).  Exactly reproducible in SQL from
+    hex(blob), so the driver gets a full value-hash oracle.
+    """
+
+    def _sample(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            m = len(pdf)
+            blobs_col = pdf["blob"]
+            lens = np.fromiter((len(b) for b in blobs_col), dtype="int64", count=m)
+            n_frames = lens // FRAME_BYTES + 1
+            idx = (
+                np.arange(SAMPLE_K, dtype="int64")[None, :] * n_frames[:, None]
+            ) // SAMPLE_K
+            doc_rep = np.repeat(np.arange(m), SAMPLE_K)
+            flat_idx = idx.ravel()
+            off = flat_idx * FRAME_BYTES
+            sig = [
+                bytes(blobs_col.iloc[d])[o : o + 16].hex()
+                for d, o in zip(doc_rep, off)
+            ]
+            yield (
+                pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy()[doc_rep],
+                        "frame_idx": flat_idx,
+                        "frame_off": off,
+                        "frame_sig": sig,
+                    }
+                ).drop_duplicates(["doc_id", "frame_idx"])
+            )
+
+    par = blobs.sparkSession.sparkContext.defaultParallelism
+    return (
+        blobs.select("doc_id", "blob")
+        .repartition(par)
+        .mapInPandas(_sample, FRAME_SCHEMA)
+    )

@@ -868,6 +868,37 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features_long(blobs)
 
 
+@register(
+    "multimodal_frame_sample",
+    # Evenly spaced fake-frame sampling is pure integer math over byte
+    # lengths, and the 16-byte frame signature is a substring of the
+    # blob's hex — both exactly reproducible in SQL.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), f AS (
+      SELECT doc_id, hx, (n_bytes // 100) + 1 AS n_frames FROM h
+    ), idx AS (
+      SELECT doc_id, hx,
+             unnest(list_distinct([(j * n_frames) // 4
+                                   for j in generate_series(0, 3)])) AS frame_idx
+      FROM f
+    )
+    SELECT doc_id, frame_idx, frame_idx * 100 AS frame_off,
+           lower(substr(hx, CAST(frame_idx * 200 + 1 AS INT), 32)) AS frame_sig
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality fan-out: 4 evenly spaced fake frames per blob via
+    Arrow-batched mapInPandas (see operators/multimodal.py)."""
+    blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(blobs)
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline: dedup → quality filter → sample → pack
 # --------------------------------------------------------------------------

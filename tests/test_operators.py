@@ -285,3 +285,25 @@ def test_decontaminate_flags_overlap_only(spark):
     )
     rows = {r.doc_id: r.n_hits for r in curation.decontaminate(df).collect()}
     assert rows == {1: 1}  # only "alpha beta gamma" is shared
+
+
+def test_sample_frames_fanout_and_short_doc_collapse(spark):
+    # 250-byte doc → 3 frames, indices {0*3//4, 1*3//4, 2*3//4, 3*3//4}
+    # = {0, 0, 1, 2} → 3 distinct frames; 5-byte doc → 1 frame → all
+    # indices collapse to 0.
+    long_text = "x" * 250
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "tiny!")], "doc_id long, text string"
+    )
+    out = multimodal.sample_frames(multimodal.attach_binary(df)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 1, 2]
+    assert [r.frame_idx for r in by_doc[2]] == [0]
+    sig0 = next(r for r in by_doc[1] if r.frame_idx == 0)
+    assert sig0.frame_off == 0
+    assert sig0.frame_sig == long_text.encode()[:16].hex()
+    frame2 = next(r for r in by_doc[1] if r.frame_idx == 2)
+    # frame 2 starts at byte 200; only 50 bytes remain → truncated slice
+    assert frame2.frame_sig == long_text.encode()[200:216].hex()
