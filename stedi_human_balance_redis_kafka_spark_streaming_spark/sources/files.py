@@ -54,3 +54,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-form operators work."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_curated(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    order_col: str = "doc_id",
+) -> None:
+    """Write a curated corpus as hive-partitioned Parquet — the batch
+    output contract of the curation pipeline.
+
+    Layout: one directory per partition value (``lang=en/...``) so
+    downstream readers get partition pruning for free; rows are
+    clustered by partition key before the write (one file per partition
+    per task instead of task×partition fragments) and sorted by
+    ``order_col`` within files, which keeps doc ranges disjoint across
+    row groups — min/max stats stay selective for id-range scans.
+
+    Scale: the clustering repartition is the only shuffle; file count =
+    #partitions × shuffle parallelism of their slice.  At 100 TB add a
+    finer shard key to ``partition_by`` (e.g. crawl snapshot) before
+    the token-count column cardinality explodes the directory tree.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

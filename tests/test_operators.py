@@ -307,3 +307,67 @@ def test_sample_frames_fanout_and_short_doc_collapse(spark):
     frame2 = next(r for r in by_doc[1] if r.frame_idx == 2)
     # frame 2 starts at byte 200; only 50 bytes remain → truncated slice
     assert frame2.frame_sig == long_text.encode()[200:216].hex()
+
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 1000 rows all sharing one hot key + a uniform tail; salted result
+    # must be row-identical to the plain join.
+    skewed = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(1000)] + [(k, f"t{k}") for k in range(2, 12)],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 12)], "k long, attr string"
+    )
+    plain = {tuple(r) for r in skewed.join(dim, ["k"]).collect()}
+    salted = {tuple(r) for r in salted_join(skewed, dim, on=["k"], salt=4).collect()}
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    skewed = spark.createDataFrame(
+        [(1, "a"), (99, "orphan")], "k long, payload string"
+    )
+    dim = spark.createDataFrame([(1, "d1")], "k long, attr string")
+    rows = {
+        (r.k, r.payload, r.attr)
+        for r in salted_join(skewed, dim, on=["k"], salt=4, how="left").collect()
+    }
+    assert rows == {(1, "a", "d1"), (99, "orphan", None)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # the per-row salt must actually scatter a hot key across buckets
+    skewed = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(64)], "k long, payload string"
+    )
+    salts = (
+        skewed.select(
+            F.pmod(F.xxhash64("payload"), F.lit(4)).cast("int").alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_write_curated_partitioned_roundtrip(spark, tmp_path):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import write_curated
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"doc {i}") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "curated")
+    write_curated(df, out)
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == {"lang=en", "lang=de"}
+    back = spark.read.parquet(out)
+    assert {tuple(r) for r in back.select("doc_id", "lang", "text").collect()} == {
+        tuple(r) for r in df.collect()
+    }
