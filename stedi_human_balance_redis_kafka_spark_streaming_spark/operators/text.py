@@ -33,13 +33,17 @@ def _count_in(arr, wordlist: tuple[str, ...]):
     return F.size(F.filter(arr, lambda t: t.isin(*wordlist)))
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame, text_col: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality statistics.
 
-    Output: (doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
-    quality_score).  quality_score is a deterministic [0,1] blend of
-    length, lexical diversity and stopword load — the usual cheap
-    pre-filter before expensive dedup/scoring stages.
+    Output: (doc_id, *carry, n_chars, n_tokens, avg_token_len,
+    stopword_ratio, quality_score).  quality_score is a deterministic
+    [0,1] blend of length, lexical diversity and stopword load — the
+    usual cheap pre-filter before expensive dedup/scoring stages.
+    ``carry`` passes grouping columns through the (narrow, shuffle-free)
+    map so downstream rollups don't need a join back to the corpus.
     """
     t = tokens(text_col)
     n_tokens = F.size(t)
@@ -57,6 +61,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *carry,
         n_chars.alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(avg_token_len, 6).alias("avg_token_len"),
@@ -108,6 +113,40 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         pred.alias("lang_pred"),
         best_hits.cast("long").alias("lang_hits"),
+    )
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus health rollup — the curation dashboard.
+
+    Output: (lang, source, n_docs, n_unique_texts, sum_tokens,
+    avg_quality_e6) where avg_quality_e6 is the mean quality score in
+    exact 1e-6 units (per-row quantized, integer-summed — the FP policy;
+    quality_score is already rounded to 6dp so the quantization is
+    lossless) and n_unique_texts counts distinct content digests (the
+    dup-rate signal).
+
+    Scale shape: the stats map is narrow; one partial-aggregable shuffle
+    on (lang, source) for the sums plus the distinct-digest count
+    (Spark rewrites count(distinct) as a two-phase expand — still keyed
+    by the group, no corpus-wide collect).
+    """
+    s = text_stats(docs, text_col, carry=("lang", "source", text_col))
+    q_e6 = F.round(F.col("quality_score") * 1_000_000).cast("long")
+    return (
+        s.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col).cast("binary"))).alias(
+                "n_unique_texts"
+            ),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(q_e6).alias("_sum_q"),
+        )
+        # integer division, not a double cast: Spark's double→long cast
+        # truncates while DuckDB's rounds — div sidesteps both
+        .withColumn("avg_quality_e6", F.expr("_sum_q div n_docs"))
+        .drop("_sum_q")
     )
 
 

@@ -762,6 +762,36 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_report",
+    # Same quality blend as text_stats, rolled up per (lang, source) in
+    # exact integer units; avg via integer division (// == Spark div).
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, source, text, {_SQL_TOKENS} AS t FROM documents
+    ), q AS (
+      SELECT lang, source, text,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(round(round(least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
+               + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+               + (1.0 - CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t)) * 0.3,
+               6) * 1000000) AS BIGINT) AS q_e6
+      FROM s
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           SUM(n_tokens) AS sum_tokens,
+           SUM(q_e6) // COUNT(*) AS avg_quality_e6
+    FROM q GROUP BY lang, source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus health rollup: doc counts, dup signal,
+    token volume, mean quality in exact 1e-6 units."""
+    return text_ops.corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_tfidf_top_terms",
     # Integer idf surrogate (1e6*N div df) on both sides — exact integer
     # division, no transcendental ln to disagree on (operators/text.py
