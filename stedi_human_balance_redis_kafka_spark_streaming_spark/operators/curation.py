@@ -138,6 +138,18 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    # Convergence probe: Σ label is strictly decreasing until the fixpoint
+    # (labels only ever drop to a smaller reachable id), so one cheap
+    # column aggregate replaces a per-round shuffle join + count.
+    # decimal(38,0) keeps the sum exact far beyond int64 (10¹⁰ nodes ×
+    # 10¹⁰ max id ≈ 10²⁰ ≪ 10³⁸).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["u"] == labels["node"]).select(
             F.col("v").alias("node"), F.col("label")
@@ -148,15 +160,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
