@@ -1,0 +1,89 @@
+"""Property-based invariants (hypothesis) for the determinism-critical
+operators.  Few examples per property — each example runs Spark jobs —
+but randomized inputs catch edge shapes the fixed fixtures miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+    sample_by_hash,
+)
+from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.skew import (
+    salted_join,
+)
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=30),
+    salt=st.integers(min_value=2, max_value=8),
+)
+def test_salted_join_always_matches_plain(spark, keys, salt):
+    skewed = spark.createDataFrame(
+        [(k, f"p{i}") for i, k in enumerate(keys)], "k long, payload string"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 8)], "k long, attr string"
+    )
+    plain = sorted(tuple(r) for r in skewed.join(dim, ["k"]).collect())
+    salted = sorted(
+        tuple(r) for r in salted_join(skewed, dim, on=["k"], salt=salt).collect()
+    )
+    assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_sample_by_hash_invariant_to_partitioning(spark, ids, parts):
+    # membership is a pure function of (salt, id): re-partitioning the
+    # input must never change the sample
+    df = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    rates = {"en": 0.5}
+    base = {r.doc_id for r in sample_by_hash(df, rates).collect()}
+    shuffled = {
+        r.doc_id for r in sample_by_hash(df.repartition(parts), rates).collect()
+    }
+    assert base == shuffled
+    # and it is a true subset filter
+    assert base <= set(ids)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dedup_exact_partitions_preserve_multiplicity(spark, texts):
+    # n_dups across digests must sum to the corpus size, and each digest
+    # keeps its minimum doc_id as representative
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dedup_exact(df).collect()
+    assert sum(r.n_dups for r in rows) == len(texts)
+    firsts = {}
+    for i, t in enumerate(texts):
+        firsts.setdefault(t, i)
+    assert sorted(r.doc_id for r in rows) == sorted(firsts.values())
