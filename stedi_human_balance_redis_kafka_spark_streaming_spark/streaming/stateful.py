@@ -121,6 +121,39 @@ def windowed_risk_by_birth_year(
     )
 
 
+def windowed_source_quality(
+    docs: DataFrame,
+    *,
+    time_col: str = "ingest_time",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming curation monitor — the streaming dual of
+    ``text.corpus_report``: per (event-time window, source) doc count,
+    token volume, and exact-integer quality sum over an ingest stream.
+
+    Emits SUMS, not averages: exact int64 sums merge associatively
+    across late-arriving updates (update output mode), and the consumer
+    derives ``avg = sum_quality_e6 div n_docs`` once — same FP policy as
+    batch.  The per-doc stats map is narrow (streaming-safe, no state);
+    only the windowed aggregate is stateful, with the watermark bounding
+    it to ``watermark_delay`` of history per source.
+    """
+    from ..operators.text import text_stats
+
+    s = text_stats(docs, carry=("source", time_col))
+    q_e6 = F.round(F.col("quality_score") * 1_000_000).cast("long")
+    return (
+        s.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(time_col, window_duration), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(q_e6).alias("sum_quality_e6"),
+        )
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

@@ -409,3 +409,43 @@ def test_join_then_windowed_agg_composition(spark, tmp_path):
         (r.birthYear, r.n_scores, r.avg_score) for r in out.collect()
     }
     assert got == {("1980", 1, 5.0), ("1985", 1, 7.0)}
+
+
+def test_windowed_source_quality_matches_batch(spark, tmp_path):
+    # Streaming dual of the corpus report: stream documents with event
+    # times across two windows; the windowed sums must equal the batch
+    # aggregation of the same finite input.
+    docs = [
+        (i, f"doc text number {i} with some tokens", src, f"2024-01-01 0{h}:15:00")
+        for i, (src, h) in enumerate(
+            [("web", 0), ("web", 0), ("wiki", 0), ("web", 1), ("wiki", 1), ("wiki", 1)]
+        )
+    ]
+    schema = "doc_id long, text string, source string, ts string"
+    batch_df = (
+        spark.createDataFrame(docs, schema)
+        .withColumn("ingest_time", F.col("ts").cast("timestamp"))
+        .drop("ts")
+    )
+    path = str(tmp_path / "docs_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_source_quality(sdf),
+        f"srcq_{uuid.uuid4().hex[:8]}",
+        # update mode: append would withhold every window until the
+        # watermark passes its end, which never happens on a finite source
+        output_mode="update",
+    )
+    got = {
+        (r.window.start.isoformat(), r.source): (r.n_docs, r.sum_tokens, r.sum_quality_e6)
+        for r in out.collect()
+    }
+    expected = {
+        (r.window.start.isoformat(), r.source): (r.n_docs, r.sum_tokens, r.sum_quality_e6)
+        for r in stateful.windowed_source_quality(batch_df).collect()
+    }
+    assert got == expected
+    assert len(expected) == 4  # 2 windows × 2 sources
