@@ -215,3 +215,68 @@ def sample_frames(blobs: DataFrame) -> DataFrame:
         .repartition(par)
         .mapInPandas(_sample, FRAME_SCHEMA)
     )
+
+
+GRID_W = 16
+OUT_W = OUT_H = 4
+
+RESIZE_SCHEMA = "doc_id long, n_bytes long, grid_h long, resized_hex string"
+
+
+def resize_fake(blobs: DataFrame) -> DataFrame:
+    """Deterministic fake image resize — the image-modality plumbing.
+
+    Interprets each blob as a ``GRID_W``-wide byte grid (height =
+    ceil(n_bytes / GRID_W)) and nearest-neighbor downsamples it to
+    ``OUT_H×OUT_W``: output pixel (r, c) reads the byte at row
+    ``r·H div OUT_H``, column ``c·GRID_W div OUT_W`` (clamped to the
+    last byte for the ragged final row).  A real pipeline would call the
+    codec + PIL/opencv exactly here (see :func:`decode_media`);
+    the index arithmetic, Arrow batching, and schema contract are what
+    this exercises.  Output: (doc_id, n_bytes, grid_h, resized_hex) —
+    the 16 sampled bytes hex-concatenated, SQL-reproducible from
+    hex(blob).  Empty blobs emit no row (nothing to sample).
+    """
+
+    def _resize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rr = np.arange(OUT_H).repeat(OUT_W)  # 0 0 0 0 1 1 1 1 ...
+        cc = np.tile(np.arange(OUT_W), OUT_H)
+        col_off = (cc * GRID_W) // OUT_W  # constant per output col
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            keep = [
+                (int(pdf["doc_id"].iloc[i]), bytes(pdf["blob"].iloc[i]))
+                for i in range(len(pdf))
+                if len(pdf["blob"].iloc[i]) > 0
+            ]
+            if not keep:
+                continue
+            ids = np.array([k[0] for k in keep], dtype="int64")
+            lens = np.array([len(k[1]) for k in keep], dtype="int64")
+            h = -(-lens // GRID_W)  # ceil
+            # m×16 sample offsets, clamped to the blob's last byte
+            off = ((rr[None, :] * h[:, None]) // OUT_H) * GRID_W + col_off[None, :]
+            off = np.minimum(off, (lens - 1)[:, None])
+            sigs = [
+                bytes(blob[o] for o in off[i]).hex()
+                for i, (_, blob) in enumerate(keep)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": lens,
+                    "grid_h": h,
+                    "resized_hex": sigs,
+                }
+            )
+
+    par = blobs.sparkSession.sparkContext.defaultParallelism
+    return (
+        blobs.select("doc_id", "blob")
+        .repartition(par)
+        .mapInPandas(_resize, RESIZE_SCHEMA)
+    )

@@ -899,6 +899,39 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    # Nearest-neighbor index math over the byte grid, mirrored from
+    # hex(blob): output pixel (r,c) reads byte (r*H div 4)*16 + (c*16
+    # div 4), clamped — pure integer ops, bit-exact both engines.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ), g AS (
+      SELECT doc_id, hx, n_bytes, (n_bytes + 15) // 16 AS grid_h FROM h
+    )
+    SELECT doc_id, n_bytes, grid_h,
+           lower(array_to_string(
+             [substr(hx,
+                     CAST(2 * least(((i // 4) * grid_h) // 4 * 16
+                                    + ((i % 4) * 16) // 4,
+                                    n_bytes - 1) + 1 AS INT),
+                     2)
+              for i in generate_series(0, 15)], '')) AS resized_hex
+    FROM g
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality plumbing: deterministic nearest-neighbor fake
+    resize of the byte grid via Arrow-batched mapInPandas."""
+    blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_fake(blobs)
+
+
+@register(
     "multimodal_frame_sample",
     # Evenly spaced fake-frame sampling is pure integer math over byte
     # lengths, and the 16-byte frame signature is a substring of the

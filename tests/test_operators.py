@@ -371,3 +371,21 @@ def test_write_curated_partitioned_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in back.select("doc_id", "lang", "text").collect()} == {
         tuple(r) for r in df.collect()
     }
+
+
+def test_resize_fake_grid_sampling(spark):
+    # 32 bytes → 2 grid rows; output row index r maps to grid row
+    # r*2 div 4 = {0,0,0,0... r<2} ∪ {1 for r>=2}; cols sample 0,4,8,12.
+    data = bytes(range(32))
+    df = spark.createDataFrame([(1, data), (2, b""), (3, b"Q")],
+                               "doc_id long, blob binary")
+    rows = {r.doc_id: r for r in multimodal.resize_fake(df).collect()}
+    assert 2 not in rows  # empty blob emits nothing
+    r1 = rows[1]
+    assert (r1.n_bytes, r1.grid_h) == (32, 2)
+    expect = bytes(
+        [0, 4, 8, 12] * 2 + [16, 20, 24, 28] * 2
+    ).hex()
+    assert r1.resized_hex == expect
+    # single byte: every sample clamps to offset 0
+    assert rows[3].resized_hex == (b"Q" * 16).hex()
