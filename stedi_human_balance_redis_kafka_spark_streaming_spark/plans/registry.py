@@ -662,6 +662,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, q, k=10, centroid_modulus=50, nprobe=2)
 
 
+_SQL_BF_TOPK = f"""
+    WITH e AS ({{emb}}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    p AS (
+      SELECT q.query_id, e.vec_id, {{cos_eq}} AS cos_sim
+      FROM e JOIN q ON e.vec_id != q.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM p
+    )
+    SELECT query_id, vec_id FROM r WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    # Index-quality metric: per-query overlap between the IVF answer and
+    # the exact brute-force top-10 — the standard recall@k eval.  Both
+    # result sets are recomputed from their existing oracle fragments
+    # and intersected on (query_id, vec_id); counts are exact ints.
+    oracle=f"""
+    WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))}),
+    ivf AS (
+      WITH e AS ({_SQL_EMB}),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+      assign AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC
+                 ) AS arank
+          FROM e CROSS JOIN c
+        ) WHERE arank = 1
+      ), probes AS (
+        SELECT query_id, qv, cid FROM (
+          SELECT q.query_id, q.qv, c.cid,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC, c.cid ASC
+                 ) AS prank
+          FROM q CROSS JOIN c
+        ) WHERE prank <= 2
+      ), p AS (
+        SELECT probes.query_id, assign.vec_id,
+               {_SQL_COS.format(a="assign.v", b="probes.qv")} AS cos_sim
+        FROM assign JOIN probes ON assign.cid = probes.cid
+        WHERE assign.vec_id != probes.query_id
+      ), r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM p
+      )
+      SELECT query_id, vec_id FROM r WHERE rank <= 10
+    )
+    SELECT bf.query_id, COUNT(*) AS n_overlap, 10 AS k
+    FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF index vs the exact brute-force answer, per
+    query — the eval harness an ANN index ships with.  Queries with zero
+    overlap drop out (inner join) on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, 100)
+    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    ivf = similarity.ivf_topk(emb, q, k=10, centroid_modulus=50, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    return (
+        bf.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"), F.lit(10).cast("int").alias("k"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (SURVEY.md §2.6) over the documents table
 # --------------------------------------------------------------------------
