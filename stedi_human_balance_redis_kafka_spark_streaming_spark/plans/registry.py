@@ -484,6 +484,72 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_lsh_recall",
+    # Dedup-index eval: MinHash-LSH's found pairs vs the exact trigram-
+    # Jaccard truth at the same threshold/shingling.  NOTE the two
+    # methods are not configured identically (the exact path prunes
+    # stop-shingles > freq cap; LSH hashes all shingles), so this also
+    # measures that configured gap — n_exact/n_lsh/n_overlap as one row
+    # of exact ints.
+    oracle=f"""
+    WITH {_SQL_NGRAM_PAIR_CTES},
+    lsh AS (
+      WITH sh2 AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, len(t) - 2)]) AS shingles
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) >= 3
+      ), e2 AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh2
+      ), mh AS (
+        SELECT doc_id, {_sql_minhash_mins(_MINHASH_N)} FROM e2 GROUP BY doc_id
+      ), bandk AS (
+        SELECT doc_id, unnest([{_sql_band_keys(_MINHASH_BANDS, _MINHASH_R)}]) AS bkey
+        FROM mh
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandk a JOIN bandk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh2 sa ON cand.doc_a = sa.doc_id
+        JOIN sh2 sb ON cand.doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.7
+    )
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           (SELECT COUNT(*) FROM pairs p JOIN lsh l
+             ON p.doc_a = l.doc_a AND p.doc_b = l.doc_b) AS n_overlap
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index eval: pair counts for exact trigram-Jaccard truth,
+    MinHash-LSH found pairs, and their overlap — one exact-int row."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.7, n=3, max_shingle_freq=_MAX_SHINGLE_FREQ
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs(
+        docs,
+        threshold=0.7,
+        shingle_n=3,
+        num_hashes=_MINHASH_N,
+        num_bands=_MINHASH_BANDS,
+    ).select("doc_a", "doc_b")
+    overlap = exact.join(lsh, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data curation (sampling / packing / duplicate clusters)
 # --------------------------------------------------------------------------
