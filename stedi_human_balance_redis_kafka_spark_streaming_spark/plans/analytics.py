@@ -631,3 +631,55 @@ def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_cents") * 20 > F.col("tot"))
         .select("s_nationkey", "value_cents")
     )
+
+
+@register(
+    "events_session_window",
+    # Native session_window semantics: sessions are [ts, last_ts + gap)
+    # intervals merged while they OVERLAP — an event exactly gap after
+    # the previous one starts a NEW session (strict <), so the lag-idiom
+    # oracle uses >= gap as the session break (user_sessionization's
+    # plain-gap idiom uses > and would disagree on exact-gap ties).
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats via Spark's native session_window (the third
+    window type; in streaming it is its own stateful operator — the
+    streaming form is streaming/stateful.py:streaming_user_sessions).
+
+    Scale shape: one shuffle on the grouping key; session merging is
+    per-key and incremental.  Edge times in exact epoch-micros so the
+    oracle's lag/cumsum formulation compares without timestamp-cast
+    drift.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -154,6 +154,37 @@ def windowed_source_quality(
     )
 
 
+def streaming_user_sessions(
+    events: DataFrame,
+    *,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the native session_window operator —
+    its own stateful operator in Structured Streaming (not a tumbling
+    window): per-key sessions merge while their [ts, last+gap) intervals
+    overlap, and a session is EMITTED (append mode) once the watermark
+    passes its end, closing it.
+
+    State per key = open sessions within the watermark horizon.  Output:
+    (user_id, session_start_us, session_end_us, n_events) — identical
+    columns to the batch dual (plans/analytics.py:events_session_window),
+    which streaming tests compare against on closed sessions.
+    """
+    return (
+        events.withWatermark(time_col, watermark_delay)
+        .groupBy(F.session_window(time_col, gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

@@ -449,3 +449,42 @@ def test_windowed_source_quality_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) == 4  # 2 windows × 2 sources
+
+
+def test_streaming_session_window_closes_and_matches_batch(spark, tmp_path):
+    """Native session_window streaming: two sessions for user 1 (gap
+    > 30 min between event 2 and 3); a later watermark-advancer batch
+    closes them, and the emitted (append-mode) sessions must equal the
+    batch dual's rows for that user."""
+    EV_SCHEMA = "event_id long, ts timestamp, user_id long"
+    ev = [
+        (1, _ts("2024-01-01T10:00:00"), 1),
+        (2, _ts("2024-01-01T10:20:00"), 1),  # merges: 20 min < 30 min gap
+        (3, _ts("2024-01-01T11:30:00"), 1),  # 70 min later → new session
+    ]
+    advancer = [(99, _ts("2024-01-02T12:00:00"), 7)]  # pushes watermark past both
+    ev_dir = _write_ordered_files(spark, tmp_path, "sess", EV_SCHEMA, [ev, advancer])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_user_sessions(sdf),
+        f"sess_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in out.filter("user_id = 1").collect()
+    )
+    batch_df = spark.createDataFrame(ev + advancer, EV_SCHEMA)
+    expected = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in stateful.streaming_user_sessions(batch_df)
+        .filter("user_id = 1")
+        .collect()
+    )
+    assert got == expected
+    assert len(got) == 2  # the 70-min gap split the sessions
