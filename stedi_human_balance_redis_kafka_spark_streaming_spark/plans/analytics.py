@@ -683,3 +683,47 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_cube",
+    # Subtotal rows carry NULL grouping keys, which value-hash
+    # canonicalizers choke on — coalesce to sentinels on both sides
+    # (the source columns are non-null, so no ambiguity).
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all four grouping sets of (event_type,
+    user_bucket) in one pass (completes grouping-sets coverage next to
+    orders_rollup's ROLLUP).
+
+    Scale shape: Spark expands the cube with an Expand node feeding ONE
+    partial-aggregable shuffle — grouping-set count multiplies rows
+    map-side, not shuffles.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    return (
+        e.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_e4").alias("sum_value_e4"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "n_events",
+            "sum_value_e4",
+        )
+    )

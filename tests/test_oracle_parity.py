@@ -55,7 +55,10 @@ def _normalize(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_normalize(r[i]) for i in order) for r in rows)
+    normed = [tuple(_normalize(r[i]) for i in order) for r in rows]
+    # None-safe sort key (NULL grouping keys from ROLLUP/CUBE subtotals
+    # are not comparable to str/int); equality compares the raw values.
+    return sorted(normed, key=lambda t: tuple((x is None, x or 0 if not isinstance(x, str) else x) for x in t))
 
 
 QUERY_NAMES = sorted(entry_mod.oracle_sql().keys())

@@ -87,3 +87,31 @@ def test_dedup_exact_partitions_preserve_multiplicity(spark, texts):
     for i, t in enumerate(texts):
         firsts.setdefault(t, i)
     assert sorted(r.doc_id for r in rows) == sorted(firsts.values())
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_identical_docs_always_become_lsh_pair(spark, words):
+    # identical texts have identical MinHash signatures → identical band
+    # keys → must surface as a candidate pair and verify at jaccard 1.0,
+    # regardless of content
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(0, text), (1, text), (2, "completely different content here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.7).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
