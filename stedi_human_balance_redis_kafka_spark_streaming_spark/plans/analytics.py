@@ -727,3 +727,53 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_e4",
         )
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    # Per-group average threshold in the exact-int domain:
+    # qty < 0.2·avg(qty)  ⇔  5·qty·cnt < sum_qty  — no double avg to
+    # disagree on (module FP policy).
+    oracle=f"""
+    WITH lp AS (
+      SELECT l.l_quantity, l.l_extendedprice, p.p_partkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#5'
+    ), a AS (
+      SELECT p_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lp GROUP BY p_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           COUNT(*) AS n_lines
+    FROM lp JOIN a USING (p_partkey)
+    WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group (part) average as a correlated
+    threshold — fact rows below 20% of their own part's mean quantity.
+
+    Scale shape: the brand filter broadcasts into the fact join FIRST,
+    so the per-part aggregate runs over only that brand's lineitems
+    (the classic decorrelation + pushdown); the aggregate re-joins on
+    partkey (both sides already partitioned by it after the groupBy).
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    l = load_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "p_partkey", _qty().alias("qty"), _price_c().alias("price_c")
+    )
+    a = lp.groupBy("p_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        lp.join(a, "p_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.sum("price_c").alias("sum_price_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
