@@ -458,10 +458,10 @@ def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lines",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -561,7 +561,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_nationkey,
            COUNT(*) AS numcust,
-           SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
     FROM customer c, pos
     WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.tot
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -610,7 +611,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS value_cents
       FROM supplier GROUP BY s_nationkey
     ), g AS (SELECT SUM(value_cents) AS tot FROM t)
-    SELECT t.s_nationkey, t.value_cents
+    SELECT t.s_nationkey, CAST(t.value_cents AS BIGINT) AS value_cents
     FROM t, g WHERE t.value_cents * 20 > g.tot
     """,
 )

@@ -925,8 +925,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(text)) AS n_unique_texts,
-           SUM(n_tokens) AS sum_tokens,
-           SUM(q_e6) // COUNT(*) AS avg_quality_e6
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(q_e6) // COUNT(*) AS BIGINT) AS avg_quality_e6
     FROM q GROUP BY lang, source
     """,
 )
