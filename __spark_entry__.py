@@ -4,6 +4,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+REGISTRATION ORDER IS A COVERAGE DECISION: the driver checks only the
+first 50 registered queries, so ``plans/registry.py`` orders the dict
+explicitly — 50 primary queries (every claimed operator family) first,
+then ``SUPPLEMENTARY_QUERIES`` (exact duals/subsets of an in-window
+query, still oracle-backed, verified by tests/test_oracle_parity.py)
+at the tail.  tests/test_registry_window.py enforces the invariants.
 """
 
 from __future__ import annotations

@@ -319,7 +319,10 @@ def simhash_pairs(
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, threshold: float, round_digits: int = 6
+    emb: DataFrame,
+    threshold: float,
+    round_digits: int = 6,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine(embedding_a, embedding_b) ≥ threshold.
 
@@ -328,13 +331,28 @@ def embedding_cosine_pairs(
     oracle; the filter applies to the *rounded* value so both engines
     threshold identical numbers.
 
-    This is the brute-force O(n²) RECALL BASELINE — correct and fine
-    below ~10⁵ vectors; the registered scale path is
-    :func:`embedding_bucketed_pairs` (IVF-bucketed, no cartesian).
+    This is the brute-force O(n²) RECALL BASELINE — it broadcasts the
+    full table and scores every pair, so it is GATED at ``max_rows``
+    input vectors (one cheap count at plan time): above the cap it
+    raises instead of silently planning a job that cannot finish at
+    corpus scale.  Pass ``max_rows=None`` only for a deliberate
+    override.  The scale path is :func:`embedding_bucketed_pairs`
+    (IVF-bucketed, no cartesian); this baseline exists to measure that
+    index's recall (see the ``dedup_embedding_recall`` registered
+    query).
     Norms are precomputed per vector (linear map stage), and the dot is a
     fixed-dimension unrolled expression (codegen'd — interpreted
     higher-order folds are ~100× slower on the quadratic stage).
     """
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is the O(n²) brute-force recall "
+                f"baseline, gated at {max_rows} input vectors (got {n}). "
+                f"Use embedding_bucketed_pairs for the scale path, or pass "
+                f"max_rows=None to override deliberately."
+            )
     dim = embedding_dim(emb)
     # Flatten the vector to scalar columns BEFORE the quadratic stage:
     # codegen'd arithmetic on flat doubles skips the per-element array

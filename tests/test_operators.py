@@ -106,6 +106,20 @@ def test_embedding_cosine_pairs(spark):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_embedding_cosine_pairs_row_cap(spark):
+    """The brute-force baseline is gated: above max_rows it refuses to
+    plan the O(n²) job instead of silently scheduling it."""
+    import pytest as _pytest
+
+    emb = spark.range(5).selectExpr(
+        "id AS vec_id", "array(CAST(id AS float), 1.0f) AS embedding"
+    )
+    with _pytest.raises(ValueError, match="gated at 3"):
+        dedup.embedding_cosine_pairs(emb, threshold=0.5, max_rows=3)
+    # at or below the cap it plans normally
+    assert dedup.embedding_cosine_pairs(emb, threshold=-1.0, max_rows=5).count() == 10
+
+
 def test_brute_force_topk(spark):
     emb = spark.createDataFrame(
         [

@@ -28,8 +28,9 @@ def _plan(spark, name: str) -> str:
 
 
 # Scale-path operators must never plan an all-pairs cartesian over the
-# corpus.  (dedup_embedding_cosine is the documented brute-force recall
-# baseline and is exempt by design.)
+# corpus.  (The brute-force cosine baseline is not registered standalone
+# — it appears only inside dedup_embedding_recall's eval, and the
+# operator itself is row-capped.)
 SCALE_PATH_QUERIES = [
     "dedup_embedding_bucketed",
     "dedup_minhash_lsh",
