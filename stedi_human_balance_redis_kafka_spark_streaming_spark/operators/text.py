@@ -39,34 +39,53 @@ def text_stats(
     """Per-document quality statistics.
 
     Output: (doc_id, *carry, n_chars, n_tokens, avg_token_len,
-    stopword_ratio, quality_score).  quality_score is a deterministic
-    [0,1] blend of length, lexical diversity and stopword load — the
-    usual cheap pre-filter before expensive dedup/scoring stages.
+    stopword_ratio, quality_e6, quality_score).  quality_e6 is a
+    deterministic [0, 1e6] blend of length, lexical diversity and
+    stopword load in exact 1e-6 integer units — the usual cheap
+    pre-filter before expensive dedup/scoring stages; quality_score is
+    the same value as a display double (quality_e6 / 1e6).
     ``carry`` passes grouping columns through the (narrow, shuffle-free)
     map so downstream rollups don't need a join back to the corpus.
     """
     t = tokens(text_col)
-    n_tokens = F.size(t)
-    n_chars = F.length(F.col(text_col))
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
-    stop_ratio = _count_in(t, STOPWORDS).cast("double") / n_tokens
-    avg_token_len = F.aggregate(
-        t, F.lit(0), lambda acc, x: acc + F.length(x)
-    ).cast("double") / n_tokens
-    quality = F.round(
-        F.least(n_tokens.cast("double") / 20.0, F.lit(1.0)) * 0.4
-        + distinct_ratio * 0.3
-        + (1.0 - stop_ratio) * 0.3,
-        6,
-    )
-    return docs.select(
+    inter = docs.select(
         "doc_id",
         *carry,
-        n_chars.alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(avg_token_len, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("__n_distinct"),
+        _count_in(t, STOPWORDS).cast("long").alias("__n_stop"),
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("long")
+        .alias("__len_sum"),
+    )
+    # quality_e6 = 0.4·min(n/20,1) + 0.3·diversity + 0.3·(1-stop_ratio),
+    # in 1e-6 units, computed ENTIRELY in integer arithmetic (`div`, not a
+    # double blend): min(n,20)·20000 is the exact length term, and each
+    # ratio term is an exact integer division.  No double ever enters the
+    # score, so there is no ULP boundary for two engines to disagree on
+    # when it is rolled up (corpus_report) or threshold-gated
+    # (curation_pipeline).  The double form is derived FROM the integer
+    # (long→double exact ≤ 1e6, division by 1e6 correctly rounded — still
+    # bit-identical cross-engine), display-only.
+    q_e6 = F.expr(
+        "least(n_tokens, 20L) * 20000L"
+        " + (__n_distinct * 300000L) div n_tokens"
+        " + ((n_tokens - __n_stop) * 300000L) div n_tokens"
+    )
+    return inter.select(
+        "doc_id",
+        *carry,
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("__len_sum").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(F.col("__n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+            "stopword_ratio"
+        ),
+        q_e6.alias("quality_e6"),
+        (q_e6 / F.lit(1_000_000.0)).alias("quality_score"),
     )
 
 
@@ -121,10 +140,10 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (lang, source, n_docs, n_unique_texts, sum_tokens,
     avg_quality_e6) where avg_quality_e6 is the mean quality score in
-    exact 1e-6 units (per-row quantized, integer-summed — the FP policy;
-    quality_score is already rounded to 6dp so the quantization is
-    lossless) and n_unique_texts counts distinct content digests (the
-    dup-rate signal).
+    exact 1e-6 units (quality_e6 is integer-born in :func:`text_stats`,
+    integer-summed here — no double ever enters the rollup) and
+    n_unique_texts counts distinct content digests (the dup-rate
+    signal).
 
     Scale shape: the stats map is narrow; one partial-aggregable shuffle
     on (lang, source) for the sums plus the distinct-digest count
@@ -132,7 +151,6 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     by the group, no corpus-wide collect).
     """
     s = text_stats(docs, text_col, carry=("lang", "source", text_col))
-    q_e6 = F.round(F.col("quality_score") * 1_000_000).cast("long")
     return (
         s.groupBy("lang", "source")
         .agg(
@@ -141,7 +159,7 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "n_unique_texts"
             ),
             F.sum("n_tokens").alias("sum_tokens"),
-            F.sum(q_e6).alias("_sum_q"),
+            F.sum("quality_e6").alias("_sum_q"),
         )
         # integer division, not a double cast: Spark's double→long cast
         # truncates while DuckDB's rounds — div sidesteps both

@@ -863,6 +863,18 @@ from ..operators import text as text_ops  # noqa: E402
 
 _SQL_STOP = "['" + "', '".join(text_ops.STOPWORDS) + "']"
 
+# Integer-exact quality score in 1e-6 units over a token-array column `t`
+# — the DuckDB twin of the `quality_e6` expression in operators/text.py
+# text_stats (min(n,20)·20000 + distinct·3e5 div n + (n-stop)·3e5 div n;
+# `//` is DuckDB's integer division, Spark's `div`).  No double arithmetic
+# on either side, so no ULP boundary for the engines to disagree on.
+_SQL_QE6 = (
+    "(least(len(t), 20) * 20000"
+    " + (len(list_distinct(t)) * 300000) // len(t)"
+    " + ((len(t) - len(list_filter(t, x -> list_contains("
+    f"{_SQL_STOP}, x)))) * 300000) // len(t))"
+)
+
 
 @register(
     "text_stats",
@@ -875,10 +887,8 @@ _SQL_STOP = "['" + "', '".join(text_ops.STOPWORDS) + "']"
              AS avg_token_len,
            round(CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t), 6)
              AS stopword_ratio,
-           round(least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
-                 + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
-                 + (1.0 - CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t)) * 0.3,
-                 6) AS quality_score
+           CAST({_SQL_QE6} AS BIGINT) AS quality_e6,
+           CAST({_SQL_QE6} AS DOUBLE) / 1000000.0 AS quality_score
     FROM s
     """,
 )
@@ -956,18 +966,15 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_report",
-    # Same quality blend as text_stats, rolled up per (lang, source) in
-    # exact integer units; avg via integer division (// == Spark div).
+    # Same integer-exact quality blend as text_stats, rolled up per
+    # (lang, source); avg via integer division (// == Spark div).
     oracle=f"""
     WITH s AS (
       SELECT lang, source, text, {_SQL_TOKENS} AS t FROM documents
     ), q AS (
       SELECT lang, source, text,
              CAST(len(t) AS BIGINT) AS n_tokens,
-             CAST(round(round(least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
-               + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
-               + (1.0 - CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t)) * 0.3,
-               6) * 1000000) AS BIGINT) AS q_e6
+             CAST({_SQL_QE6} AS BIGINT) AS q_e6
       FROM s
     )
     SELECT lang, source,
@@ -1159,7 +1166,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end curation pipeline: dedup → quality filter → sample → pack
 # --------------------------------------------------------------------------
 
-_MIN_QUALITY = 0.5
+_MIN_QUALITY_E6 = 500_000  # quality gate in exact 1e-6 integer units
 _MIN_TOKENS = 5
 
 
@@ -1179,10 +1186,7 @@ _MIN_TOKENS = 5
       SELECT doc_id, text, lang, source, t FROM (
         SELECT *, {_SQL_TOKENS} AS t FROM d
       ) WHERE CAST(len(t) AS BIGINT) >= {_MIN_TOKENS}
-        AND round(least(CAST(len(t) AS DOUBLE) / 20.0, 1.0) * 0.4
-              + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
-              + (1.0 - CAST(len(list_filter(t, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE) / len(t)) * 0.3,
-              6) >= {_MIN_QUALITY}
+        AND {_SQL_QE6} >= {_MIN_QUALITY_E6}
     ), s AS (
       SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS n_tokens
       FROM q
@@ -1197,9 +1201,9 @@ _MIN_TOKENS = 5
     """,
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation: exact dedup → quality gate (text_stats
-    blend ≥ {_MIN_QUALITY}, ≥ {_MIN_TOKENS} tokens) → per-language
-    hash-stratified sampling → token-budget packing.
+    """End-to-end curation: exact dedup → quality gate (integer-exact
+    text_stats blend ≥ 0.5, ≥ 5 tokens) → per-language hash-stratified
+    sampling → token-budget packing.
 
     Scale shape: one digest shuffle (partial-aggregable min) + a semi
     join for dedup; the quality gate and sample are narrow codegen'd
@@ -1213,11 +1217,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     d = docs.join(keep, "doc_id", "left_semi")
-    stats = text_ops.text_stats(d).select("doc_id", "n_tokens", "quality_score")
+    stats = text_ops.text_stats(d).select("doc_id", "n_tokens", "quality_e6")
     filtered = (
         d.join(stats, "doc_id")
         .filter(
-            (F.col("quality_score") >= _MIN_QUALITY)
+            (F.col("quality_e6") >= _MIN_QUALITY_E6)
             & (F.col("n_tokens") >= _MIN_TOKENS)
         )
         .select("doc_id", "text", "lang", "source")

@@ -142,14 +142,13 @@ def windowed_source_quality(
     from ..operators.text import text_stats
 
     s = text_stats(docs, carry=("source", time_col))
-    q_e6 = F.round(F.col("quality_score") * 1_000_000).cast("long")
     return (
         s.withWatermark(time_col, watermark_delay)
         .groupBy(F.window(time_col, window_duration), "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
-            F.sum(q_e6).alias("sum_quality_e6"),
+            F.sum("quality_e6").alias("sum_quality_e6"),
         )
     )
 
