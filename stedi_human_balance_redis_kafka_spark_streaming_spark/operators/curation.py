@@ -36,10 +36,17 @@ from ..functions.hashing import tokens
 
 def _hex_threshold(rate: float) -> str:
     """2-hex-digit threshold with 1/256 granularity; 'zz' sorts after
-    every hex string → keep-all."""
-    if rate >= 1.0:
+    every hex string → keep-all.
+
+    Rates in [255.5/256, 1.0) round to bucket 256, whose nearest
+    representable rate is keep-all — returning the raw ``format(256)``
+    ('100', 3 chars) would lexicographically keep only the '0x' buckets
+    (~6% instead of ~100%), so quantities ≥ 256 map to the keep-all
+    sentinel explicitly."""
+    q = max(int(round(rate * 256)), 0)
+    if q >= 256:
         return "zz"
-    return format(max(int(round(rate * 256)), 0), "02x")
+    return format(q, "02x")
 
 
 def sample_by_hash(
@@ -150,6 +157,7 @@ def connected_components(
         ).first()["s"]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["u"] == labels["node"]).select(
             F.col("v").alias("node"), F.col("label")
@@ -163,9 +171,19 @@ def connected_components(
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # A component with diameter > max_iter would otherwise yield
+        # silently-wrong cluster ids; non-convergence must be loud.
+        raise RuntimeError(
+            f"connected_components did not reach the label fixpoint in "
+            f"{max_iter} iterations — a component's diameter exceeds "
+            f"max_iter; raise max_iter (or switch to large-star/"
+            f"small-star contraction for long-chain graphs)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -232,6 +232,26 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 11
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    # diameter 9 > max_iter 2 → must refuse to return wrong labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        curation.connected_components(edges, max_iter=2)
+
+
+def test_hex_threshold_near_one_keeps_all():
+    # rates in [255.5/256, 1.0) round to bucket 256 — must map to the
+    # keep-all sentinel, not the 3-char '100' that lexicographically
+    # keeps only the '0x' buckets
+    assert curation._hex_threshold(0.999) == "zz"
+    assert curation._hex_threshold(1.0) == "zz"
+    assert curation._hex_threshold(255.0 / 256) == "ff"
+    assert curation._hex_threshold(0.5) == "80"
+    assert curation._hex_threshold(0.0) == "00"
+
+
 def test_sample_by_hash_deterministic_and_stratified(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "zh") for i in range(1000)],
