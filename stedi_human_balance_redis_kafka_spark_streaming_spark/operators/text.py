@@ -207,6 +207,104 @@ def tfidf_top_terms(
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: how much of a document is
+    repeated n-grams (the classic boilerplate / degenerate-text filter
+    for pretraining corpora).
+
+    Output: (doc_id, n_bigrams, top_bigram_count, rep_bigram_e6) —
+    total bigram instances, the count of the most frequent bigram, and
+    the fraction of bigram instances belonging to a bigram that occurs
+    ≥ 2 times, in exact 1e-6 integer units (``div`` — no FP).  Filter
+    downstream on e.g. ``rep_bigram_e6 >= 200000`` (20 % repeated).
+
+    Scale shape: explode → count per (doc_id, bigram) → per-doc rollup.
+    Both aggregations are partial-aggregable and keyed by doc_id, so the
+    shuffles are linear in token volume and skew-free (doc_id is
+    unique-ish per group) — the same shape as tf-idf, NOT a per-row
+    interpreted higher-order fold (which is quadratic per document; see
+    functions/hashing.py on the HOF re-evaluation trap).  Documents
+    with < 2 tokens yield no bigrams and are emitted with zero counts
+    via the left join back to the corpus.
+    """
+    t = tokens(text_col)
+    toks = docs.select("doc_id", t.alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+            ).otherwise(F.array().cast("array<integer>"))
+        ).alias("i"),
+        "t",
+    ).select("doc_id", F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("bg"))
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    per_doc = per_bg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "_rep"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0))
+            .cast("long")
+            .alias("top_bigram_count"),
+            F.coalesce(
+                F.expr("(_rep * 1000000L) div n_bigrams"), F.lit(0)
+            )
+            .cast("long")
+            .alias("rep_bigram_e6"),
+        )
+    )
+
+
+def domain_mixture(
+    docs: DataFrame, text_col: str = "text", cap_e6: int = 1_000_000
+) -> DataFrame:
+    """Domain-mixture weighting: per-source token share and the
+    deterministic sampling rate that would re-balance the corpus to a
+    uniform per-source token budget — the planning step before
+    ``curation.sample_by_hash`` executes the mixture.
+
+    Output: (source, n_docs, sum_tokens, share_e6, uniform_rate_e6):
+    ``share_e6`` is this source's fraction of corpus tokens and
+    ``uniform_rate_e6`` the keep-rate that levels every source to
+    total/K tokens (capped at ``cap_e6`` — undersized sources keep
+    everything; no upsampling).  All ratios are exact integer ``div``.
+
+    Scale shape: one partial-aggregable groupBy(source) over a narrow
+    map, then a 1-row broadcast crossJoin for the corpus totals —
+    sources are bounded (≪ corpus), totals never collect to the driver.
+    """
+    per_src = (
+        docs.select("source", F.size(tokens(text_col)).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("sum_tokens").alias("_total"), F.count("*").alias("_k")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            F.expr("(sum_tokens * 1000000L) div _total").alias("share_e6"),
+            F.least(
+                F.expr("(_total * 1000000L) div (_k * sum_tokens)"),
+                F.lit(cap_e6).cast("long"),
+            ).alias("uniform_rate_e6"),
+        )
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -1019,6 +1019,62 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    # Gopher-style repeated-ngram signals, exact-int ratios (div // on
+    # both sides); zero-bigram docs surface with zero counts via the
+    # left join.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                             for i in generate_series(1, len(t) - 1)]) AS bg
+      FROM toks
+    ),
+    per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS nb, MAX(c) AS topc,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS rep
+      FROM per_bg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(topc, 0) AS BIGINT) AS top_bigram_count,
+           CAST(COALESCE((rep * 1000000) // nb, 0) AS BIGINT) AS rep_bigram_e6
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram boilerplate signals (Gopher-style repetition
+    filter inputs) per document."""
+    return text_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_domain_mixture",
+    # Mixture-planning rollup: per-source token share + the uniform
+    # re-balancing keep-rate, all exact integer division.
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per
+    )
+    SELECT source, n_docs, sum_tokens,
+           CAST((sum_tokens * 1000000) // total AS BIGINT) AS share_e6,
+           CAST(least((total * 1000000) // (k * sum_tokens), 1000000)
+                AS BIGINT) AS uniform_rate_e6
+    FROM per CROSS JOIN tot
+    """,
+)
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share and uniform-mixture sampling rates —
+    the planning step ahead of curation.sample_by_hash."""
+    return text_ops.domain_mixture(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_decontaminate",
     oracle=f"""
     WITH sh AS (
@@ -1268,6 +1324,10 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     "dedup_simhash": "dedup_simhash_pairs",
     # from_json parsing is exercised by the whole decode family
     "events_props_parse": "stedi_customers_decode_sql",
+    # the recall evals run BOTH the demoted pipeline and its exact twin
+    # inside one query, so the eval is the stronger in-window claim
+    "dedup_embedding_bucketed": "dedup_embedding_recall",
+    "ann_brute_force_topk": "ann_ivf_recall",
 }
 
 

@@ -84,3 +84,39 @@ def write_curated(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    *,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key —
+    the co-located-join primitive for repeatedly-joined 100 TB facts.
+
+    Spark bucketing hash-partitions rows into ``num_buckets`` files per
+    task slice and records the layout in the catalog; a later equi-join
+    or aggregation on ``bucket_col`` between two tables bucketed the
+    same way runs with NO Exchange on either side (and no sort when
+    ``sort_col`` matches) — the shuffle is paid once at write time
+    instead of on every query.  ``tests/test_sources.py`` asserts the
+    exchange-free plan.
+
+    Size ``num_buckets`` so one bucket of the LARGER table fits an
+    executor core's memory at target scale (100 TB / buckets ≈ task
+    input); bucket counts should match (or divide) between co-joined
+    tables.  Requires ``saveAsTable`` (bucket metadata lives in the
+    catalog, not the files — plain ``.parquet(path)`` silently drops
+    it).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:  # external table — data outside the warehouse dir
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -281,6 +281,39 @@ def test_pack_sequences_chunk_layout(spark):
     assert got == {0: (4, 0), 1: (4, 0), 2: (4, 1), 3: (4, 1), 4: (4, 2)}
 
 
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b c"),   # bigrams: ab, ba, ab, bc → top=2, rep=2/4
+            (1, "x y z"),       # xy, yz → no repeats
+            (2, "solo"),        # no bigrams → zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.top_bigram_count, r.rep_bigram_e6)
+        for r in text_ops.repetition_stats(df).collect()
+    }
+    assert got == {0: (4, 2, 500_000), 1: (2, 1, 0), 2: (0, 0, 0)}
+
+
+def test_domain_mixture_known_values(spark):
+    # src a: 6 tokens, src b: 2 tokens → total 8, k=2, level = 4 each
+    df = spark.createDataFrame(
+        [(0, "a", "t1 t2 t3"), (1, "a", "t4 t5 t6"), (2, "b", "u1 u2")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.source: (r.n_docs, r.sum_tokens, r.share_e6, r.uniform_rate_e6)
+        for r in text_ops.domain_mixture(df).collect()
+    }
+    # a: share 6/8, rate 4/6 (downsample); b: share 2/8, rate capped at 1.0
+    assert got == {
+        "a": (2, 6, 750_000, 666_666),
+        "b": (1, 2, 250_000, 1_000_000),
+    }
+
+
 def test_tfidf_top_terms_ranking_and_ties(spark):
     # 3 docs; "rare" appears twice in doc 0 only (tf=2, df=1 → top);
     # "the" is in every doc (df=3 → idf floor(1e6*3/3)=1e6, low score).

@@ -38,6 +38,7 @@ SCALE_PATH_QUERIES = [
     "dedup_simhash_pairs",
     "ann_ivf_topk",
     "dedup_exact",
+    "text_repetition_stats",
 ]
 
 
@@ -109,6 +110,14 @@ def test_narrow_maps_are_shuffle_free(spark):
     plan = _plan(spark, "text_stats")
     assert "Exchange" not in plan
     assert "Scan parquet" in plan
+
+
+def test_domain_mixture_totals_are_broadcast(spark):
+    # the corpus totals join is a 1-row broadcast, never a shuffle or a
+    # driver-side collect
+    plan = _plan(spark, "text_domain_mixture")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_python_is_arrow_batched(spark):
