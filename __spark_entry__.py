@@ -9,8 +9,11 @@ REGISTRATION ORDER IS A COVERAGE DECISION: the driver checks only the
 first 50 registered queries, so ``plans/registry.py`` orders the dict
 explicitly — 50 primary queries (every claimed operator family) first,
 then ``SUPPLEMENTARY_QUERIES`` (exact duals/subsets of an in-window
-query, still oracle-backed, verified by tests/test_oracle_parity.py)
-at the tail.  tests/test_registry_window.py enforces the invariants.
+query) and ``EXTENDED_QUERIES`` (added capability beyond the window)
+at the tail; every tail query is still oracle-backed and verified each
+round by the dtype-faithful local parity suite
+(tests/test_oracle_parity.py).  tests/test_registry_window.py enforces
+the invariants.
 """
 
 from __future__ import annotations

@@ -778,3 +778,394 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Extended TPC-H shapes (registered beyond the driver check window —
+# plans/registry.py EXTENDED_QUERIES; locally parity-verified every round
+# by tests/test_oracle_parity.py).  partsupp / commit-receipt dates don't
+# exist in the testdata schema, so q16/q20/q21 use the standard
+# adaptations noted per query.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_PRICE_C} * {SQL_DISC_B}) AS BIGINT) AS revenue_e6,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join.
+
+    Every predicate (dates, discount band, quantity) is scan-pushable;
+    the aggregate is one partial-aggregable scalar — the canonical
+    predicate-pushdown benchmark (plan-audited in tests/test_plans.py).
+    Revenue price·discount is exact cents×bp (1e-6 dollar units).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_price_c() * _disc_b()).alias("revenue_e6"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side (not WHERE) filter,
+    then a distribution-of-counts double aggregation.
+
+    The priority filter must live in the JOIN condition — a WHERE would
+    turn the outer join inner and drop zero-order customers, the rows
+    Q13 exists to count.  Both groupBys are partial-aggregable; the
+    second one runs on ~tens of distinct counts.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    # Share in exact 1e-6 units via integer div — no double division for
+    # the engines to disagree on.
+    oracle=f"""
+    WITH lp AS (
+      SELECT {SQL_REV_E6} AS rev_e6, p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END)
+                AS BIGINT) AS promo_rev_e6,
+           CAST(SUM(rev_e6) AS BIGINT) AS total_rev_e6,
+           CAST((SUM(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END)
+                 * 1000000) // SUM(rev_e6) AS BIGINT) AS promo_share_e6
+    FROM lp
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⨝dim join —
+    the promo share of one month's revenue.
+
+    part broadcasts (bounded dim); the date window prunes the fact scan
+    before the join; the share is computed once on the exact integer
+    sums (1e6·promo div total).
+    """
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        _rev_e6().alias("rev_e6"), "p_type"
+    )
+    return lp.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e6")).otherwise(0))
+        .alias("promo_rev_e6"),
+        F.sum("rev_e6").alias("total_rev_e6"),
+        F.expr(
+            "(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END)"
+            " * 1000000L) div SUM(rev_e6)"
+        ).alias("promo_share_e6"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey, CAST(SUM({SQL_REV_E6}) AS BIGINT) AS total_rev_e6
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ), m AS (SELECT MAX(total_rev_e6) AS mx FROM r)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_e6
+    FROM r JOIN m ON r.total_rev_e6 = m.mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate, take the global max, and return every
+    row achieving it (the "top supplier view" — ties included, exact
+    integer compare so tie membership is deterministic).
+
+    The max is a 1-row broadcast re-join, not a driver collect or a
+    global window sort; supplier is a broadcast dim.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    r = l.groupBy("l_suppkey").agg(F.sum(_rev_e6()).alias("total_rev_e6"))
+    m = r.agg(F.max("total_rev_e6").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("total_rev_e6") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_e6")
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    # partsupp doesn't exist in this schema — lineitem's observed
+    # (partkey, suppkey) pairs are the supplier-catalog stand-in.
+    # "Complaint" suppliers (excluded via NOT IN in the original) are
+    # modeled as negative-balance suppliers, an anti join.
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct pair projection → dim filter join →
+    anti join (supplier exclusion list) → count-distinct rollup.
+
+    Scale shape: the distinct on (partkey, suppkey) is the only
+    fact-sized shuffle; part broadcasts pre-filtered; the exclusion
+    list is bounded (broadcast anti join); count(distinct) expands
+    inside the keyed aggregate, never corpus-wide.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered fact aggregate driving a join
+    back to its dimensions (orders, customer).
+
+    The quantity rollup is partial-aggregable and keyed by orderkey;
+    only qualifying orders (rare) reach the joins, so the join input is
+    tiny regardless of fact size — AQE broadcasts it at runtime (no
+    hint: the qualifying set's size is data-dependent).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_qty()).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "o_totalprice_cents"
+            ),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q20_heavy_share_suppliers",
+    # partsupp/availqty don't exist — the "excess stock" predicate
+    # becomes "supplied more than a sixth of a part's shipped volume",
+    # same nested-aggregate + semi-join shape.
+    oracle="""
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ), per AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN red ON p_partkey = l_partkey
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS part_qty
+      FROM per GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM per JOIN tot USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = per.l_suppkey
+    WHERE per.qty * 6 > tot.part_qty
+    """,
+)
+def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested two-level aggregate (per supplier-part vs
+    per part) driving a semi-style supplier projection.
+
+    The part-name filter broadcasts into the fact first; both rollup
+    levels are partial-aggregable on their keys; the second level
+    re-joins on l_partkey, where both sides are already partitioned
+    after the first groupBy.  DISTINCT bounds the output by supplier
+    count.
+    """
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    per = (
+        l.join(F.broadcast(red), l.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_qty()).alias("qty"))
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        per.join(tot, "l_partkey")
+        .filter(F.col("qty") * 6 > F.col("part_qty"))
+        .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    # No commit/receipt dates in this schema — "late" is shipping more
+    # than 60 days after the order date.  The multi-supplier exists /
+    # sole-late-supplier not-exists pair is re-expressed as one keyed
+    # aggregate (n_supp ≥ 2, n_late_supp = 1), the shape that scales:
+    # the EXISTS pair would be two extra fact-fact joins.
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+               AS n_late_supp,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per JOIN supplier s ON s.s_suppkey = per.late_supp
+    WHERE n_supp >= 2 AND n_late_supp = 1
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders.
+
+    The textbook EXISTS + NOT-EXISTS pair is re-expressed as one
+    aggregate per order (distinct suppliers, distinct late suppliers,
+    and — valid exactly because n_late_supp = 1 — MAX(late supplier)),
+    replacing two fact-fact joins with one keyed partial-aggregable
+    shuffle.  orders filters to 'F' before the join; supplier
+    broadcasts for the name lookup.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("late"),
+    )
+    per = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        per.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

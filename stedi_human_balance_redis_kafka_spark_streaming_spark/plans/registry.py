@@ -1330,13 +1330,32 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     "ann_brute_force_topk": "ann_ivf_recall",
 }
 
+# Extended tier: capabilities ADDED beyond the 50-slot driver window (not
+# duals of an in-window query — there is no carrier).  They are fully
+# oracle-backed and re-verified by the local dtype-faithful parity suite
+# every round; they simply cannot fit the driver's check window, which is
+# reserved for the SURVEY-mandated set plus one representative per
+# operator family.
+EXTENDED_QUERIES: tuple[str, ...] = (
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q20_heavy_share_suppliers",
+    "q21_waiting_suppliers",
+)
+
 
 def _apply_check_window() -> None:
-    for name in SUPPLEMENTARY_QUERIES:
+    for name in (*SUPPLEMENTARY_QUERIES, *EXTENDED_QUERIES):
         _QUERIES[name] = _QUERIES.pop(name)  # re-insert at the tail
         if name in _ORACLES:
             _ORACLES[name] = _ORACLES.pop(name)
-    n_primary = len(_QUERIES) - len(SUPPLEMENTARY_QUERIES)
+    n_primary = len(_QUERIES) - len(SUPPLEMENTARY_QUERIES) - len(
+        EXTENDED_QUERIES
+    )
     if n_primary > DRIVER_CHECK_WINDOW:
         raise AssertionError(
             f"{n_primary} primary queries exceed the driver's "

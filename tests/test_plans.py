@@ -62,6 +62,18 @@ def test_q1_column_pruning(spark):
     assert "l_partkey" not in read_schema
 
 
+def test_q6_all_predicates_pushed(spark):
+    # pure scan-filter-agg: every predicate (dates, discount band,
+    # quantity) must reach the Parquet reader
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert "Exchange" in plan  # exactly the single-partial-agg exchange
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_q5_broadcasts_dimensions(spark):
     # region/nation are tiny dims — they must broadcast, not shuffle
     assert "BroadcastHashJoin" in _plan(spark, "q5_local_supplier_volume")

@@ -32,9 +32,11 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_every_primary_query():
-    # the tail is exactly the declared supplementary set — nothing else
-    # may silently fall out of the checked window
-    assert set(TAIL) == set(registry.SUPPLEMENTARY_QUERIES)
+    # the tail is exactly the declared supplementary + extended sets —
+    # nothing else may silently fall out of the checked window
+    assert set(TAIL) == set(registry.SUPPLEMENTARY_QUERIES) | set(
+        registry.EXTENDED_QUERIES
+    )
     assert len(WINDOW) <= registry.DRIVER_CHECK_WINDOW
 
 
