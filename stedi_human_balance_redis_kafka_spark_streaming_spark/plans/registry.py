@@ -518,11 +518,18 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall = n_overlap / n_exact).  Replaces the former standalone
     brute-force result-set query ``dedup_embedding_cosine``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = dedup.embedding_cosine_pairs(emb, threshold=0.4).select(
-        "vec_a", "vec_b"
+    # Each pair-set feeds BOTH its own count and the overlap join —
+    # persist the (tiny) pair results so neither quadratic/bucketed
+    # pipeline executes twice in the one action.
+    exact = (
+        dedup.embedding_cosine_pairs(emb, threshold=0.4)
+        .select("vec_a", "vec_b")
+        .persist()
     )
-    bkt = dedup.embedding_bucketed_pairs(emb, threshold=0.4).select(
-        "vec_a", "vec_b"
+    bkt = (
+        dedup.embedding_bucketed_pairs(emb, threshold=0.4)
+        .select("vec_a", "vec_b")
+        .persist()
     )
     overlap = exact.join(bkt, ["vec_a", "vec_b"])
     return (
@@ -580,16 +587,27 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-index eval: pair counts for exact trigram-Jaccard truth,
     MinHash-LSH found pairs, and their overlap — one exact-int row."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.7, n=3, max_shingle_freq=_MAX_SHINGLE_FREQ
-    ).select("doc_a", "doc_b")
-    lsh = dedup.minhash_lsh_pairs(
-        docs,
-        threshold=0.7,
-        shingle_n=3,
-        num_hashes=_MINHASH_N,
-        num_bands=_MINHASH_BANDS,
-    ).select("doc_a", "doc_b")
+    # Persist the (tiny) pair results: each feeds both its own count and
+    # the overlap join, and without the cache each full dedup pipeline
+    # executes twice in the one action (measured ~2× eval runtime).
+    exact = (
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.7, n=3, max_shingle_freq=_MAX_SHINGLE_FREQ
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(
+            docs,
+            threshold=0.7,
+            shingle_n=3,
+            num_hashes=_MINHASH_N,
+            num_bands=_MINHASH_BANDS,
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     overlap = exact.join(lsh, ["doc_a", "doc_b"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
