@@ -197,6 +197,50 @@ def dedup_within_watermark(
     return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stream-STATIC decontamination: flag incoming training documents
+    that share an n-gram shingle with a held-out benchmark set — the
+    ingest-time form of ``curation.decontaminate``.
+
+    The benchmark side is a static (batch) DataFrame; the join is
+    Structured Streaming's stream-static equi-join — STATELESS (the
+    static side is re-planned against each microbatch; a real eval set
+    is bounded, so Catalyst broadcasts it).  The stream side shingles
+    with the per-row higher-order form (``shingles_from_tokens``)
+    because the batch shingler's window + distinct are not
+    streaming-safe; per-doc distinctness comes from the array_distinct
+    inside it.  Emits one (doc_id, term) row per hit in append mode —
+    no watermark needed; hit *counting* is the consumer's rollup (a
+    stateless emit keeps this composable with any downstream windowed
+    aggregate).
+
+    Batch/streaming duality: on a batch ``docs`` this returns exactly
+    ``curation.decontaminate``'s join rows before its groupBy
+    (tests/test_streaming.py asserts stream==batch).
+    """
+    from ..functions.hashing import shingles_from_tokens, tokens
+
+    from ..operators.dedup import _exploded_terms
+
+    bench = (
+        _exploded_terms(bench_docs, shingle_n, text_col)
+        .select("term")
+        .distinct()
+    )
+    toks = docs.select("doc_id", tokens(text_col).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("t"), shingle_n)).alias("term"),
+    )
+    return sh.join(bench, "term").select("doc_id", "term")
+
+
 def _quantize_e4(scores) -> int:
     """Exact 1e-4-unit sum of a float series, HALF_UP to match F.round."""
     import numpy as np

@@ -451,6 +451,40 @@ def test_windowed_source_quality_matches_batch(spark, tmp_path):
     assert len(expected) == 4  # 2 windows × 2 sources
 
 
+def test_streaming_decontaminate_stream_static_matches_batch(spark, tmp_path):
+    # Stream-static join: streamed training docs vs a STATIC benchmark
+    # set.  doc 10 shares the trigram "alpha beta gamma" with bench doc
+    # 0; doc 11 shares nothing; doc 12 shares "delta epsilon zeta".
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma oddball"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = [
+        (10, "prefix alpha beta gamma suffix words"),
+        (11, "completely unrelated clean content here"),
+        (12, "delta epsilon zeta trailing"),
+    ]
+    batch_df = spark.createDataFrame(train, "doc_id long, text string")
+    path = str(tmp_path / "train_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_decontaminate(sdf, bench),
+        f"deco_{uuid.uuid4().hex[:8]}",
+        output_mode="append",  # stateless join — append needs no watermark
+    )
+    got = {(r.doc_id, r.term) for r in out.collect()}
+    expected = {
+        (r.doc_id, r.term)
+        for r in stateful.streaming_decontaminate(batch_df, bench).collect()
+    }
+    assert got == expected
+    assert {d for d, _ in got} == {10, 12}
+    assert (10, "alpha beta gamma") in got
+
+
 def test_streaming_session_window_closes_and_matches_batch(spark, tmp_path):
     """Native session_window streaming: two sessions for user 1 (gap
     > 30 min between event 2 and 3); a later watermark-advancer batch
