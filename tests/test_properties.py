@@ -91,6 +91,73 @@ def test_dedup_exact_partitions_preserve_multiplicity(spark, texts):
 
 @settings(**_SETTINGS)
 @given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=25),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_invariants(spark, texts):
+    # per doc: n_bigrams = max(0, n_tokens-1) for whitespace tokens,
+    # top count bounded by n_bigrams, and the repeated fraction is a
+    # valid e6 ratio that is 0 iff no bigram repeats
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.functions.hashing import (
+        tokens,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_toks = {
+        r.doc_id: r.n for r in df.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    for r in repetition_stats(df).collect():
+        assert r.n_bigrams == max(0, n_toks[r.doc_id] - 1)
+        assert 0 <= r.top_bigram_count <= r.n_bigrams
+        assert 0 <= r.rep_bigram_e6 <= 1_000_000
+        assert (r.rep_bigram_e6 == 0) == (r.top_bigram_count <= 1)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=12),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_domain_mixture_invariants(spark, docs):
+    # shares are a partition of ≤ 1e6 (floor division loses < 1 per
+    # source); every rate is capped at 1e6; rebalanced volumes
+    # (rate·tokens) never exceed the uniform budget by more than the
+    # e6-floor error
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.text import (
+        domain_mixture,
+    )
+
+    rows = [
+        (i, src, " ".join(["tok"] * n)) for i, (src, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_mixture(df).collect()
+    total = sum(r.sum_tokens for r in out)
+    k = len(out)
+    assert sum(r.share_e6 for r in out) <= 1_000_000
+    assert sum(r.share_e6 for r in out) > 1_000_000 - k  # floor loss < 1/src
+    for r in out:
+        assert 0 < r.uniform_rate_e6 <= 1_000_000
+        # rate·tokens ≤ uniform budget (total/k), up to floor granularity
+        assert r.uniform_rate_e6 * r.sum_tokens <= (total * 1_000_000) // k + r.sum_tokens
+
+
+@settings(**_SETTINGS)
+@given(
     words=st.lists(
         st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
         min_size=3,
