@@ -1169,3 +1169,259 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    # partsupp doesn't exist — observed lineitem prices stand in for the
+    # supplier catalog: the minimum extended price per size-15 part among
+    # EUROPE suppliers, and every (supplier, part) pair achieving it.
+    oracle="""
+    WITH eligible AS (
+      SELECT p.p_partkey, s.s_suppkey, s.s_name,
+             CAST(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+             n.n_name,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ), m AS (
+      SELECT p_partkey, MIN(price_c) AS min_price_c
+      FROM eligible GROUP BY p_partkey
+    )
+    SELECT DISTINCT e.s_acctbal_cents, e.s_name, e.n_name, e.p_partkey,
+                    m.min_price_c
+    FROM eligible e
+    JOIN m ON m.p_partkey = e.p_partkey AND e.price_c = m.min_price_c
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group correlated subquery, decorrelated
+    into a keyed MIN + re-join (ties included, exact-int compare).
+
+    part/supplier/nation/region all broadcast (bounded dims — region
+    prunes suppliers before the fact join); the only fact-sized shuffle
+    is the per-part MIN, partial-aggregable on partkey; the re-join
+    meets it on the same key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias(
+                "s_acctbal_cents"
+            ),
+            "n_name",
+        )
+    )
+    eligible = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            "s_acctbal_cents",
+            "n_name",
+            _price_c().alias("price_c"),
+        )
+    )
+    m = eligible.groupBy("p_partkey").agg(F.min("price_c").alias("min_price_c"))
+    return (
+        eligible.join(m, "p_partkey")
+        .filter(F.col("price_c") == F.col("min_price_c"))
+        .select("s_acctbal_cents", "s_name", "n_name", "p_partkey", "min_price_c")
+        .distinct()
+    )
+
+
+@register(
+    "q8_market_share",
+    # Share per year in exact 1e-6 units (integer div).
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {SQL_REV_E6} AS rev_e6,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+       AND cr.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
+                AS BIGINT) AS nation_rev_e6,
+           CAST(SUM(rev_e6) AS BIGINT) AS total_rev_e6,
+           CAST((SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
+                 * 1000000) // SUM(rev_e6) AS BIGINT) AS share_e6
+    FROM t GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of a customer
+    region's revenue, by order year — a 6-way join where every
+    dimension chain broadcasts and only orders⨝lineitem shuffles.
+
+    The share is conditional-sum over total on the exact integer sums,
+    per group (integer div — engines cannot disagree).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = load_table(spark, sf_dir, "supplier")
+    cust_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    t = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), o.o_custkey == cust_region.c_custkey)
+        .join(F.broadcast(supp_nation), l.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_e6().alias("rev_e6"),
+            "supp_nation",
+        )
+    )
+    return t.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_e6")).otherwise(0)
+        ).alias("nation_rev_e6"),
+        F.sum("rev_e6").alias("total_rev_e6"),
+        F.expr(
+            "(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)"
+            " * 1000000L) div SUM(rev_e6)"
+        ).alias("share_e6"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    # ps_supplycost doesn't exist — part retail price stands in as unit
+    # cost.  Revenue is cents·bp (e6); cost is scaled cents→e6 so the
+    # subtraction stays in one exact integer domain.
+    oracle=f"""
+    WITH t AS (
+      SELECT sn.n_name,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {SQL_REV_E6}
+               - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 10000 AS profit_e6
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%blue%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT n_name, o_year, CAST(SUM(profit_e6) AS BIGINT) AS profit_e6,
+           COUNT(*) AS n_lines
+    FROM t GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − cost) for one product family,
+    rolled up by supplier nation × order year.
+
+    The part-name filter broadcasts into the fact scan first; profit is
+    computed per row in one exact-integer e6 domain (negative values
+    fine in int64), then partial-aggregated on the (nation, year) key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    profit = (
+        _rev_e6()
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * _qty()
+        * F.lit(10000)
+    )
+    t = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit_e6"),
+        )
+    )
+    return t.groupBy("n_name", "o_year").agg(
+        F.sum("profit_e6").alias("profit_e6"), F.count("*").alias("n_lines")
+    )
+
+
+@register(
+    "events_rolling_value",
+    # Time-RANGE window frame (not covered by any other query: rows
+    # frames and unbounded frames exist elsewhere) — trailing 1-hour
+    # per-user rolling sum/count in exact epoch-micros.
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_value_e4_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user — the time-RANGE
+    window frame (peers by value distance, not row position, so
+    equal-timestamp ties contribute symmetrically on both engines).
+
+    Scale shape: one shuffle on user_id; frames evaluate with a sliding
+    pointer over each sorted partition.  Time math in exact epoch
+    micros (int64) per the FP policy.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("value_e4").over(w).alias("sum_value_e4_1h"),
+    )

@@ -1363,6 +1363,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q20_heavy_share_suppliers",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "events_rolling_value",
 )
 
 
