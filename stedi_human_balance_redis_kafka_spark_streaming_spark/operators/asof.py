@@ -1,4 +1,5 @@
-"""As-of join — an operator Spark lacks natively (SURVEY.md §2.6 class).
+"""As-of join and bucketed range join — operators Spark lacks natively
+(SURVEY.md §2.6 class).
 
 For each left row (key, t), find the most recent right row (key, t_r ≤ t).
 Implemented the scalable way: tag both sides, UNION, and carry the last
@@ -64,3 +65,76 @@ def asof_join(
         F.last("__rv", ignorenulls=True).over(w).alias("asof_val"),
     ).filter(F.col("__side") == 1)
     return carried.select("__l.*", "asof_time", "asof_val")
+
+
+def bucketed_range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval (range) join: event rows matched to every interval row
+    whose half-open window ``[start, end)`` contains the event time.
+
+    Spark has no native range join — a plain theta join
+    ``ON t >= s AND t < e`` with no equi key plans a
+    BroadcastNestedLoop/cartesian, which is O(|events|·|intervals|) and
+    dies at scale.  This is the standard BUCKETED formulation: quantize
+    time into ``bucket``-sized cells, explode each interval into the
+    cells it covers, and equi-join on the cell id (+ ``extra_keys``),
+    refining with the exact predicate afterwards.  Cost becomes
+    Θ(|events| + Σ interval_cells + matches), hash-partitioned on the
+    cell — no cartesian (plan-audited in tests/test_plans.py).  No
+    double counting: an event lives in exactly one cell and interval
+    cell ids are distinct per interval.
+
+    Pick ``bucket`` near the typical interval length: much smaller
+    explodes intervals into many cells; much larger puts many
+    non-matching events in each cell (refine-filter waste).  Both are
+    correct — it's a constant-factor knob.  Cell-id skew (hot hours)
+    is partition-level and AQE-splittable.
+
+    Output: one row per (event, interval) match with all columns from
+    both sides (minus the helper cell id).
+    """
+    bucket_us = {"1 hour": 3_600_000_000, "1 day": 86_400_000_000}.get(bucket)
+    if bucket_us is None:
+        raise ValueError("bucket must be '1 hour' or '1 day'")
+    # cast(... as timestamp) admits TIMESTAMP_NTZ columns (parquet dates
+    # arrive NTZ; unix_micros requires TIMESTAMP) — both sides of the
+    # join pass through the same cast, so cells stay consistent under
+    # any session timezone.
+    e = events.withColumn(
+        "__cell",
+        F.expr(f"unix_micros(cast({time_col} as timestamp)) div {bucket_us}"),
+    )
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "__cs",
+            F.expr(
+                f"unix_micros(cast({start_col} as timestamp)) div {bucket_us}"
+            ),
+        )
+        .withColumn(
+            "__ce",
+            F.expr(
+                f"(unix_micros(cast({end_col} as timestamp)) - 1)"
+                f" div {bucket_us}"
+            ),
+        )
+        .withColumn("__cell", F.explode(F.sequence("__cs", "__ce")))
+        .drop("__cs", "__ce")
+    )
+    return (
+        e.join(iv, [*extra_keys, "__cell"])
+        .filter(
+            (F.col(time_col).cast("timestamp") >= F.col(start_col).cast("timestamp"))
+            & (F.col(time_col).cast("timestamp") < F.col(end_col).cast("timestamp"))
+        )
+        .drop("__cell")
+    )

@@ -191,3 +191,46 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_5pct"),
         )
     )
+
+
+@register(
+    "events_interval_activity",
+    # Range join with NO equi key: per anchor-event 6-hour window, the
+    # activity of ALL users inside it.  A theta join here is a
+    # cartesian; the operator buckets time so it plans as an equi join
+    # on the hour cell (operators/asof.py bucketed_range_join, audited
+    # cartesian-free in tests/test_plans.py).
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS anchor_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+      FROM events WHERE event_id % 997 = 0
+    )
+    SELECT iv.anchor_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(ev.value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
+    FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+    GROUP BY iv.anchor_id
+    """,
+)
+def events_interval_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global event activity inside each anchor event's 6-hour window —
+    the keyless interval join, via the bucketed range-join operator."""
+    from ..operators.asof import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "ts", F.round(F.col("value") * 10000).cast("long").alias("value_e4")
+    )
+    iv = ev.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("e"),
+    )
+    j = bucketed_range_join(
+        e, iv, time_col="ts", start_col="s", end_col="e", bucket="1 hour"
+    )
+    return j.groupBy("anchor_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_e4").alias("sum_value_e4"),
+    )

@@ -1346,6 +1346,10 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     # inside one query, so the eval is the stronger in-window claim
     "dedup_embedding_bucketed": "dedup_embedding_recall",
     "ann_brute_force_topk": "ann_ivf_recall",
+    # same Arrow-batched mapInPandas plumbing + numpy index math over the
+    # deterministic fake decode; frame_sample is the stronger multi-row
+    # claim (metadata + byte_features + frame_sample stay in-window)
+    "multimodal_resize": "multimodal_frame_sample",
 }
 
 # Extended tier: capabilities ADDED beyond the 50-slot driver window (not

@@ -232,6 +232,43 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 11
 
 
+def test_bucketed_range_join_known_intervals(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.asof import (
+        bucketed_range_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (0, "2024-01-01 10:00:00"),
+            (1, "2024-01-02 23:59:59"),  # inside A (multi-day interval)
+            (2, "2024-01-03 00:00:00"),  # exactly at A's end → excluded
+            (3, "2024-01-05 12:00:00"),  # inside B only
+        ],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+            ("B", "2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+            ("Z", "2024-01-09 00:00:00", "2024-01-09 00:00:00"),  # empty
+        ],
+        "name string, s string, e string",
+    ).select(
+        "name",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = {
+        (r.event_id, r.name)
+        for r in bucketed_range_join(
+            ev, iv, time_col="ts", start_col="s", end_col="e", bucket="1 day"
+        ).collect()
+    }
+    # [start, end): event 2 at A's exact end is out; empty interval Z
+    # matches nothing; no double count across A's two day-cells
+    assert got == {(0, "A"), (1, "A"), (3, "B")}
+
+
 def test_connected_components_raises_when_not_converged(spark):
     # diameter 9 > max_iter 2 → must refuse to return wrong labels
     edges = spark.createDataFrame(

@@ -124,6 +124,14 @@ def test_narrow_maps_are_shuffle_free(spark):
     assert "Scan parquet" in plan
 
 
+def test_interval_join_is_not_cartesian(spark):
+    # the keyless range join must plan as an equi join on the time cell,
+    # never a nested-loop/cartesian over events × intervals
+    plan = _plan(spark, "events_interval_activity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_domain_mixture_totals_are_broadcast(spark):
     # the corpus totals join is a 1-row broadcast, never a shuffle or a
     # driver-side collect
