@@ -234,3 +234,89 @@ def events_interval_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value_e4").alias("sum_value_e4"),
     )
+
+
+@register(
+    "lineitem_quality_checks",
+    # Constraint-validation rollup (the data-quality gate a pipeline
+    # runs before trusting an ingest): each rule is a Column predicate,
+    # all rules evaluate in ONE narrow scan-agg pass (conditional
+    # count_if per rule — no per-rule jobs, no shuffle beyond the final
+    # 1-row reduce).
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+             AS bad_quantity,
+           COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS bad_price,
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+             AS bad_discount,
+           COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS null_shipdate,
+           COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+             AS bad_returnflag
+    FROM lineitem
+    """,
+)
+def lineitem_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation over the fact table: every rule
+    is a conditional count in one partial-aggregable pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("bad_quantity"),
+        F.count_if(F.col("l_extendedprice") <= 0).alias("bad_price"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("bad_discount"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("null_shipdate"),
+        F.count_if(
+            ~F.col("l_returnflag").isin("A", "N", "R")
+        ).alias("bad_returnflag"),
+    )
+
+
+@register(
+    "order_price_quantiles_approx",
+    # Sketch quantiles are engine-specific (Spark: Greenwald-Khanna;
+    # DuckDB: different), so — like events_approx_distinct — the
+    # checkable contract is a BOUNDS assertion: the approx p50/p90
+    # (accuracy 100) must land within 2% of the exact interpolated
+    # quantile.  The oracle emits the exact values and constant TRUEs.
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+           TRUE AS p50_within_2pct,
+           TRUE AS p90_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (GK sketch via percentile_approx) checked
+    as a bounds assertion against the exact interpolated quantile —
+    the single-pass mergeable-sketch path an exact sort-based quantile
+    can't provide at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("exact_p90"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 100)").alias("a50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 100)").alias("a90"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_p50",
+            "exact_p90",
+            (
+                F.abs(F.col("a50") - F.col("exact_p50"))
+                <= 0.02 * F.col("exact_p50")
+            ).alias("p50_within_2pct"),
+            (
+                F.abs(F.col("a90") - F.col("exact_p90"))
+                <= 0.02 * F.col("exact_p90")
+            ).alias("p90_within_2pct"),
+        )
+    )

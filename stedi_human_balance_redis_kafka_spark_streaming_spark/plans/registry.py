@@ -1371,6 +1371,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "events_rolling_value",
+    "lineitem_quality_checks",
+    "order_price_quantiles_approx",
 )
 
 
