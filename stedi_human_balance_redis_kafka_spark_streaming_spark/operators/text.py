@@ -296,9 +296,17 @@ def domain_mixture(
             "source",
             "n_docs",
             "sum_tokens",
-            F.expr("(sum_tokens * 1000000L) div _total").alias("share_e6"),
+            # ×1e6 in DECIMAL(38,0): corpus token totals × 1e6 overflow
+            # int64 around 1e13 tokens — the quotient (≤ 1e6) is what
+            # must fit
+            F.expr(
+                "(CAST(sum_tokens AS DECIMAL(38,0)) * 1000000) div _total"
+            ).alias("share_e6"),
             F.least(
-                F.expr("(_total * 1000000L) div (_k * sum_tokens)"),
+                F.expr(
+                    "(CAST(_total AS DECIMAL(38,0)) * 1000000)"
+                    " div (_k * sum_tokens)"
+                ),
                 F.lit(cap_e6).cast("long"),
             ).alias("uniform_rate_e6"),
         )

@@ -900,9 +900,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e6")).otherwise(0))
         .alias("promo_rev_e6"),
         F.sum("rev_e6").alias("total_rev_e6"),
+        # the ×1e6 blow-up runs in DECIMAL(38,0): at sf0.1 the int64
+        # product already overflows ANSI (DuckDB is immune — its SUM is
+        # int128); the quotient (a share ≤ 1e6) is what must fit int64
         F.expr(
-            "(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END)"
-            " * 1000000L) div SUM(rev_e6)"
+            "(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000) div SUM(rev_e6)"
         ).alias("promo_share_e6"),
     )
 
@@ -1312,9 +1315,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("supp_nation") == "NATION_3", F.col("rev_e6")).otherwise(0)
         ).alias("nation_rev_e6"),
         F.sum("rev_e6").alias("total_rev_e6"),
+        # decimal-widened multiply — same overflow guard as q14
         F.expr(
-            "(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)"
-            " * 1000000L) div SUM(rev_e6)"
+            "(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6"
+            " ELSE 0 END) AS DECIMAL(38,0)) * 1000000) div SUM(rev_e6)"
         ).alias("share_e6"),
     )
 

@@ -1,11 +1,12 @@
 """Additional registered queries: SQL-form decode (P10), JSON props
-parsing, pivot, exact quantiles, as-of join, approximate sketches.
+parsing, pivot, exact quantiles, as-of join, keyless interval join,
+approximate sketches (HLL distinct + GK quantiles with bounds oracles),
+and constraint validation.
 
 These round out SURVEY.md §2 coverage: P10 (the reference's SQL-over-view
 idiom) gets a literal SQL implementation proving both IR forms produce
-identical results, and the as-of/pivot/quantile/sketch entries cover the
-"common OLAP patterns" a reference user would expect from a general
-engine.
+identical results, and the rest cover the "common OLAP patterns" a
+reference user would expect from a general engine.
 """
 
 from __future__ import annotations
