@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
 from ..functions.vectors import embedding_dim, flat_dot, flatten, norm_unrolled
+from ..session import scope_caches
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -75,6 +76,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 1,
     max_shingle_freq: int | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -86,7 +88,14 @@ def ngram_jaccard_pairs(
     docs before the self-join; at scale this is what prevents the
     quadratic blowup on stop-shingles (a term in f docs contributes f²
     join rows).
+
+    Cache lifecycle: the persisted inverted index is scoped to the
+    returned frame (released when the caller drops it).  Callers that
+    derive new frames from the result and drop the original should pass
+    ``caches`` (a list) and scope the appended entries to the frame they
+    ultimately hold — see plans/registry.dedup_lsh_recall.
     """
+    own: list[DataFrame] = [] if caches is None else caches
     # The inverted index is read three times (sizes + both join sides) —
     # persist it (MEMORY_AND_DISK) and materialize eagerly: AQE runs the
     # branches as concurrent query stages that would all miss a lazy
@@ -94,6 +103,7 @@ def ngram_jaccard_pairs(
     # materialize-the-index step of any shingle pipeline.
     e = _exploded_terms(docs, n).persist()
     e.count()
+    own.append(e)
     if max_shingle_freq is not None:
         # Anti-join against the STOP-shingle set (df > cap) — the small
         # side by construction (heavy hitters are few), so AQE broadcasts
@@ -124,12 +134,13 @@ def ngram_jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
-    return (
+    ret = (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return ret if caches is not None else scope_caches(ret, *own)
 
 
 def minhash_lsh_pairs(
@@ -138,6 +149,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_hashes: int = 8,
     num_bands: int = 4,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → signature → band-bucket join
     → exact-Jaccard verification of candidates.
@@ -162,8 +174,10 @@ def minhash_lsh_pairs(
     # downstream branches execute as concurrent query stages, which all
     # MISS a lazily-filled cache and recompute the full
     # scan+explode+window+distinct lineage (measured 3-5× the runtime).
+    own: list[DataFrame] = [] if caches is None else caches
     e = _exploded_terms(docs, shingle_n).persist()
     e.count()
+    own.append(e)
     # One pass computes set size AND all signature mins (shared groupBy).
     sig = e.groupBy("doc_id").agg(
         F.count("*").alias("sz"),
@@ -209,6 +223,7 @@ def minhash_lsh_pairs(
         .persist()
     )
     cand.count()
+    own.append(cand)
     # Exact-Jaccard verification, candidate-bounded: semi-join the
     # exploded index down to docs that appear in ANY candidate pair
     # BEFORE collect_set, so the expensive set materialization (and every
@@ -238,12 +253,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
+    ret = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return ret if caches is not None else scope_caches(ret, *own)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:

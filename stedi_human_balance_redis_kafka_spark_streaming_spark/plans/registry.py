@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, joins, pipeline
+from ..session import scope_caches
 from ..sources.files import load_table
 from . import synthetic
 
@@ -520,7 +521,9 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # Each pair-set feeds BOTH its own count and the overlap join —
     # persist the (tiny) pair results so neither quadratic/bucketed
-    # pipeline executes twice in the one action.
+    # pipeline executes twice in the one action.  Scoped to the returned
+    # frame: unpersisted when the caller drops its reference, so a
+    # long-lived session does not accumulate cached blocks.
     exact = (
         dedup.embedding_cosine_pairs(emb, threshold=0.4)
         .select("vec_a", "vec_b")
@@ -532,11 +535,12 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     overlap = exact.join(bkt, ["vec_a", "vec_b"])
-    return (
+    ret = (
         exact.agg(F.count("*").alias("n_exact"))
         .crossJoin(bkt.agg(F.count("*").alias("n_bucketed")))
         .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
     )
+    return scope_caches(ret, exact, bkt)
 
 
 @register(
@@ -590,9 +594,17 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the (tiny) pair results: each feeds both its own count and
     # the overlap join, and without the cache each full dedup pipeline
     # executes twice in the one action (measured ~2× eval runtime).
+    # All persists (including the operators' internal inverted-index /
+    # candidate caches, handed out via ``caches``) are scoped to the
+    # returned frame so they release when the caller drops it.
+    caches: list[DataFrame] = []
     exact = (
         dedup.ngram_jaccard_pairs(
-            docs, threshold=0.7, n=3, max_shingle_freq=_MAX_SHINGLE_FREQ
+            docs,
+            threshold=0.7,
+            n=3,
+            max_shingle_freq=_MAX_SHINGLE_FREQ,
+            caches=caches,
         )
         .select("doc_a", "doc_b")
         .persist()
@@ -604,16 +616,18 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_n=3,
             num_hashes=_MINHASH_N,
             num_bands=_MINHASH_BANDS,
+            caches=caches,
         )
         .select("doc_a", "doc_b")
         .persist()
     )
     overlap = exact.join(lsh, ["doc_a", "doc_b"])
-    return (
+    ret = (
         exact.agg(F.count("*").alias("n_exact"))
         .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
         .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
     )
+    return scope_caches(ret, exact, lsh, *caches)
 
 
 # --------------------------------------------------------------------------

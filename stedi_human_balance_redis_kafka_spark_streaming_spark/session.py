@@ -15,10 +15,39 @@ wrong in both directions.  This factory pins the settings that matter:
 from __future__ import annotations
 
 import os
+import weakref
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def scope_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of ``cached`` (persisted) frames to ``result``.
+
+    Query functions return plans lazily — the caller runs the action — so
+    an in-function ``unpersist()`` would evict the cache before it is ever
+    hit.  Instead, register a ``weakref.finalize`` on the *result* frame:
+    when the caller drops its reference (i.e. after the action completes,
+    in every registry/bench/driver call pattern), each cached frame is
+    unpersisted (non-blocking) so a long-lived session does not accumulate
+    blocks in the block manager.
+
+    The finalizer holds only the JVM ``Dataset`` handles, never the Python
+    ``result`` object, so it cannot keep the result alive.  Errors are
+    swallowed: at interpreter shutdown the JVM gateway may already be gone.
+    """
+    jdfs = [c._jdf for c in cached]
+
+    def _release(jdfs=jdfs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def get_spark(

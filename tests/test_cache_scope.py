@@ -1,0 +1,76 @@
+"""Cache-lifecycle tests: persisted intermediates must not outlive their query.
+
+Round-3 VERDICT flagged that the recall-eval queries (and the dedup
+operators' inverted-index caches) persist() without unpersist(), so a
+long-lived session accumulates blocks until the ContextCleaner happens to
+reclaim them.  session.scope_caches ties each persist to the lifetime of
+the frame the caller actually holds; these tests assert the blocks are
+gone from the block manager once the result is dropped.
+"""
+
+from __future__ import annotations
+
+import gc
+import time
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import dedup
+from stedi_human_balance_redis_kafka_spark_streaming_spark.plans import registry
+from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import load_table
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _assert_drains_to(spark, baseline: int) -> None:
+    # unpersist(blocking=False) removes the RDD from the persistentRdds
+    # map synchronously; poll briefly anyway to absorb finalizer timing.
+    for _ in range(50):
+        if _persistent_rdd_count(spark) <= baseline:
+            return
+        gc.collect()
+        time.sleep(0.1)
+    assert _persistent_rdd_count(spark) <= baseline
+
+
+def test_operator_self_scope_releases_caches(spark, sf_dir):
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    result = dedup.minhash_lsh_pairs(docs, threshold=0.7, shingle_n=3)
+    assert _persistent_rdd_count(spark) > baseline  # index + candidates live
+    result.count()
+    del result
+    _assert_drains_to(spark, baseline)
+
+
+def test_recall_query_releases_all_caches(spark, sf_dir):
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    result = registry.queries()["dedup_lsh_recall"](spark, sf_dir)
+    rows = result.collect()
+    assert len(rows) == 1
+    assert _persistent_rdd_count(spark) > baseline
+    del result
+    _assert_drains_to(spark, baseline)
+
+
+def test_caches_survive_until_action(spark, sf_dir):
+    # The scope must NOT evict eagerly: while the caller holds the result,
+    # the operators' eagerly-materialized caches stay hot for the action.
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    caches: list = []
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.7, n=3, max_shingle_freq=64, caches=caches
+    )
+    assert len(caches) == 1
+    n_live = _persistent_rdd_count(spark)
+    assert n_live > baseline
+    gc.collect()
+    assert _persistent_rdd_count(spark) == n_live  # nothing released early
+    pairs.count()
+    for c in caches:
+        c.unpersist(False)
+    _assert_drains_to(spark, baseline)
