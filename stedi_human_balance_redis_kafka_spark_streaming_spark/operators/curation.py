@@ -189,6 +189,119 @@ def connected_components(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY-LARGER
+    neighbors to the minimum of its closed neighborhood.  Input/output
+    edges oriented (u > v); output preserves the orientation because the
+    emitted parent m ≤ u < v for every emitted pair (v, m)."""
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller neighbors
+    (and itself) to the minimum of that set.  Edges oriented (u > v) on
+    both sides."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    j = e.join(mins, "u")
+    rewired = j.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    to_min = j.select("u", F.col("m").alias("v"))
+    return rewired.unionByName(to_min).distinct()
+
+
+def cc_star(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond").  Output: (doc_id, cluster_id) — identical clusters to
+    ``connected_components`` (cluster_id = component-minimum node id);
+    property-tested equivalent on random graphs.
+
+    Why it exists: min-label propagation converges in O(component
+    diameter) rounds, which on a long-chain graph (billions of edges,
+    path-shaped components) is the scale killer.  Star contraction
+    halves tree heights every alternation — O(log n) rounds regardless
+    of diameter — at the cost of ~2 shuffles per alternation instead
+    of 1.  For near-dup graphs (clique-ish, diameter 2-4) propagation
+    wins; for long-chain graphs this is the right engine.
+
+    Fixpoint detection: a cheap (count, Σu, Σv) probe (exact
+    decimal(38,0) sums) gates an EXACT set-equality check
+    (``exceptAll``), so a probe collision can never terminate the loop
+    early — the exact check runs only on probe-stable rounds, on the
+    contracted (star-shaped, ≈|V|-edge) edge set.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _probe(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).first()
+        return (row["n"], row["su"], row["sv"])
+
+    prev = _probe(e)
+    converged = False
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        cur = _probe(nxt)
+        if cur == prev:
+            # Probe-stable: confirm exactly (both directions; counts are
+            # equal so one exceptAll side plus the count check suffices).
+            if nxt.exceptAll(e).isEmpty():
+                e = nxt
+                converged = True
+                break
+        prev = cur
+        e = nxt
+    if not converged:
+        raise RuntimeError(
+            f"cc_star did not reach the edge fixpoint in {max_iter} "
+            f"alternations — raise max_iter"
+        )
+    # Fixpoint edges are per-component stars (child u → component-min v);
+    # roots never appear as a child.  min() is belt-and-braces: at the
+    # fixpoint each child has exactly one parent.
+    parents = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    return (
+        nodes.join(parents, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench_modulus: int = 97,

@@ -691,13 +691,12 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    # Transitive duplicate clusters over the trigram-Jaccard pair graph:
-    # Spark runs iterative min-label propagation; the oracle computes the
-    # same fixpoint via a recursive reachability CTE (cluster_id == min
-    # reachable doc_id, self included).
-    oracle=f"""
+# Transitive duplicate clusters over the trigram-Jaccard pair graph: the
+# oracle computes the min-reachable-id fixpoint via a recursive
+# reachability CTE (cluster_id == min reachable doc_id, self included).
+# Shared by BOTH Spark algorithms (label propagation and star
+# contraction) — they must produce the identical assignment.
+_SQL_CC_ORACLE = f"""
     WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
     sym AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -711,18 +710,34 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
     FROM reach GROUP BY u
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster extraction: connected components (iterative
-    min-label propagation) over the ngram-Jaccard near-dup pair graph."""
-    pairs = dedup.ngram_jaccard_pairs(
+    """
+
+
+def _dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.7,
         n=3,
         max_shingle_freq=_MAX_SHINGLE_FREQ,
     )
-    return curation.connected_components(pairs)
+
+
+@register("dedup_clusters", oracle=_SQL_CC_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: connected components (iterative
+    min-label propagation) over the ngram-Jaccard near-dup pair graph.
+    O(diameter) rounds — the right engine for clique-ish near-dup
+    graphs (measured diameter 2-4)."""
+    return curation.connected_components(_dup_pair_graph(spark, sf_dir))
+
+
+@register("dedup_clusters_star", oracle=_SQL_CC_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters by large-star/small-star contraction — the
+    O(log n)-round engine for long-chain graphs at billion-edge scale;
+    identical assignment to dedup_clusters (same oracle), supplementary
+    dual outside the driver window."""
+    return curation.cc_star(_dup_pair_graph(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -1364,6 +1379,9 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     # deterministic fake decode; frame_sample is the stronger multi-row
     # claim (metadata + byte_features + frame_sample stay in-window)
     "multimodal_resize": "multimodal_frame_sample",
+    # identical cluster assignment + identical oracle; star contraction
+    # is the long-chain-graph engine, propagation the in-window carrier
+    "dedup_clusters_star": "dedup_clusters",
 }
 
 # Extended tier: capabilities ADDED beyond the 50-slot driver window (not

@@ -182,3 +182,47 @@ def test_identical_docs_always_become_lsh_pair(spark, words):
         for r in minhash_lsh_pairs(df, threshold=0.7).collect()
     }
     assert pairs.get((0, 1)) == 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cc_star_matches_label_propagation(spark, edges):
+    # Large-star/small-star contraction and min-label propagation must
+    # produce identical (doc_id, cluster_id) assignments on any graph —
+    # including self-loops, duplicates, and multi-component shapes.
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        cc_star,
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    prop = {(r.doc_id, r.cluster_id) for r in connected_components(df).collect()}
+    star = {(r.doc_id, r.cluster_id) for r in cc_star(df).collect()}
+    assert star == prop
+
+
+def test_cc_star_long_chain(spark):
+    # A 64-node path is the propagation worst case (diameter 63 >
+    # propagation's default max_iter); star contraction must converge in
+    # O(log n) alternations and still label every node with the chain min.
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        cc_star,
+    )
+
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    out = cc_star(df, max_iter=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert {r.doc_id for r in out} == set(range(64))
