@@ -30,19 +30,38 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
-    truncate to microseconds (integer DIV — no double round-trip, which
-    would lose precision on epoch-nanos magnitudes) to match how DuckDB
-    coerces the same column.
+    ``events.ts`` is normalized to TIMESTAMP (an instant) whatever the
+    generator wrote:
+
+    - parquet TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      it arrives as a long that we truncate to microseconds (integer DIV —
+      no double round-trip, which would lose precision on epoch-nanos
+      magnitudes) to match how DuckDB coerces the same column.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ; we re-anchor the wall-clock value as-if-UTC via pure
+      NTZ arithmetic (``timestampdiff`` against the NTZ epoch), which is
+      session-timezone-INDEPENDENT — a plain ``cast(ts as timestamp)``
+      would interpret the wall clock in the session zone and shift the
+      epoch under non-UTC drivers.  DuckDB's naive ``epoch_us(ts)`` agrees
+      with this anchoring exactly.
     """
     if name == "events":
         # Set at read time (runtime-settable SQL conf) so the loader works
         # under ANY caller-provided session, not just our factory's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
     return df
 
 
