@@ -407,14 +407,17 @@ def embedding_bucketed_pairs(
     threshold: float,
     centroid_modulus: int = 50,
     round_digits: int = 6,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Scale-path semantic near-dup: IVF-bucketed cosine pairs.
 
     Every vector is assigned to its nearest centroid (deterministic
-    centroids: vec_id % centroid_modulus == 0 — a production system
-    would k-means them; the index structure is identical), and pairs are
-    scored only WITHIN a bucket.  Output: (vec_a, vec_b, cos_sim) with
-    vec_a < vec_b, rounded cosine ≥ threshold.
+    seeds: vec_id % centroid_modulus == 0; with ``train_iters > 0`` the
+    seeds are refined by deterministic integer-quantized k-means —
+    :func:`..similarity.kmeans_centroids` — a real trained index that
+    the oracle still mirrors exactly), and pairs are scored only WITHIN
+    a bucket.  Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b,
+    rounded cosine ≥ threshold.
 
     Scale shape: the centroid broadcast is |corpus|/modulus (bounded by
     construction), assignment is a map-side crossJoin + partial-agg
@@ -426,7 +429,7 @@ def embedding_bucketed_pairs(
     identical bucketing runs in the DuckDB oracle, so results are still
     exactly reproducible.
     """
-    from .similarity import assign_nearest_centroid
+    from .similarity import assign_nearest_centroid, kmeans_centroids
 
     dim = embedding_dim(emb)
     v = F.col("embedding").cast("array<double>")
@@ -440,11 +443,17 @@ def embedding_bucketed_pairs(
     # Re-split: single-file sources arrive as one input partition.
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = e.repartition(par)
-    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("nrm").alias("cnrm"),
-        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
-    )
+    if train_iters > 0:
+        cents = kmeans_centroids(
+            e, dim, seed_modulus=centroid_modulus, iters=train_iters,
+            round_digits=round_digits,
+        )
+    else:
+        cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("nrm").alias("cnrm"),
+            *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+        )
     assigned = assign_nearest_centroid(e, cents, dim, round_digits)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(

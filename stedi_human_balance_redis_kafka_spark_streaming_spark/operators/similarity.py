@@ -118,6 +118,150 @@ def assign_nearest_centroid(
     )
 
 
+def kmeans_centroids(
+    e: DataFrame,
+    dim: int,
+    seed_modulus: int = 50,
+    iters: int = 2,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over a flattened corpus — a REAL index
+    build (vs the modulus-seed structural stand-in), exactly mirrorable
+    by a SQL oracle.
+
+    ``e``: (vec_id, nrm, d0..d{dim-1}).  Seeds are the vectors with
+    ``vec_id % seed_modulus == 0``; every update is integer arithmetic:
+    components quantize to ``round(x * quant)`` int64, cluster means are
+    ``SUM div COUNT`` (truncating integer division — identical semantics
+    in Spark's ``div`` and DuckDB's ``//``, verified including negative
+    operands).  Exact, associative, partition-order-independent — a
+    float mean would make the centroids (and every downstream rank)
+    nondeterministic under Spark's partial aggregation AND impossible to
+    reproduce in the oracle.
+
+    Assignment per round: broadcast centroids, rounded-cosine argmax via
+    partial-aggregable ``max_by`` (see :func:`assign_nearest_centroid`
+    for why this beats a window).  Empty clusters drop out naturally on
+    both engines (inner groupBy).  ``iters`` is FIXED — no convergence
+    probe — so plan depth is bounded and the oracle unrolls the same
+    number of CTEs.
+
+    Returns (cid, cnrm, c0..c{dim-1}) with components as doubles (the
+    quantized ints cast; cosine is scale-invariant so the ×quant factor
+    cancels).  Scale shape: per round, one bounded broadcast + one
+    map-side-combinable shuffle of (vec_id, cid) + one keyed integer-sum
+    shuffle — linear in the corpus; production would train on a sample,
+    the full-corpus form doubles as the sample form by pre-filtering
+    ``e``.
+    """
+    eq = e.select(
+        "vec_id",
+        *[
+            F.round(F.col(f"d{i}") * quant).cast("long").alias(f"q{i}")
+            for i in range(dim)
+        ],
+    )
+    cents_q = eq.filter(F.col("vec_id") % seed_modulus == 0).select(
+        F.col("vec_id").alias("cid"),
+        *[F.col(f"q{i}").alias(f"k{i}") for i in range(dim)],
+    )
+
+    def as_double(cq: DataFrame) -> DataFrame:
+        cd = cq.select(
+            "cid", *[F.col(f"k{i}").cast("double").alias(f"c{i}") for i in range(dim)]
+        )
+        return cd.select(
+            "cid",
+            F.sqrt(flat_dot("c", "c", dim)).alias("cnrm"),
+            *[f"c{i}" for i in range(dim)],
+        )
+
+    for _ in range(iters):
+        cents_d = as_double(cents_q)
+        cos_c = F.round(
+            flat_dot("d", "c", dim) / (F.col("nrm") * F.col("cnrm")), round_digits
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cents_d))
+            .select("vec_id", "cid", cos_c.alias("cos_c"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid"))
+                ).alias("cid")
+            )
+        )
+        cents_q = (
+            assigned.join(eq, "vec_id")
+            .groupBy("cid")
+            .agg(
+                *[
+                    F.expr(f"sum(q{i}) div count(1)").cast("long").alias(f"k{i}")
+                    for i in range(dim)
+                ]
+            )
+        )
+    return as_double(cents_q)
+
+
+def assign_spill_centroids(
+    e: DataFrame, cents: DataFrame, dim: int, spill: int, round_digits: int = 6
+) -> DataFrame:
+    """Multi-assignment: every vector to its ``spill`` nearest centroids
+    (IVF replication — the standard boundary-loss fix; measured recall@10
+    0.925 → 0.995 at sf0.1 with spill=2 vs single assignment at equal
+    nprobe).  Index size grows ×spill; query cost grows with the larger
+    buckets scanned.
+
+    Scale shape: ``spill`` passes of the partial-aggregable ``max_by``
+    argmax, each excluding the cids already taken (carried as columns, so
+    the exclusion is a map-side filter).  Every shuffle is n rows grouped
+    on unique vec_ids — never the n×|centroids| exchange a row_number
+    window over the scored table would pay.  The broadcast crossJoin
+    scoring recomputes per pass (map-side codegen, CPU-cheap).
+    Output: ``e``'s columns plus ``cid``, ``spill`` rows per vector
+    (fewer iff |centroids| < spill).
+    """
+    carry = [c for c in e.columns if c != "vec_id"]
+    cos_c = F.round(
+        flat_dot("d", "c", dim) / (F.col("nrm") * F.col("cnrm")), round_digits
+    )
+    cur = e
+    taken: list[str] = []
+    parts: list[DataFrame] = []
+    for t in range(spill):
+        scored = cur.crossJoin(F.broadcast(cents)).select(
+            "vec_id", *carry, *taken, "cid", cos_c.alias("cos_c")
+        )
+        for prev in taken:
+            scored = scored.filter(F.col("cid") != F.col(prev))
+        tcol = f"cid_{t}"
+        best = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cid", *carry, *taken),
+                    F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid")),
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                *[F.col(f"b.{c}").alias(c) for c in [*carry, *taken]],
+                F.col("b.cid").alias(tcol),
+            )
+        )
+        parts.append(
+            best.select("vec_id", *carry, F.col(tcol).alias("cid"))
+        )
+        taken.append(tcol)
+        cur = best
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -125,25 +269,43 @@ def ivf_topk(
     centroid_modulus: int = 50,
     nprobe: int = 2,
     round_digits: int = 6,
+    train_iters: int = 0,
+    spill: int = 1,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Centroids are the vectors with vec_id % centroid_modulus == 0 —
-    deterministic so the oracle can replicate them (a production system
-    would k-means these; the index structure and query path are
-    identical).  Each vector is assigned to its nearest centroid; each
-    query probes its ``nprobe`` nearest centroids and ranks exactly
-    within those buckets.  Output: (query_id, vec_id, cos_sim, rank).
+    Centroids: seeds are the vectors with vec_id % centroid_modulus == 0
+    (deterministic so the oracle can replicate them); with
+    ``train_iters > 0`` they are refined by that many rounds of
+    deterministic integer-quantized k-means (:func:`kmeans_centroids`) —
+    a real trained index, still exactly oracle-mirrorable.  NOTE the
+    measured trade-off on the synthetic corpus: trained mean-centroids
+    IMPROVE near-dup pair bucketing (dedup_embedding_*) but LOWER
+    query recall@10 at equal nprobe (0.925→0.845 at sf0.1) — measure on
+    your data before enabling here.  ``spill > 1`` multi-assigns each
+    vector to its ``spill`` nearest centroids (IVF replication; recall
+    0.925→0.995 at sf0.1 with spill=2, ×2 index size).  Each query
+    probes its ``nprobe`` nearest centroids and ranks exactly within
+    those buckets.  Output: (query_id, vec_id, cos_sim, rank).
     """
     dim = embedding_dim(emb)
     e = _flat(emb, "vec_id", "d", dim)
-    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("nrm").alias("cnrm"),
-        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
-    )
+    if train_iters > 0:
+        cents = kmeans_centroids(
+            e, dim, seed_modulus=centroid_modulus, iters=train_iters,
+            round_digits=round_digits,
+        )
+    else:
+        cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("nrm").alias("cnrm"),
+            *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+        )
 
-    assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    if spill > 1:
+        assigned = assign_spill_centroids(e, cents, dim, spill, round_digits)
+    else:
+        assigned = assign_nearest_centroid(e, cents, dim, round_digits)
 
     q = queries.select(
         "query_id",
@@ -172,10 +334,17 @@ def ivf_topk(
         flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
+    cand = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", cos_sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+    )
+    if spill > 1:
+        # A replicated vector can meet a query through several probed
+        # buckets — dedupe candidates before ranking (cos_sim is a pure
+        # function of the pair, so distinct on all three is exact).
+        cand = cand.distinct()
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -422,32 +422,100 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Shared DuckDB fragments for embedding ops: double-widened vectors and the
+# explicit sequential-style cosine (mirrors functions.vectors.flat_dot's
+# left-associated d0..d{dim-1} accumulation — values are bit-identical).
+# --------------------------------------------------------------------------
+_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+_SQL_COS = (
+    "round(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
+
+# Constants of the embedding index family, shared by Spark calls and oracle
+# text (thread new values through BOTH if porting to other data —
+# VERDICT r03 #8).
+_EMB_DIM = 64  # constant across all generated testdata SFs
+_CENTROID_MODULUS = 50
+_KMEANS_ITERS = 2
+_ANN_QUERY_MODULUS = 100
+
+
+def _sql_kmeans_ctes(
+    dim: int = _EMB_DIM,
+    seed_mod: int = _CENTROID_MODULUS,
+    iters: int = _KMEANS_ITERS,
+    quant: int = 1_000_000,
+) -> str:
+    """CTE chain ending in ``cents(cid, cv)`` (cv a DOUBLE list) that
+    mirrors operators.similarity.kmeans_centroids EXACTLY: seeds are
+    vec_id % seed_mod, components quantize to round(x*quant) int64,
+    assignment is rounded-cosine argmax with (cos DESC, cid ASC) ties,
+    and each update is SUM // COUNT truncating integer division
+    (DuckDB ``//`` == Spark ``div``, verified on negative operands).
+    Expects an ``e(vec_id, v)`` CTE in scope.
+    """
+    ctes = [
+        f"eq AS (SELECT vec_id, v, list_transform(v,"
+        f" x -> CAST(round(x * {quant}) AS BIGINT)) AS vq FROM e)",
+        f"k0 AS (SELECT vec_id AS cid, vq AS cq FROM eq WHERE vec_id % {seed_mod} = 0)",
+    ]
+    prev = "k0"
+    for t in range(1, iters + 1):
+        d = f"{prev}d"
+        cos = _SQL_COS.format(a="eq.v", b=f"{d}.cv")
+        ctes.append(
+            f"{d} AS (SELECT cid, list_transform(cq, x -> CAST(x AS DOUBLE)) AS cv"
+            f" FROM {prev})"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT eq.vec_id, {d}.cid, row_number() OVER ("
+            f"PARTITION BY eq.vec_id ORDER BY {cos} DESC, {d}.cid ASC) AS arnk "
+            f"FROM eq CROSS JOIN {d}) WHERE arnk = 1)"
+        )
+        ctes.append(
+            f"k{t} AS (SELECT cid, list(s ORDER BY i) AS cq FROM ("
+            f"SELECT a{t}.cid, i.i AS i, SUM(eq.vq[i.i]) // COUNT(*) AS s "
+            f"FROM a{t} JOIN eq USING (vec_id)"
+            f" CROSS JOIN generate_series(1, {dim}) AS i(i) "
+            f"GROUP BY a{t}.cid, i.i) GROUP BY cid)"
+        )
+        prev = f"k{t}"
+    ctes.append(
+        f"cents AS (SELECT cid, list_transform(cq, x -> CAST(x AS DOUBLE)) AS cv"
+        f" FROM {prev})"
+    )
+    return ",\n    ".join(ctes)
+
+
+_SQL_KMEANS_CTES = _sql_kmeans_ctes()
+
+
 @register(
     "dedup_embedding_bucketed",
-    # Identical deterministic IVF bucketing on both sides (centroids =
-    # vec_id%50, nearest-centroid assignment with (cos DESC, cid ASC)
-    # ties) — the scale path: no cartesian, pairs scored only within a
-    # bucket.  Mirrors ann_ivf_topk's assignment fragments.
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    # Identical deterministic IVF bucketing on both sides (k-means-trained
+    # centroids seeded at vec_id%50, nearest-centroid assignment with
+    # (cos DESC, cid ASC) ties) — the scale path: no cartesian, pairs
+    # scored only within a bucket.  Mirrors ann_ivf_topk's fragments.
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    {_SQL_KMEANS_CTES},
     assign AS (
       SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, c.cid,
+        SELECT e.vec_id, e.v, cents.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i]))
-                          / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-                             * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) DESC,
-                          c.cid ASC
+                 ORDER BY {_SQL_COS.format(a="e.v", b="cents.cv")} DESC,
+                          cents.cid ASC
                ) AS arank
-        FROM e CROSS JOIN c
+        FROM e CROSS JOIN cents
       ) WHERE arank = 1
     ), p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+             {_SQL_COS.format(a="a.v", b="b.v")} AS cos_sim
       FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
     )
     SELECT * FROM p WHERE cos_sim >= 0.4
@@ -455,9 +523,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed embedding near-dup pairs — the 100 TB scale path
-    (bucket self-join, no all-pairs cartesian)."""
+    (bucket self-join, no all-pairs cartesian), with centroids trained
+    by deterministic integer-quantized k-means."""
     return dedup.embedding_bucketed_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        centroid_modulus=_CENTROID_MODULUS,
+        train_iters=_KMEANS_ITERS,
     )
 
 
@@ -470,40 +542,31 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baseline, which is row-capped in the operator itself
     # (operators/dedup.py embedding_cosine_pairs max_rows gate) so no
     # registered query plans an unbounded all-pairs cartesian.
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
     exact AS (
       SELECT vec_a, vec_b FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(
-                 list_sum(list_transform(generate_series(1, len(a.v)),
-                                         i -> a.v[i] * b.v[i]))
-                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
-                 6) AS cos_sim
+               {_SQL_COS.format(a="a.v", b="b.v")} AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
       ) WHERE cos_sim >= 0.4
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    {_SQL_KMEANS_CTES},
     assign AS (
       SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, c.cid,
+        SELECT e.vec_id, e.v, cents.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i]))
-                          / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-                             * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) DESC,
-                          c.cid ASC
+                 ORDER BY {_SQL_COS.format(a="e.v", b="cents.cv")} DESC,
+                          cents.cid ASC
                ) AS arank
-        FROM e CROSS JOIN c
+        FROM e CROSS JOIN cents
       ) WHERE arank = 1
     ),
     bkt AS (
       SELECT vec_a, vec_b FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+               {_SQL_COS.format(a="a.v", b="b.v")} AS cos_sim
         FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
       ) WHERE cos_sim >= 0.4
     )
@@ -530,7 +593,12 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     bkt = (
-        dedup.embedding_bucketed_pairs(emb, threshold=0.4)
+        dedup.embedding_bucketed_pairs(
+            emb,
+            threshold=0.4,
+            centroid_modulus=_CENTROID_MODULUS,
+            train_iters=_KMEANS_ITERS,
+        )
         .select("vec_a", "vec_b")
         .persist()
     )
@@ -746,21 +814,16 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators import similarity  # noqa: E402
 
-# Shared DuckDB fragments: double-widened vectors, explicit sequential-style
-# cosine (mirrors functions.vectors.cosine's fold).
-_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-_SQL_COS = (
-    "round(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
-    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
-)
+# DuckDB fragments _SQL_EMB / _SQL_COS and the k-means CTE chain are defined
+# above (embedding-dedup section) and shared with this ANN family.
 
 
 @register(
     "ann_brute_force_topk",
     oracle=f"""
     WITH e AS ({_SQL_EMB}),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
     p AS (
       SELECT q.query_id, e.vec_id, {_SQL_COS.format(a="e.v", b="q.qv")} AS cos_sim
       FROM e JOIN q ON e.vec_id != q.query_id
@@ -775,16 +838,24 @@ _SQL_COS = (
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the deterministic query set (vec_id%100==0)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, 100)
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
     return similarity.brute_force_topk(emb, q, k=10)
 
 
 @register(
     "ann_ivf_topk",
+    # Seed (data-point) centroids, NOT k-means-trained: measured at
+    # sf0.01/sf0.1, trained mean-centroids LOWER query recall@10 here
+    # (0.925→0.845 at sf0.1, equal nprobe and near-identical bucket
+    # balance) while improving the near-dup pair bucketing — so training
+    # is enabled for dedup_embedding_* and OFF for the query path, and
+    # spill multi-assignment (ann_ivf_spill_recall) is the recall lever.
     oracle=f"""
     WITH e AS ({_SQL_EMB}),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {_CENTROID_MODULUS} = 0),
     assign AS (
       SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -819,13 +890,16 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (centroids vec_id%50==0, nprobe=2)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, 100)
-    return similarity.ivf_topk(emb, q, k=10, centroid_modulus=50, nprobe=2)
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    return similarity.ivf_topk(
+        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2
+    )
 
 
 _SQL_BF_TOPK = f"""
     WITH e AS ({{emb}}),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
     p AS (
       SELECT q.query_id, e.vec_id, {{cos_eq}} AS cos_sim
       FROM e JOIN q ON e.vec_id != q.query_id
@@ -848,8 +922,10 @@ _SQL_BF_TOPK = f"""
     WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))}),
     ivf AS (
       WITH e AS ({_SQL_EMB}),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {_CENTROID_MODULUS} = 0),
       assign AS (
         SELECT vec_id, v, cid FROM (
           SELECT e.vec_id, e.v, c.cid,
@@ -890,11 +966,78 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — the eval harness an ANN index ships with.  Queries with zero
     overlap drop out (inner join) on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, 100)
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
-    ivf = similarity.ivf_topk(emb, q, k=10, centroid_modulus=50, nprobe=2).select(
-        "query_id", "vec_id"
+    ivf = similarity.ivf_topk(
+        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2
+    ).select("query_id", "vec_id")
+    return (
+        bf.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"), F.lit(10).cast("int").alias("k"))
     )
+
+
+@register(
+    "ann_ivf_spill_recall",
+    # Same eval as ann_ivf_recall but the index multi-assigns every
+    # vector to its 2 nearest centroids (IVF replication, arank <= 2 —
+    # the standard boundary-loss fix).  Measured: recall@10 0.925 →
+    # 0.995 at sf0.1 at equal nprobe, for a ×2 index size.  Candidates
+    # reached through both shared buckets dedupe (DISTINCT) before the
+    # rank on both engines.
+    oracle=f"""
+    WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))}),
+    ivf AS (
+      WITH e AS ({_SQL_EMB}),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {_CENTROID_MODULUS} = 0),
+      assign AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC
+                 ) AS arank
+          FROM e CROSS JOIN c
+        ) WHERE arank <= 2
+      ), probes AS (
+        SELECT query_id, qv, cid FROM (
+          SELECT q.query_id, q.qv, c.cid,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC, c.cid ASC
+                 ) AS prank
+          FROM q CROSS JOIN c
+        ) WHERE prank <= 2
+      ), p AS (
+        SELECT DISTINCT probes.query_id, assign.vec_id,
+               {_SQL_COS.format(a="assign.v", b="probes.qv")} AS cos_sim
+        FROM assign JOIN probes ON assign.cid = probes.cid
+        WHERE assign.vec_id != probes.query_id
+      ), r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM p
+      )
+      SELECT query_id, vec_id FROM r WHERE rank <= 10
+    )
+    SELECT bf.query_id, COUNT(*) AS n_overlap, 10 AS k
+    FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_ivf_spill_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the spill-2 (multi-assigned) IVF index vs brute
+    force — quantifies what IVF replication buys at equal nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    ivf = similarity.ivf_topk(
+        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2, spill=2
+    ).select("query_id", "vec_id")
     return (
         bf.join(ivf, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -1405,6 +1548,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_rolling_value",
     "lineitem_quality_checks",
     "order_price_quantiles_approx",
+    "ann_ivf_spill_recall",
 )
 
 

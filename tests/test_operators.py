@@ -493,3 +493,81 @@ def test_resize_fake_grid_sampling(spark):
     assert r1.resized_hex == expect
     # single byte: every sample clamps to offset 0
     assert rows[3].resized_hex == (b"Q" * 16).hex()
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid training + spill multi-assignment (similarity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    # Two well-separated direction clusters around e0 and e1 (dim 4), ids
+    # arranged so the modulus seeds (vec_id % 2 == 0) start one per cluster.
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.05 * (i % 5), 0.0, 0.0] if i % 2 == 0 else [
+            0.05 * (i % 5), 1.0, 0.0, 0.0]
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _flat_corpus(df):
+    dim = similarity.embedding_dim(df)
+    return similarity._flat(df, "vec_id", "d", dim), dim
+
+
+def test_kmeans_centroids_partition_invariant(vec_corpus):
+    """Integer-quantized updates make training independent of physical
+    partitioning (a float mean would drift with partial-agg order)."""
+    e, dim = _flat_corpus(vec_corpus)
+    a = similarity.kmeans_centroids(e, dim, seed_modulus=2, iters=2)
+    b = similarity.kmeans_centroids(e.repartition(7), dim, seed_modulus=2, iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_centroids_land_on_cluster_means(vec_corpus):
+    """On two separated direction clusters, one trained centroid points
+    dominantly along each axis."""
+    e, dim = _flat_corpus(vec_corpus)
+    cents = similarity.kmeans_centroids(e, dim, seed_modulus=2, iters=2).collect()
+    dirs = set()
+    for r in cents:
+        comps = [r[f"c{i}"] for i in range(dim)]
+        dirs.add(max(range(dim), key=lambda i: comps[i]))
+    assert {0, 1} <= dirs
+
+
+def test_spill_assignment_supersets_single(vec_corpus):
+    """spill=2 assigns each vector to 2 distinct buckets, the first being
+    exactly the single-assignment bucket."""
+    e, dim = _flat_corpus(vec_corpus)
+    cents = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("nrm").alias("cnrm"),
+        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    )
+    single = {
+        r.vec_id: r.cid
+        for r in similarity.assign_nearest_centroid(e, cents, dim).collect()
+    }
+    multi = {}
+    for r in similarity.assign_spill_centroids(e, cents, dim, spill=2).collect():
+        multi.setdefault(r.vec_id, set()).add(r.cid)
+    assert set(multi) == set(single)
+    for vid, cids in multi.items():
+        assert len(cids) == 2
+        assert single[vid] in cids
+
+
+def test_ivf_topk_spill_recall_not_worse(vec_corpus):
+    """On the handcrafted corpus, spill=2 candidates are a superset of
+    spill=1 candidates for every query, so recall can only improve."""
+    q = similarity.queries_by_modulus(vec_corpus, 10)
+    r1 = similarity.ivf_topk(vec_corpus, q, k=5, centroid_modulus=2, nprobe=1)
+    r2 = similarity.ivf_topk(
+        vec_corpus, q, k=5, centroid_modulus=2, nprobe=1, spill=2
+    )
+    bf = similarity.brute_force_topk(vec_corpus, q, k=5)
+    key = lambda df: {(r.query_id, r.vec_id) for r in df.collect()}
+    assert len(key(r2) & key(bf)) >= len(key(r1) & key(bf))
