@@ -361,11 +361,15 @@ def embedding_cosine_pairs(
     higher-order folds are ~100× slower on the quadratic stage).
     """
     if max_rows is not None:
-        n = emb.count()
-        if n > max_rows:
+        # NOTE: an eager (plan-time) action, by design — the gate must
+        # fire before an unbounded O(n²) job is even planned.  Bounded
+        # probe: LIMIT max_rows+1 stops the scan as soon as the cap is
+        # exceeded, instead of counting the full source each call.
+        over = emb.limit(max_rows + 1).count() > max_rows
+        if over:
             raise ValueError(
                 f"embedding_cosine_pairs is the O(n²) brute-force recall "
-                f"baseline, gated at {max_rows} input vectors (got {n}). "
+                f"baseline, gated at {max_rows} input vectors (exceeded). "
                 f"Use embedding_bucketed_pairs for the scale path, or pass "
                 f"max_rows=None to override deliberately."
             )

@@ -1246,6 +1246,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q8's data-coupled parameters, shared by the Spark plan and the oracle
+# text — swap BOTH by changing these constants when porting to real data
+# (the values match the driver's synthetic dimension naming).
+Q8_SUPP_NATION = "NATION_3"
+Q8_CUST_REGION = "AMERICA"
+
+
 @register(
     "q8_market_share",
     # Share per year in exact 1e-6 units (integer div).
@@ -1261,15 +1268,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation cn ON cn.n_nationkey = c.c_nationkey
       JOIN region cr ON cr.r_regionkey = cn.n_regionkey
-       AND cr.r_name = 'AMERICA'
+       AND cr.r_name = '{Q8_CUST_REGION}'
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
+           CAST(SUM(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN rev_e6 ELSE 0 END)
                 AS BIGINT) AS nation_rev_e6,
            CAST(SUM(rev_e6) AS BIGINT) AS total_rev_e6,
-           CAST((SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
+           CAST((SUM(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN rev_e6 ELSE 0 END)
                  * 1000000) // SUM(rev_e6) AS BIGINT) AS share_e6
     FROM t GROUP BY o_year
     """,
@@ -1289,7 +1296,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_CUST_REGION
+    )
     s = load_table(spark, sf_dir, "supplier")
     cust_region = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -1312,12 +1321,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.groupBy("o_year").agg(
         F.sum(
-            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_e6")).otherwise(0)
+            F.when(
+                F.col("supp_nation") == Q8_SUPP_NATION, F.col("rev_e6")
+            ).otherwise(0)
         ).alias("nation_rev_e6"),
         F.sum("rev_e6").alias("total_rev_e6"),
         # decimal-widened multiply — same overflow guard as q14
         F.expr(
-            "(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6"
+            f"(CAST(SUM(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN rev_e6"
             " ELSE 0 END) AS DECIMAL(38,0)) * 1000000) div SUM(rev_e6)"
         ).alias("share_e6"),
     )

@@ -1252,9 +1252,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per
     )
     SELECT source, n_docs, sum_tokens,
-           CAST((sum_tokens * 1000000) // total AS BIGINT) AS share_e6,
-           CAST(least((total * 1000000) // (k * sum_tokens), 1000000)
-                AS BIGINT) AS uniform_rate_e6
+           CAST((CAST(sum_tokens AS HUGEINT) * 1000000) // total
+                AS BIGINT) AS share_e6,
+           CAST(least((CAST(total AS HUGEINT) * 1000000) // (k * sum_tokens),
+                      1000000) AS BIGINT) AS uniform_rate_e6
     FROM per CROSS JOIN tot
     """,
 )
