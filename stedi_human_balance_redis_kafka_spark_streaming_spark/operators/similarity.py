@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY.md §2.6).
 
-Two paths:
+Three index families:
 
 * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set against every vector.  O(n·q); the right answer below ~10⁵ rows and
@@ -12,7 +12,15 @@ Two paths:
   centroids per query, exact-rank only within those buckets.  Scan cost
   drops by ~|centroids|/nprobe; this is the 100 TB path (centroid
   assignment is embarrassingly parallel, candidate sets are pruned before
-  the expensive ranking).
+  the expensive ranking).  Knobs, each oracle-mirrorable and measured by
+  a registered recall eval: ``train_iters`` (deterministic
+  integer-quantized k-means, :func:`kmeans_centroids`) and ``spill``
+  (multi-assignment / IVF replication, :func:`assign_spill_centroids`).
+* ``pq_topk`` — product quantization with ADC: vectors compress to
+  ``n_sub`` codeword ids, queries score candidates through an exact-int
+  lookup table, and only the top-``rerank`` candidates see full-width
+  vectors again.  The memory-bound regime's index (|code| bytes per
+  vector instead of dim floats).
 
 Hot-path arithmetic: vectors are FLATTENED to scalar columns before any
 O(n·q) / O(n·|centroids|) stage (functions.vectors.flatten/flat_dot) —
@@ -155,6 +163,7 @@ def kmeans_centroids(
     the full-corpus form doubles as the sample form by pre-filtering
     ``e``.
     """
+    spark = e.sparkSession
     eq = e.select(
         "vec_id",
         *[
@@ -192,15 +201,32 @@ def kmeans_centroids(
                 ).alias("cid")
             )
         )
-        cents_q = (
+        new_q = (
             assigned.join(eq, "vec_id")
             .groupBy("cid")
             .agg(
-                *[
-                    F.expr(f"sum(q{i}) div count(1)").cast("long").alias(f"k{i}")
-                    for i in range(dim)
-                ]
+                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)],
+                F.count(F.lit(1)).alias("cnt"),
             )
+            .select(
+                "cid",
+                *[
+                    F.expr(f"s{i} div cnt").cast("long").alias(f"k{i}")
+                    for i in range(dim)
+                ],
+            )
+        )
+        # Materialize each round's centroids to a driver-side
+        # LocalRelation (eager, like the dedup-gate precedent).  The
+        # centroid table is BOUNDED by construction — k·dim exact int64s,
+        # kilobytes — and every downstream use broadcasts it anyway;
+        # without this, each broadcast consumer re-executes the whole
+        # training chain (measured ~3x re-run of the early rounds), and
+        # a localCheckpoint still pays multi-stage scheduling per round.
+        # Values are exact integers, so the round-trip is lossless.
+        rows = new_q.collect()
+        cents_q = spark.createDataFrame(
+            rows, schema="cid long, " + ", ".join(f"k{i} long" for i in range(dim))
         )
     return as_double(cents_q)
 
@@ -346,5 +372,187 @@ def ivf_topk(
         cand = cand.distinct()
     return (
         cand.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+#
+# All PQ arithmetic works on RAW flattened components plus per-vector norms,
+# never on per-element-normalized projections: a projection like
+# ``v[i]/nrm`` (64 columns each embedding a 64-term norm subtree) gets
+# inlined by Catalyst's CollapseProject into EVERY downstream reference,
+# exploding the expression tree to minutes of analysis/codegen time.  The
+# normalized-space distances are instead expressed algebraically —
+#   ||x̂_m − ĉ_m||² = ||x_m||²/||x||² + ||c_m||²/||c||² − 2·x_m·c_m/(||x||·||c||)
+# — so each norm is referenced O(1) times per term and both engines compute
+# the identical double sequence.
+
+
+def pq_codebooks(
+    e: DataFrame, dim: int, n_sub: int, seed_modulus: int = 50
+) -> DataFrame:
+    """Seed PQ codebooks: subspace ``m``'s codewords are the RAW
+    subvectors (dims ``m*w .. m*w+w-1``, ``w = dim/n_sub``) of the
+    vectors with vec_id % seed_modulus == 0, carried with the seed's
+    full-vector norm ``cnrm`` (distances are computed in normalized
+    space algebraically).  Deterministic, so the DuckDB oracle slices
+    identical codewords.  Output: (m, code, cnrm, cw0..cw{w-1});
+    bounded by construction → broadcast.
+
+    ``e``: flattened corpus (vec_id, nrm, d0..d{dim-1}) from ``_flat``.
+    """
+    w = dim // n_sub
+    seeds = e.filter(F.col("vec_id") % seed_modulus == 0)
+    parts = [
+        seeds.select(
+            F.lit(m).cast("int").alias("m"),
+            F.col("vec_id").alias("code"),
+            F.col("nrm").alias("cnrm"),
+            *[F.col(f"d{m * w + j}").alias(f"cw{j}") for j in range(w)],
+        )
+        for m in range(n_sub)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _case_component(prefix: str, j: int, n_sub: int, w: int) -> F.Column:
+    """The j-th component of the CURRENT row's subspace ``m`` — an
+    n_sub-way CASE over the flattened columns, codegen'd (no arrays,
+    no UDF)."""
+    expr = F.when(F.col("m") == 0, F.col(f"{prefix}{j}"))
+    for m in range(1, n_sub):
+        expr = expr.when(F.col("m") == m, F.col(f"{prefix}{m * w + j}"))
+    return expr
+
+
+def _sub_terms(prefix: str, n_sub: int, w: int):
+    """(sub_sq, sub_dot) for the current row's subspace ``m``: the
+    subspace's raw squared-norm and its raw dot with cw0..cw{w-1},
+    both as fixed-order left-associated sums."""
+    sq = None
+    dp = None
+    for j in range(w):
+        x = _case_component(prefix, j, n_sub, w)
+        sq_t = x * x
+        dp_t = x * F.col(f"cw{j}")
+        sq = sq_t if sq is None else sq + sq_t
+        dp = dp_t if dp is None else dp + dp_t
+    return sq, dp
+
+
+def pq_encode(
+    e: DataFrame, cb: DataFrame, dim: int, n_sub: int, round_digits: int = 6
+) -> DataFrame:
+    """Encode every vector as ``n_sub`` codeword ids: per subspace, the
+    codeword minimizing the normalized-space L2² (rounded, ties by code
+    ASC — the deterministic tie-break both engines share).
+
+    Scale shape: one broadcast crossJoin against the (m, code) codebook
+    — n·n_sub·k scored rows map-side — collapsed by a partial-aggregable
+    ``min_by`` on the unique (vec_id, m) key BEFORE the exchange, so the
+    shuffle carries n·n_sub rows.  This is exactly how PQ encoding
+    distributes at corpus scale: embarrassingly parallel, no state.
+    Output: (vec_id, m, code).
+    """
+    w = dim // n_sub
+    sub_sq, sub_dot = _sub_terms("d", n_sub, w)
+    csub_sq = None
+    for j in range(w):
+        t = F.col(f"cw{j}") * F.col(f"cw{j}")
+        csub_sq = t if csub_sq is None else csub_sq + t
+    dist = F.round(
+        sub_sq / (F.col("nrm") * F.col("nrm"))
+        + csub_sq / (F.col("cnrm") * F.col("cnrm"))
+        - F.lit(2.0) * sub_dot / (F.col("nrm") * F.col("cnrm")),
+        round_digits,
+    )
+    return (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", "m", "code", dist.alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    seed_modulus: int = 50,
+    rerank: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-ranking.
+
+    Index: vectors are encoded as ``n_sub`` codeword ids
+    (:func:`pq_encode`) in unit-normalized space — the classic
+    memory-compressed ANN index (n_sub small ints per vector instead of
+    dim floats).  Query: ADC — a per-query lookup table of
+    query-subvector·codeword normalized dots, quantized to exact int64
+    1e-12 units so the n_sub-way SUM is associative and
+    partition-order-independent (a double sum would be nondeterministic
+    across partitionings AND engines); candidates are the ``rerank``
+    best ADC scores, re-ranked by exact rounded cosine.  Output:
+    (query_id, vec_id, cos_sim, rank), rank 1..k.
+
+    Scale shape: encode is map-side (see pq_encode); the LUT is
+    q·n_sub·|codebook| rows — broadcast; the ADC join keys on (m, code)
+    against the broadcast LUT, then one partial-aggregable integer SUM
+    collapses the matches to n·q' candidate scores.  Only q·rerank rows
+    reach the exact re-rank, which joins them back to the full-width
+    vectors with both small sides broadcast.  No stage shuffles the
+    full-width corpus.
+    """
+    dim = embedding_dim(emb)
+    w = dim // n_sub
+    e = _flat(emb, "vec_id", "d", dim)
+    cb = pq_codebooks(e, dim, n_sub, seed_modulus)
+    enc = pq_encode(e, cb, dim, n_sub, round_digits)
+
+    q = queries.select(
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    _, qsub_dot = _sub_terms("q", n_sub, w)
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "m",
+        "code",
+        F.round(qsub_dot / (F.col("qnrm") * F.col("cnrm")) * 1e12)
+        .cast("long")
+        .alias("pdot_e12"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_e12"), F.asc("vec_id")
+    )
+    cand = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot_e12").alias("adc_e12"))
+        .withColumn("arnk", F.row_number().over(w_adc))
+        .filter(F.col("arnk") <= rerank)
+        .select("query_id", "vec_id")
+    )
+
+    cos_sim = F.round(
+        flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos_sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )

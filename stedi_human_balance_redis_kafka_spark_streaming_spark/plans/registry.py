@@ -1045,6 +1045,132 @@ def ann_ivf_spill_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ/ADC parameters (shared by the Spark call and oracle text).
+_PQ_NSUB = 8
+_PQ_W = _EMB_DIM // _PQ_NSUB
+_PQ_RERANK = 50
+
+# PQ distances in normalized space, expressed ALGEBRAICALLY on raw
+# components + full-vector norms (mirrors operators/similarity.py's
+# formulation, which avoids Catalyst's CollapseProject inlining a
+# per-element v[i]/nrm projection into every reference).  Codewords are
+# full seed vectors indexed 1-based at m*w+j — exactly the Spark side's
+# flattened cw{j} == d{m*w+j-1} columns.
+_SQL_PQ_SUBSQ = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_W}),"
+    f" j -> nr.v[cb.m * {_PQ_W} + j] * nr.v[cb.m * {_PQ_W} + j]))"
+)
+_SQL_PQ_CSUBSQ = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_W}),"
+    f" j -> cb.cw[cb.m * {_PQ_W} + j] * cb.cw[cb.m * {_PQ_W} + j]))"
+)
+_SQL_PQ_SUBDOT = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_W}),"
+    f" j -> nr.v[cb.m * {_PQ_W} + j] * cb.cw[cb.m * {_PQ_W} + j]))"
+)
+_SQL_PQ_DIST = (
+    f"round({_SQL_PQ_SUBSQ} / (nr.nrm * nr.nrm)"
+    f" + {_SQL_PQ_CSUBSQ} / (cb.cnrm * cb.cnrm)"
+    f" - 2.0 * {_SQL_PQ_SUBDOT} / (nr.nrm * cb.cnrm), 6)"
+)
+_SQL_PQ_QSUBDOT = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_W}),"
+    f" j -> q.qv[cb.m * {_PQ_W} + j] * cb.cw[cb.m * {_PQ_W} + j]))"
+)
+_SQL_PQ_PDOT = (
+    f"CAST(round({_SQL_PQ_QSUBDOT} / (q.qnrm * cb.cnrm)"
+    f" * 1000000000000) AS BIGINT)"
+)
+
+
+@register(
+    "ann_pq_recall",
+    # recall@10 of the PQ/ADC index (8 subspaces, seed codebooks,
+    # int64-quantized ADC sums, exact top-50 re-rank) vs brute force.
+    # Every stage is deterministic and mirrored: rounded subspace L2
+    # with (dist ASC, code ASC) ties, pdot quantized to 1e-12 units so
+    # the n_sub-way SUM is associative on both engines.
+    oracle=f"""
+    WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))}),
+    pq AS (
+      WITH e AS ({_SQL_EMB}),
+      nr AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM e
+      ),
+      cb AS (
+        SELECT m.m AS m, s.vec_id AS code, s.nrm AS cnrm, s.v AS cw
+        FROM nr s CROSS JOIN generate_series(0, {_PQ_NSUB - 1}) AS m(m)
+        WHERE s.vec_id % {_CENTROID_MODULUS} = 0
+      ),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT nr.vec_id, cb.m, cb.code,
+                 row_number() OVER (
+                   PARTITION BY nr.vec_id, cb.m
+                   ORDER BY {_SQL_PQ_DIST} ASC, cb.code ASC) AS rnk
+          FROM nr CROSS JOIN cb
+        ) WHERE rnk = 1
+      ),
+      qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nr
+             WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+      lut AS (
+        SELECT q.query_id, cb.m, cb.code, {_SQL_PQ_PDOT} AS pdot_e12
+        FROM qn q CROSS JOIN cb
+      ),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_e12 DESC, vec_id ASC) AS arnk
+          FROM (
+            SELECT l.query_id, enc.vec_id, SUM(l.pdot_e12) AS adc_e12
+            FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
+            WHERE enc.vec_id != l.query_id
+            GROUP BY l.query_id, enc.vec_id
+          )
+        ) WHERE arnk <= {_PQ_RERANK}
+      ),
+      qq AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+      rr AS (
+        SELECT c.query_id, a.vec_id,
+               {_SQL_COS.format(a="a.v", b="qq.qv")} AS cos_sim
+        FROM cand c
+        JOIN e a ON a.vec_id = c.vec_id
+        JOIN qq ON qq.query_id = c.query_id
+      ), r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM rr
+      )
+      SELECT query_id, vec_id FROM r WHERE rank <= 10
+    )
+    SELECT bf.query_id, COUNT(*) AS n_overlap, 10 AS k
+    FROM bf JOIN pq ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ/ADC compressed index (the third ANN family
+    member: brute-force exact / IVF bucketed / PQ memory-compressed)
+    with exact re-ranking of the top-{rerank} ADC candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    pq = similarity.pq_topk(
+        emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=_CENTROID_MODULUS,
+        rerank=_PQ_RERANK,
+    ).select("query_id", "vec_id")
+    return (
+        bf.join(pq, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"), F.lit(10).cast("int").alias("k"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (SURVEY.md §2.6) over the documents table
 # --------------------------------------------------------------------------
@@ -1550,6 +1676,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "lineitem_quality_checks",
     "order_price_quantiles_approx",
     "ann_ivf_spill_recall",
+    "ann_pq_recall",
 )
 
 
