@@ -1171,6 +1171,59 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_label_purity",
+    # Embedding-quality diagnostic: does the vector space respect the
+    # labels?  For each query, how many of its exact top-10 cosine
+    # neighbors share the query's label — the kNN consistency eval a
+    # training-data pipeline runs before trusting an embedding column
+    # for clustering/dedup decisions.  Exact ints, reuses the
+    # brute-force truth fragment.
+    oracle=f"""
+    WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))})
+    SELECT bf.query_id,
+           CAST(COUNT(*) FILTER (WHERE nl.label = ql.label) AS BIGINT)
+             AS n_same_label,
+           10 AS k
+    FROM bf
+    JOIN embeddings nl ON nl.vec_id = bf.vec_id
+    JOIN embeddings ql ON ql.vec_id = bf.query_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label consistency: per query, how many exact top-10 cosine
+    neighbors share the query's label.
+
+    Scale shape: the neighbor set (q·10 rows) is bounded → broadcast
+    into both label joins; the corpus-sized label table never shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nl = lab.select("vec_id", F.col("label").alias("n_label"))
+    ql = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    return (
+        nl.join(F.broadcast(bf), "vec_id")
+        .join(
+            ql.join(
+                F.broadcast(bf.select("query_id").distinct()), "query_id"
+            ),
+            "query_id",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("long").alias("n_same_label"),
+            F.lit(10).cast("int").alias("k"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (SURVEY.md §2.6) over the documents table
 # --------------------------------------------------------------------------
@@ -1677,6 +1730,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "order_price_quantiles_approx",
     "ann_ivf_spill_recall",
     "ann_pq_recall",
+    "ann_label_purity",
 )
 
 
