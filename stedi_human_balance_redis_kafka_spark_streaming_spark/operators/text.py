@@ -336,3 +336,78 @@ def fingerprints(
         .filter(F.substring("fp", 1, 1).isin(*mod_prefixes))
         .distinct()
     )
+
+
+def shared_span_stats(
+    docs: DataFrame, n: int = 5, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detection — the
+    practical distributed form of substring-level dedup (cf. Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses suffix arrays single-node; at corpus scale the span-df
+    formulation is the shuffle-friendly equivalent signal).
+
+    Every length-``n`` token span position is counted, and a span is
+    "shared" when it occurs in ≥ ``min_df`` distinct documents.  Output
+    per document: (doc_id, n_spans, n_shared_spans, boilerplate_e6)
+    where boilerplate_e6 = n_shared·1e6 div n_spans (exact integer — no
+    FP for engines to disagree on); docs shorter than ``n`` tokens carry
+    zeros.
+
+    Unlike :func:`repetition_stats` (WITHIN-document repetition) this
+    measures ACROSS-document repetition — the template/boilerplate
+    signal used to strip navigation chrome and license headers before
+    training.
+
+    Scale shape: positional spans form with posexplode + lead over the
+    doc_id window (one keyed shuffle); the span-df aggregate is
+    distinct-then-count (both stages partial-aggregable); the shared-set
+    semi-join keys on the span string and AQE broadcasts the shared side
+    when small.  At 100 TB hash spans to fixed width (xxhash64) before
+    the shuffle — same note as the decontamination join.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("t"))
+    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    spans = (
+        pe.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())
+        .select("doc_id", "s")
+    )
+    shared = (
+        spans.distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("s")
+    )
+    per_total = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per_shared = (
+        spans.join(shared, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_total, "doc_id", "left")
+        .join(per_shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+            F.coalesce(
+                F.expr("n_shared_spans * 1000000L div n_spans"), F.lit(0)
+            )
+            .cast("long")
+            .alias("boilerplate_e6"),
+        )
+    )

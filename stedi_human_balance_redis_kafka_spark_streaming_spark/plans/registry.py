@@ -1419,6 +1419,48 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_shared_spans",
+    # Cross-document repeated 5-gram spans (boilerplate/template
+    # detection — the distributed stand-in for suffix-array substring
+    # dedup): per doc, total span positions, positions whose span
+    # occurs in >= 2 distinct docs, and the exact-integer boilerplate
+    # ratio.  1096/23995 spans are shared at sf0.01, so the signal is
+    # live on this corpus.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(tok[i:i+4], ' ') AS s
+      FROM t, LATERAL (SELECT unnest(range(1, len(tok) - 3)) AS i) g
+    ),
+    shared AS (
+      SELECT s FROM (
+        SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s
+      ) WHERE df >= 2
+    ),
+    per_total AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
+    per_shared AS (
+      SELECT sh.doc_id, COUNT(*) AS n_shared_spans
+      FROM sh JOIN shared ON sh.s = shared.s GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+           CAST(COALESCE((n_shared_spans * 1000000) // n_spans, 0)
+                AS BIGINT) AS boilerplate_e6
+    FROM documents d
+    LEFT JOIN per_total USING (doc_id)
+    LEFT JOIN per_shared USING (doc_id)
+    """,
+)
+def text_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Across-document repeated-span (boilerplate) stats per document —
+    complements text_repetition_stats (within-document repetition)."""
+    return text_ops.shared_span_stats(
+        load_table(spark, sf_dir, "documents"), n=5, min_df=2
+    )
+
+
+@register(
     "text_domain_mixture",
     # Mixture-planning rollup: per-source token share + the uniform
     # re-balancing keep-rate, all exact integer division.
@@ -1731,6 +1773,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_ivf_spill_recall",
     "ann_pq_recall",
     "ann_label_purity",
+    "text_shared_spans",
 )
 
 

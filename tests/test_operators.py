@@ -571,3 +571,21 @@ def test_ivf_topk_spill_recall_not_worse(vec_corpus):
     bf = similarity.brute_force_topk(vec_corpus, q, k=5)
     key = lambda df: {(r.query_id, r.vec_id) for r in df.collect()}
     assert len(key(r2) & key(bf)) >= len(key(r1) & key(bf))
+
+
+def test_shared_span_stats_known_docs(docs):
+    """Docs 0/1 are identical (every 5-gram span shared); doc 3 shares
+    nothing; doc 4 (different language, no overlap) shares nothing."""
+    out = {r.doc_id: r for r in text_ops.shared_span_stats(docs, n=5).collect()}
+    # 9-token docs -> 5 spans each
+    assert out[0].n_spans == 5 and out[1].n_spans == 5
+    assert out[0].n_shared_spans == 5 and out[1].n_shared_spans == 5
+    assert out[0].boilerplate_e6 == 1_000_000
+    # doc 2 differs from 0/1 by the middle token (index 4 of 9): every
+    # 5-gram span covers it, so nothing is shared at n=5...
+    assert out[2].n_shared_spans == 0
+    assert out[3].n_shared_spans == 0 and out[4].n_shared_spans == 0
+    assert out[3].boilerplate_e6 == 0
+    # ...but at n=3 the flanks clear the changed token and ARE shared
+    out3 = {r.doc_id: r for r in text_ops.shared_span_stats(docs, n=3).collect()}
+    assert 0 < out3[2].n_shared_spans < out3[2].n_spans
