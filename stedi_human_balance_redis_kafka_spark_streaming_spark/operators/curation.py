@@ -340,3 +340,42 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def rebalance_by_rate(
+    df: DataFrame,
+    rates: DataFrame,
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    rate_col: str = "rate_e6",
+    salt: str = "",
+) -> DataFrame:
+    """Apply COMPUTED per-stratum keep-rates (1e-6 units) by
+    deterministic hash sampling — the execution half of mixture
+    re-balancing, fed by ``text.domain_mixture``'s planning half.
+
+    Unlike :func:`sample_by_hash` (static driver-side rate dict, 1/256
+    hex buckets) the rates here are a DataFrame computed in-plan, so the
+    threshold must be built in-plan too: keep a row iff the first 8 hex
+    digits of md5(salt || id) sort below ``lpad(hex(rate_e6 · 4294), 8)``
+    — 4294 = 2³² div 1e6, scaling rates into the 32-bit bucket space, built
+    with integer ops and hex formatting that Spark and DuckDB render
+    identically, so membership is exactly reproducible on both engines
+    (rate_e6 ≥ 1e6 short-circuits to keep-all to avoid the truncation
+    bias at the top of the range).
+
+    Strata absent from ``rates`` are dropped (inner join) — the unknown
+    stratum guard.  Scale shape: rates are bounded (one row per
+    stratum) → broadcast; the filter is a narrow codegen'd map — no
+    shuffle of the corpus.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    thresh = F.lpad(
+        F.lower(F.hex(F.col(rate_col).cast("long") * F.lit(4294))), 8, "0"
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        (F.col(rate_col).cast("long") >= 1_000_000) | (bucket < thresh)
+    )

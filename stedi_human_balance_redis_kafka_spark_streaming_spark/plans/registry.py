@@ -1461,6 +1461,50 @@ def text_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_rebalance",
+    # The execution half of mixture re-balancing: text_domain_mixture's
+    # computed uniform keep-rates applied by deterministic in-plan hash
+    # thresholds (md5 8-hex-digit bucket vs lpad(hex(rate·4294)) —
+    # integer ops + hex formatting both engines render identically).
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per
+    ), rates AS (
+      SELECT source,
+             CAST(least((CAST(total AS HUGEINT) * 1000000)
+                        // (k * sum_tokens), 1000000) AS BIGINT) AS rate_e6
+      FROM per CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate_e6 >= 1000000
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lpad(lower(hex(r.rate_e6 * 4294)), 8, '0')
+    """,
+)
+def curation_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-balancing end-to-end: compute each source's uniform
+    keep-rate (text_domain_mixture) and apply it with deterministic
+    hash sampling — membership a pure function of doc_id, reproducible
+    at any scale or partitioning.
+
+    Scale shape: the rate table is one bounded row per source →
+    broadcast; the keep filter is a narrow codegen'd map, so the corpus
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = text_ops.domain_mixture(docs).select(
+        "source", F.col("uniform_rate_e6").cast("long").alias("rate_e6")
+    )
+    return curation.rebalance_by_rate(docs, rates).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
     "text_domain_mixture",
     # Mixture-planning rollup: per-source token share + the uniform
     # re-balancing keep-rate, all exact integer division.
@@ -1774,6 +1818,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_pq_recall",
     "ann_label_purity",
     "text_shared_spans",
+    "curation_rebalance",
 )
 
 

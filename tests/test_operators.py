@@ -589,3 +589,29 @@ def test_shared_span_stats_known_docs(docs):
     # ...but at n=3 the flanks clear the changed token and ARE shared
     out3 = {r.doc_id: r for r in text_ops.shared_span_stats(docs, n=3).collect()}
     assert 0 < out3[2].n_shared_spans < out3[2].n_spans
+
+
+def test_rebalance_by_rate_boundaries_and_determinism(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        rebalance_by_rate,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 500_000)], "source string, rate_e6 long"
+    )
+    kept = rebalance_by_rate(df, rates).select("doc_id", "source")
+    out = kept.collect()
+    a = [r.doc_id for r in out if r.source == "a"]
+    b = [r.doc_id for r in out if r.source == "b"]
+    assert len(a) == 200  # rate 1.0 keeps every 'a' row
+    assert 40 <= len(b) <= 160  # ~50% of 200, deterministic hash not RNG
+    # partition-invariant: same membership under a different layout
+    out2 = rebalance_by_rate(df.repartition(13), rates).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+    # zero rate drops the stratum entirely; unknown stratum dropped too
+    rates0 = spark.createDataFrame(
+        [("a", 0)], "source string, rate_e6 long"
+    )
+    assert rebalance_by_rate(df, rates0).count() == 0
