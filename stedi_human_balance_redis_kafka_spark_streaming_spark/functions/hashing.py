@@ -130,3 +130,15 @@ def simhash16(text: Column | str) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def span_positions(t: Column, n: int = 5) -> Column:
+    """POSITIONAL n-gram spans (duplicates kept — one entry per start
+    position) from an already-projected token-array column; the
+    non-distinct sibling of :func:`shingles_from_tokens`, for
+    boilerplate-fraction math where every position counts.  Same
+    bounds-safe ``slice`` construction; < n tokens yields empty."""
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - n + 1)).otherwise(
+        F.array().cast("array<integer>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))

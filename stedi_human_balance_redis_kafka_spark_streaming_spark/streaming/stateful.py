@@ -298,3 +298,31 @@ def streaming_risk_gate_tws(risk: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_shared_span_hits(
+    docs: DataFrame,
+    span_set: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stream-STATIC boilerplate flagging: positional n-gram spans of
+    incoming documents joined against a STATIC shared-span set (built
+    offline by ``text.shared_span_stats``'s df-filter on a reference
+    corpus) — the ingest-time form of across-corpus boilerplate
+    detection, same pattern as :func:`streaming_decontaminate`.
+
+    Stateless stream-static equi-join (the bounded span set broadcasts);
+    emits one (doc_id, s) row per matching span POSITION in append mode
+    — duplicates kept deliberately, so a downstream rollup can compute
+    the boilerplate fraction per doc.  Works identically on a batch
+    ``docs`` (tests assert stream==batch).
+    """
+    from ..functions.hashing import span_positions, tokens
+
+    toks = docs.select("doc_id", tokens(text_col).alias("t"))
+    sp = toks.select(
+        "doc_id", F.explode(span_positions(F.col("t"), n)).alias("s")
+    )
+    return sp.join(span_set.select("s"), "s").select("doc_id", "s")

@@ -160,3 +160,32 @@ def test_no_row_python_udfs_anywhere(spark, name):
     # BatchEvalPython (row-at-a-time Python UDF) must not appear in ANY
     # registered query's plan
     assert "BatchEvalPython" not in _plan(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_pq_recall", "ann_ivf_spill_recall", "curation_rebalance",
+             "text_shared_spans", "ann_label_purity"]
+)
+def test_new_round4_queries_not_cartesian(spark, name):
+    # every round-4 operator family: the only crossJoins are against
+    # BOUNDED broadcast sides (codebooks/centroids/LUT/rate tables),
+    # which plan as BroadcastNestedLoopJoin — never CartesianProduct
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_rebalance_is_broadcast_join_plus_filter(spark):
+    # the rate table must broadcast; the corpus side must not Exchange
+    # before the keep-filter (narrow map claim)
+    plan = _plan(spark, "curation_rebalance")
+    assert "BroadcastHashJoin" in plan
+    # documents scan feeds the join directly — no shuffle of the corpus
+    # (the only Exchanges belong to the bounded rate-table aggregation)
+    scan_section = plan.split("Scan parquet", 2)
+    assert len(scan_section) >= 2
+
+
+def test_pq_adc_joins_are_broadcast(spark):
+    # encode crossJoin (codebook) and ADC join (LUT) must both be
+    # broadcast-side bounded: no SortMergeJoin over the corpus
+    plan = _plan(spark, "ann_pq_recall")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -522,3 +522,67 @@ def test_streaming_session_window_closes_and_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert len(got) == 2  # the 70-min gap split the sessions
+
+
+def test_streaming_shared_span_hits_stream_static_matches_batch(spark, tmp_path):
+    # Static shared-span set (as text.shared_span_stats' df-filter would
+    # produce offline); streamed docs emit one row per matching span
+    # POSITION — duplicates kept for boilerplate-fraction rollups.
+    span_set = spark.createDataFrame(
+        [("a b c d e",), ("v w x y z",)], "s string"
+    )
+    train = [
+        (1, "a b c d e f g"),          # spans at pos 0 matches
+        (2, "junk words only here no match"),
+        (3, "a b c d e a b c d e"),    # two positions hit the same span
+    ]
+    batch_df = spark.createDataFrame(train, "doc_id long, text string")
+    path = str(tmp_path / "span_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_shared_span_hits(sdf, span_set, n=5),
+        f"span_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted((r.doc_id, r.s) for r in out.collect())
+    expected = sorted(
+        (r.doc_id, r.s)
+        for r in stateful.streaming_shared_span_hits(batch_df, span_set, n=5).collect()
+    )
+    assert got == expected
+    assert got.count((3, "a b c d e")) == 2  # positional duplicates kept
+    assert all(d != 2 for d, _ in got)
+
+
+def test_streaming_rebalance_stream_static_matches_batch(spark, tmp_path):
+    """rebalance_by_rate is batch/streaming-dual as-is: a stream-static
+    broadcast join + narrow filter, stateless in append mode."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        rebalance_by_rate,
+    )
+
+    docs = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    batch_df = spark.createDataFrame(docs, "doc_id long, source string")
+    rates = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 400_000)], "source string, rate_e6 long"
+    )
+    path = str(tmp_path / "rebal_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        rebalance_by_rate(sdf, rates).select("doc_id", "source"),
+        f"rebal_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted((r.doc_id, r.source) for r in out.collect())
+    expected = sorted(
+        (r.doc_id, r.source)
+        for r in rebalance_by_rate(batch_df, rates).select("doc_id", "source").collect()
+    )
+    assert got == expected
+    assert len([1 for _, s in got if s == "a"]) == 50  # rate 1.0 keeps all
