@@ -326,3 +326,54 @@ def streaming_shared_span_hits(
         "doc_id", F.explode(span_positions(F.col("t"), n)).alias("s")
     )
     return sp.join(span_set.select("s"), "s").select("doc_id", "s")
+
+
+def streaming_assign_centroids(
+    vecs: DataFrame, centroids: DataFrame, *, round_digits: int = 6
+) -> DataFrame:
+    """Stream-time IVF index routing: assign each incoming vector to its
+    nearest centroid — the ingest half of index maintenance (new vectors
+    route to their bucket/shard as they arrive).
+
+    ``centroids`` is a BATCH frame (cid, cnrm, c0..c{dim-1}) — bounded
+    by construction (that is the IVF contract), so it is collected once
+    and inlined as literal expressions: a stateless per-row argmax needs
+    no crossJoin, no groupBy, no state, which is exactly what a
+    streaming map stage wants (the batch path's partial-agg ``max_by``
+    needs an aggregation that streaming would have to hold as state).
+    Ties break (cos DESC, cid ASC) — identical to the batch
+    :func:`..operators.similarity.assign_nearest_centroid`, and the
+    batch form of this function returns identical rows (tested).
+
+    Inline-expression bound: k·dim literal terms — fine to k ~ 10²-10³
+    centroids; beyond that, route through the batch path per
+    micro-batch (foreachBatch) instead.  Output: (vec_id, cid, cos_c).
+    """
+    rows = centroids.collect()
+    dim = len([c for c in centroids.columns if c.startswith("c") and c[1:].isdigit()])
+    v = F.col("embedding").cast("array<double>")
+    nrm = None
+    for j in range(dim):
+        t = v[j] * v[j]
+        nrm = t if nrm is None else nrm + t
+    nrm = F.sqrt(nrm)
+    scored = []
+    for r in rows:
+        dot = None
+        for j in range(dim):
+            t = v[j] * F.lit(float(r[f"c{j}"]))
+            dot = t if dot is None else dot + t
+        cos = F.round(dot / (nrm * F.lit(float(r["cnrm"]))), round_digits)
+        scored.append(
+            F.struct(
+                cos.alias("cos_c"),
+                F.lit(-int(r["cid"])).cast("long").alias("neg_cid"),
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return vecs.select(
+        "vec_id",
+        best["cid"].alias("cid"),
+        best["cos_c"].alias("cos_c"),
+    )

@@ -226,3 +226,65 @@ def test_cc_star_long_chain(spark):
     out = cc_star(df, max_iter=10).collect()
     assert {r.cluster_id for r in out} == {0}
     assert {r.doc_id for r in out} == set(range(64))
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=100_000),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    ),
+    r1=st.integers(min_value=0, max_value=1_000_000),
+    r2=st.integers(min_value=0, max_value=1_000_000),
+)
+def test_rebalance_membership_monotone_in_rate(spark, ids, r1, r2):
+    """The in-plan hash threshold is monotone: raising a stratum's rate
+    can only ADD members, never swap them — the property that makes
+    mixture re-weighting reproducible across runs."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        rebalance_by_rate,
+    )
+
+    lo, hi = sorted((r1, r2))
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    rate_lo = spark.createDataFrame([("s", lo)], "source string, rate_e6 long")
+    rate_hi = spark.createDataFrame([("s", hi)], "source string, rate_e6 long")
+    kept_lo = {r.doc_id for r in rebalance_by_rate(df, rate_lo).collect()}
+    kept_hi = {r.doc_id for r in rebalance_by_rate(df, rate_hi).collect()}
+    assert kept_lo <= kept_hi
+    if hi == 1_000_000:
+        assert kept_hi == set(ids)
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=9),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_pq_topk_partition_invariant(spark, seed, parts):
+    """PQ/ADC ranking is deterministic under any physical layout: the
+    int64-quantized ADC sums are associative, and every tie-break is
+    total — repartitioning must never change the result."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (i, [float(((i * 37 + j * 11 + seed) % 19) - 9) / 9.0 for j in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.queries_by_modulus(emb, 12)
+    base = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.pq_topk(emb, q, k=5, n_sub=4, seed_modulus=6).collect()
+    )
+    shuf = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.pq_topk(
+            emb.repartition(parts), q, k=5, n_sub=4, seed_modulus=6
+        ).collect()
+    )
+    assert base == shuf

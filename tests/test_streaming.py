@@ -586,3 +586,40 @@ def test_streaming_rebalance_stream_static_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert len([1 for _, s in got if s == "a"]) == 50  # rate 1.0 keeps all
+
+
+def test_streaming_assign_centroids_matches_batch(spark, tmp_path):
+    """Ingest-time IVF routing: the stateless inline-literal argmax must
+    produce the identical assignment as the batch partial-agg max_by."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 11) - 5) / 5.0 for j in range(6)])
+        for i in range(30)
+    ]
+    batch_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dim = 6
+    e = similarity._flat(batch_df, "vec_id", "d", dim)
+    cents = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("nrm").alias("cnrm"),
+        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    )
+    batch_assign = sorted(
+        (r.vec_id, r.cid)
+        for r in similarity.assign_nearest_centroid(e, cents, dim).collect()
+    )
+
+    path = str(tmp_path / "vec_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_assign_centroids(sdf, cents),
+        f"route_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted((r.vec_id, r.cid) for r in out.collect())
+    assert got == batch_assign
