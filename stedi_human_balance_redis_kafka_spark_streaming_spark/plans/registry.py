@@ -452,6 +452,7 @@ def _sql_kmeans_ctes(
     seed_mod: int = _CENTROID_MODULUS,
     iters: int = _KMEANS_ITERS,
     quant: int = 1_000_000,
+    src: str = "e",
 ) -> str:
     """CTE chain ending in ``cents(cid, cv)`` (cv a DOUBLE list) that
     mirrors operators.similarity.kmeans_centroids EXACTLY: seeds are
@@ -459,11 +460,12 @@ def _sql_kmeans_ctes(
     assignment is rounded-cosine argmax with (cos DESC, cid ASC) ties,
     and each update is SUM // COUNT truncating integer division
     (DuckDB ``//`` == Spark ``div``, verified on negative operands).
-    Expects an ``e(vec_id, v)`` CTE in scope.
+    Expects a ``src``-named ``(vec_id, v)`` CTE in scope (``src``
+    parameterized because some composite oracles already use ``e``).
     """
     ctes = [
         f"eq AS (SELECT vec_id, v, list_transform(v,"
-        f" x -> CAST(round(x * {quant}) AS BIGINT)) AS vq FROM e)",
+        f" x -> CAST(round(x * {quant}) AS BIGINT)) AS vq FROM {src})",
         f"k0 AS (SELECT vec_id AS cid, vq AS cq FROM eq WHERE vec_id % {seed_mod} = 0)",
     ]
     prev = "k0"
@@ -814,6 +816,80 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical assignment to dedup_clusters (same oracle), supplementary
     dual outside the driver window."""
     return curation.cc_star(_dup_pair_graph(spark, sf_dir))
+
+
+@register(
+    "dedup_multi_signal",
+    # The real-world dedup composition: lexical near-dup pairs (trigram
+    # Jaccard) UNION semantic near-dup pairs (trained+spilled bucketed
+    # embedding cosine; vec_id ≡ doc_id in the testdata) → connected
+    # components over the combined evidence graph.  Each signal catches
+    # duplicates the other misses (paraphrases vs shared phrasing).
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+    emb AS ({_SQL_EMB}),
+    {_sql_kmeans_ctes(src="emb")},
+    eassign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT emb.vec_id, emb.v, cents.cid,
+               row_number() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY {_SQL_COS.format(a="emb.v", b="cents.cv")} DESC,
+                          cents.cid ASC
+               ) AS arank
+        FROM emb CROSS JOIN cents
+      ) WHERE arank <= {_DEDUP_SPILL}
+    ),
+    epairs AS (
+      SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_SQL_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM eassign a JOIN eassign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.4
+    ),
+    allp AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT vec_a AS doc_a, vec_b AS doc_b FROM epairs
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM allp
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM allp
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal duplicate clusters: lexical (trigram-Jaccard) and
+    semantic (bucketed embedding cosine) near-dup edges unioned into one
+    evidence graph, clustered by connected components — the composition
+    a production dedup pipeline actually runs (each signal catches what
+    the other misses).
+
+    Scale shape: both pair generators are the audited linear index
+    paths; the union is a distinct over two bounded pair sets; CC is
+    the O(diameter) propagation engine (swap cc_star for long chains).
+    """
+    text_pairs = _dup_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    emb_pairs = dedup.embedding_bucketed_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        centroid_modulus=_CENTROID_MODULUS,
+        train_iters=_KMEANS_ITERS,
+        spill=_DEDUP_SPILL,
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    edges = text_pairs.unionByName(emb_pairs).distinct()
+    return curation.connected_components(edges)
 
 
 # --------------------------------------------------------------------------
@@ -1827,6 +1903,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_label_purity",
     "text_shared_spans",
     "curation_rebalance",
+    "dedup_multi_signal",
 )
 
 
