@@ -145,16 +145,33 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent order at
     or before the event time (union+window formulation — one sort, no
-    per-group Python)."""
+    per-group Python).
+
+    TZ hygiene: ``o_orderdate`` arrives TIMESTAMP_NTZ while ``ts`` is an
+    as-if-UTC instant — mixing them would let the union's NTZ→TIMESTAMP
+    coercion depend on the driver zone, so the NTZ side is re-anchored
+    with the same session-tz-independent expression ``load_table`` uses;
+    the output render likewise formats the instant's UTC wall clock
+    explicitly instead of the session zone's."""
+    from ..sources.files import as_utc_instant
+
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load_table(spark, sf_dir, "orders")
+    if dict(o.dtypes).get("o_orderdate") == "timestamp_ntz":
+        o = o.withColumn("o_orderdate", as_utc_instant("o_orderdate"))
     out = asof_join(
         e, o, left_key="user_id", right_key="o_custkey",
         left_time="ts", right_time="o_orderdate", right_val="o_orderkey",
     )
     return out.select(
         "event_id",
-        F.date_format("asof_time", "yyyy-MM-dd HH:mm:ss").alias("asof_time"),
+        F.date_format(
+            F.expr(
+                "convert_timezone(current_timezone(), 'UTC',"
+                " CAST(asof_time AS TIMESTAMP_NTZ))"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("asof_time"),
         F.col("asof_val").cast("long").alias("asof_val"),
     )
 

@@ -95,7 +95,17 @@ def stedi_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             _email(F.col("user_id")).alias("customer"),
             F.col("value").alias("score"),
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("riskDate"),
+            # Render the instant's UTC wall clock SESSION-TZ-INDEPENDENTLY
+            # (cast→NTZ gives the session-zone wall clock; convert_timezone
+            # maps it to UTC's) — a bare date_format would shift the string
+            # under any non-UTC driver and break the DuckDB strftime oracle.
+            F.date_format(
+                F.expr(
+                    "convert_timezone(current_timezone(), 'UTC',"
+                    " CAST(ts AS TIMESTAMP_NTZ))"
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("riskDate"),
         )
     )
     return e.select(payload.alias("value"))

@@ -27,6 +27,22 @@ TABLES = (
 )
 
 
+def as_utc_instant(col_name: str) -> "F.Column":
+    """Re-anchor a TIMESTAMP_NTZ wall clock as-if-UTC, session-timezone-
+    INDEPENDENTLY (pure NTZ arithmetic against the NTZ epoch — a plain
+    ``cast(x AS TIMESTAMP)`` would interpret the wall clock in the
+    session zone and shift the instant under non-UTC drivers).  Matches
+    DuckDB's naive-timestamp ``epoch_us`` anchoring exactly; use it
+    before mixing an NTZ column with instant columns (comparisons,
+    as-of joins) so the coercion cannot depend on the driver zone.
+    Takes a column NAME (``timestampdiff`` has no DataFrame-API form in
+    this pyspark, so the expression is built as SQL text)."""
+    return F.expr(
+        f"timestamp_micros(timestampdiff(MICROSECOND,"
+        f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name}))"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md) as a DataFrame.
 
@@ -55,13 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "timestamp_micros(timestampdiff(MICROSECOND,"
-                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-                ),
-            )
+            df = df.withColumn("ts", as_utc_instant("ts"))
     return df
 
 

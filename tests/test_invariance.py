@@ -1,0 +1,60 @@
+"""Environment-invariance audits: results must not depend on the
+session timezone or the physical shuffle layout.
+
+These enforce two standing claims:
+
+* ``sources/files.load_table`` anchors ``events.ts`` as-if-UTC with
+  pure NTZ arithmetic, so epoch math is identical under ANY driver
+  session timezone (a plain NTZ→TIMESTAMP cast would shift it).
+* Integer-quantized/total-ordered operators (k-means centroids, hash
+  sampling, ADC sums, rank tie-breaks) are partition-order-independent.
+
+The perturbed configs are runtime-settable SQL confs, applied to the
+shared session and restored afterwards — queries must give the SAME
+rows either way.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+
+from stedi_human_balance_redis_kafka_spark_streaming_spark.plans import registry
+
+ORACLE_SF = "/root/testdata/sf0.01"
+
+# Representative set: timestamp epoch math, money aggregation, hash
+# sampling over a computed rate, trained+spilled index, ADC ranking.
+QUERIES = [
+    "events_rolling_value",
+    "events_session_window",
+    "events_asof_last_order",   # NTZ↔instant as-of mix + string render
+    "stedi_risk_events",        # riskDate string render in the payload
+    "q1_pricing_summary",
+    "curation_rebalance",
+    "dedup_embedding_bucketed",
+    "ann_pq_recall",
+]
+
+
+@contextlib.contextmanager
+def _perturbed(spark, tz="America/New_York", parts="7"):
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_results_invariant_to_timezone_and_partitions(spark, name):
+    fn = registry.queries()[name]
+    base = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
+    with _perturbed(spark):
+        perturbed = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
+    assert perturbed == base
