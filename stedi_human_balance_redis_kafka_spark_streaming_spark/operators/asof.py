@@ -104,37 +104,43 @@ def bucketed_range_join(
     bucket_us = {"1 hour": 3_600_000_000, "1 day": 86_400_000_000}.get(bucket)
     if bucket_us is None:
         raise ValueError("bucket must be '1 hour' or '1 day'")
-    # cast(... as timestamp) admits TIMESTAMP_NTZ columns (parquet dates
-    # arrive NTZ; unix_micros requires TIMESTAMP) — both sides of the
-    # join pass through the same cast, so cells stay consistent under
-    # any session timezone.
-    e = events.withColumn(
-        "__cell",
-        F.expr(f"unix_micros(cast({time_col} as timestamp)) div {bucket_us}"),
+
+    # Epoch-micros per column, SESSION-TZ-INDEPENDENTLY by dtype:
+    # TIMESTAMP → unix_micros directly; TIMESTAMP_NTZ / DATE → pure NTZ
+    # arithmetic against the NTZ epoch (a cast-to-TIMESTAMP would
+    # interpret the wall clock in the session zone — cells and refine
+    # comparisons would shift under non-UTC drivers, inconsistently
+    # across DST boundaries, and mixed NTZ/instant inputs would
+    # disagree with DuckDB's naive comparisons outright).
+    def _us(df: DataFrame, col: str) -> F.Column:
+        dt = dict(df.dtypes)[col]
+        if dt in ("timestamp_ntz", "date"):
+            return F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ"
+                f" '1970-01-01 00:00:00', cast({col} as timestamp_ntz))"
+            )
+        return F.expr(f"unix_micros(cast({col} as timestamp))")
+
+    e = events.withColumn("__tus", _us(events, time_col)).withColumn(
+        "__cell", F.expr(f"__tus div {bucket_us}")
     )
     iv = (
         intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn("__sus", _us(intervals, start_col))
+        .withColumn("__eus", _us(intervals, end_col))
         .withColumn(
-            "__cs",
-            F.expr(
-                f"unix_micros(cast({start_col} as timestamp)) div {bucket_us}"
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__sus div {bucket_us}"),
+                    F.expr(f"(__eus - 1) div {bucket_us}"),
+                )
             ),
         )
-        .withColumn(
-            "__ce",
-            F.expr(
-                f"(unix_micros(cast({end_col} as timestamp)) - 1)"
-                f" div {bucket_us}"
-            ),
-        )
-        .withColumn("__cell", F.explode(F.sequence("__cs", "__ce")))
-        .drop("__cs", "__ce")
     )
     return (
         e.join(iv, [*extra_keys, "__cell"])
-        .filter(
-            (F.col(time_col).cast("timestamp") >= F.col(start_col).cast("timestamp"))
-            & (F.col(time_col).cast("timestamp") < F.col(end_col).cast("timestamp"))
-        )
-        .drop("__cell")
+        # exact refine on the integer micros — no further casts
+        .filter((F.col("__tus") >= F.col("__sus")) & (F.col("__tus") < F.col("__eus")))
+        .drop("__cell", "__tus", "__sus", "__eus")
     )

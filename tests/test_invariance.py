@@ -30,6 +30,7 @@ QUERIES = [
     "events_rolling_value",
     "events_session_window",
     "events_asof_last_order",   # NTZ↔instant as-of mix + string render
+    "events_interval_activity", # range-join time cells from mixed dtypes
     "stedi_risk_events",        # riskDate string render in the payload
     "q1_pricing_summary",
     "curation_rebalance",
