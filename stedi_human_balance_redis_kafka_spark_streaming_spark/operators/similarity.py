@@ -164,13 +164,20 @@ def kmeans_centroids(
     ``e``.
     """
     spark = e.sparkSession
+    # Both inputs are read EVERY round (e by the assignment scoring, eq
+    # by the update) — persist for the duration of training so each
+    # round reuses the materialized flatten/quantize instead of
+    # re-scanning the source ×2·iters (measured: the dominant cost of a
+    # small-corpus build).  Scoped strictly to this function
+    # (try/finally unpersist) — nothing leaks into the caller's session.
+    e = e.persist()
     eq = e.select(
         "vec_id",
         *[
             F.round(F.col(f"d{i}") * quant).cast("long").alias(f"q{i}")
             for i in range(dim)
         ],
-    )
+    ).persist()
     cents_q = eq.filter(F.col("vec_id") % seed_modulus == 0).select(
         F.col("vec_id").alias("cid"),
         *[F.col(f"q{i}").alias(f"k{i}") for i in range(dim)],
@@ -186,48 +193,70 @@ def kmeans_centroids(
             *[f"c{i}" for i in range(dim)],
         )
 
-    for _ in range(iters):
-        cents_d = as_double(cents_q)
-        cos_c = F.round(
-            flat_dot("d", "c", dim) / (F.col("nrm") * F.col("cnrm")), round_digits
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cents_d))
-            .select("vec_id", "cid", cos_c.alias("cos_c"))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid"))
-                ).alias("cid")
+    try:
+        for _ in range(iters):
+            cents_d = as_double(cents_q)
+            cos_c = F.round(
+                flat_dot("d", "c", dim) / (F.col("nrm") * F.col("cnrm")),
+                round_digits,
             )
-        )
-        new_q = (
-            assigned.join(eq, "vec_id")
-            .groupBy("cid")
-            .agg(
-                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)],
-                F.count(F.lit(1)).alias("cnt"),
+            assigned = (
+                e.crossJoin(F.broadcast(cents_d))
+                .select("vec_id", "cid", cos_c.alias("cos_c"))
+                .groupBy("vec_id")
+                .agg(
+                    F.max_by(
+                        "cid",
+                        F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid")),
+                    ).alias("cid")
+                )
             )
-            .select(
-                "cid",
-                *[
-                    F.expr(f"s{i} div cnt").cast("long").alias(f"k{i}")
-                    for i in range(dim)
-                ],
+            # Update step in LONG format: explode the quantized
+            # components to (vec_id, i, q) and aggregate THREE narrow
+            # columns keyed (cid, i) — a 64-wide sum/agg here costs
+            # seconds of Janino whole-stage-codegen compilation per
+            # round (measured ~3.4 s on a 2k-row input; pure fixed
+            # overhead), while the narrow form compiles instantly and
+            # shuffles the same bytes (n·dim values either way,
+            # partial-aggregable in both).  The assignment stage above
+            # keeps its codegen'd wide cosine — that one earns it.
+            longq = eq.select(
+                "vec_id",
+                F.posexplode(
+                    F.array(*[F.col(f"q{i}") for i in range(dim)])
+                ).alias("i", "q"),
             )
-        )
-        # Materialize each round's centroids to a driver-side
-        # LocalRelation (eager, like the dedup-gate precedent).  The
-        # centroid table is BOUNDED by construction — k·dim exact int64s,
-        # kilobytes — and every downstream use broadcasts it anyway;
-        # without this, each broadcast consumer re-executes the whole
-        # training chain (measured ~3x re-run of the early rounds), and
-        # a localCheckpoint still pays multi-stage scheduling per round.
-        # Values are exact integers, so the round-trip is lossless.
-        rows = new_q.collect()
-        cents_q = spark.createDataFrame(
-            rows, schema="cid long, " + ", ".join(f"k{i} long" for i in range(dim))
-        )
+            sums = (
+                assigned.join(longq, "vec_id")
+                .groupBy("cid", "i")
+                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            # Materialize each round's centroids to a driver-side
+            # LocalRelation (eager, like the dedup-gate precedent).  The
+            # centroid table is BOUNDED by construction — k·dim exact
+            # int64s, kilobytes — and every downstream use broadcasts it
+            # anyway; without this, each broadcast consumer re-executes
+            # the whole training chain (measured ~3x re-run of the early
+            # rounds).  The mean is TRUNCATING division toward zero in
+            # exact Python ints — identical to Spark `div` / DuckDB `//`
+            # on negatives (floor division corrected by one when signs
+            # differ and a remainder exists), so the round-trip is
+            # lossless.
+            by_cid: dict[int, list[int]] = {}
+            for r in sums:
+                s, cnt = int(r["s"]), int(r["cnt"])
+                t = -((-s) // cnt) if s < 0 else s // cnt
+                by_cid.setdefault(int(r["cid"]), [0] * dim)[int(r["i"])] = t
+            rows = [(cid, *vals) for cid, vals in sorted(by_cid.items())]
+            cents_q = spark.createDataFrame(
+                rows,
+                schema="cid long, "
+                + ", ".join(f"k{i} long" for i in range(dim)),
+            )
+    finally:
+        eq.unpersist()
+        e.unpersist()
     return as_double(cents_q)
 
 
