@@ -59,3 +59,38 @@ def test_results_invariant_to_timezone_and_partitions(spark, name):
     with _perturbed(spark):
         perturbed = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
     assert perturbed == base
+
+
+@contextlib.contextmanager
+def _foreign_session_confs(spark):
+    """A driver session the engine does not control: ANSI off, AQE off."""
+    old = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.ansi.enabled", "spark.sql.adaptive.enabled")
+    }
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+# Engine behavior must not depend on ANSI mode (no silent-null vs throw
+# divergence on any exercised path) or on AQE being there to fix plans.
+CONF_QUERIES = [
+    "stedi_customer_risk_join",  # decode chain: try_to_binary/F.get paths
+    "dedup_embedding_recall",    # gated baseline + trained/spilled index
+    "q8_market_share",           # decimal-widened integer shares
+    "events_interval_activity",  # bucketed range join (AQE-skew claimed)
+]
+
+
+@pytest.mark.parametrize("name", CONF_QUERIES)
+def test_results_invariant_to_ansi_and_aqe(spark, name):
+    fn = registry.queries()[name]
+    base = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
+    with _foreign_session_confs(spark):
+        foreign = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
+    assert foreign == base
