@@ -585,3 +585,197 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_codebooks_trained(
+    e: DataFrame,
+    dim: int,
+    n_sub: int,
+    seed_modulus: int = 50,
+    iters: int = 2,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-subspace k-means PQ codebooks over quantized NORMALIZED
+    slices — a real trained PQ index build, exactly oracle-mirrorable.
+
+    Geometry: vectors are globally unit-normalized (so ADC dots
+    approximate cosine), each subspace slice quantizes to
+    ``round(d_j/nrm · quant)`` int64, and Lloyd rounds use PURE-INTEGER
+    Euclidean assignment (Σ(q−k)² exact int64, ties code ASC) with
+    truncating integer mean updates — zero floating point anywhere in
+    training, so it is deterministic under any partitioning and both
+    engines compute identical codebooks.
+
+    Returns (m, code, k0..k{w-1}) with INT64 components in 1e-6 units
+    (cosine/dot ranking is scale-invariant, so consumers use them raw).
+    Scale shape per subspace and round: bounded codebook broadcast +
+    one n-row partial-agg argmin + one narrow (code, j)-keyed integer
+    sum — all linear; the bounded per-round codebook materializes to a
+    LocalRelation exactly like :func:`kmeans_centroids`.
+    """
+    spark = e.sparkSession
+    w = dim // n_sub
+    e = e.persist()
+    try:
+        parts = []
+        for m in range(n_sub):
+            nq = e.select(
+                "vec_id",
+                *[
+                    F.round(F.col(f"d{m * w + j}") / F.col("nrm") * quant)
+                    .cast("long")
+                    .alias(f"nq{j}")
+                    for j in range(w)
+                ],
+            )
+            rows = (
+                nq.filter(F.col("vec_id") % seed_modulus == 0)
+                .collect()
+            )
+            codes = [(int(r["vec_id"]), [int(r[f"nq{j}"]) for j in range(w)])
+                     for r in sorted(rows, key=lambda r: r["vec_id"])]
+            for _ in range(iters):
+                cb = spark.createDataFrame(
+                    [(c, *k) for c, k in codes],
+                    schema="code long, "
+                    + ", ".join(f"k{j} long" for j in range(w)),
+                )
+                dist = None
+                for j in range(w):
+                    d = F.col(f"nq{j}") - F.col(f"k{j}")
+                    t = d * d
+                    dist = t if dist is None else dist + t
+                assigned = (
+                    nq.crossJoin(F.broadcast(cb))
+                    .select("vec_id", "code", dist.alias("dist"))
+                    .groupBy("vec_id")
+                    .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+                )
+                longq = nq.select(
+                    "vec_id",
+                    F.posexplode(
+                        F.array(*[F.col(f"nq{j}") for j in range(w)])
+                    ).alias("j", "q"),
+                )
+                sums = (
+                    assigned.join(longq, "vec_id")
+                    .groupBy("code", "j")
+                    .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+                by_code: dict[int, list[int]] = {}
+                for r in sums:
+                    s, cnt = int(r["s"]), int(r["cnt"])
+                    t = -((-s) // cnt) if s < 0 else s // cnt
+                    by_code.setdefault(int(r["code"]), [0] * w)[int(r["j"])] = t
+                codes = sorted(by_code.items())
+            parts.extend((m, c, *k) for c, k in codes)
+        return spark.createDataFrame(
+            parts,
+            schema="m int, code long, "
+            + ", ".join(f"k{j} long" for j in range(w)),
+        )
+    finally:
+        e.unpersist()
+
+
+def pq_topk_trained(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    seed_modulus: int = 50,
+    train_iters: int = 2,
+    rerank: int = 50,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ/ADC top-k with TRAINED codebooks (:func:`pq_codebooks_trained`).
+
+    Encode is pure-integer L2 against the int64 codebook (the CASE-
+    indexed normalized-slice quantization per row — column references
+    only, so no Catalyst expression blow-up); the ADC LUT quantizes
+    ``Σ q̂_j·k_j / qnrm`` into exact int64 units so the n_sub-way sum is
+    associative; the top-``rerank`` candidates re-rank by exact rounded
+    cosine, identical to :func:`pq_topk`.
+    """
+    dim = embedding_dim(emb)
+    w = dim // n_sub
+    e = _flat(emb, "vec_id", "d", dim)
+    cb = pq_codebooks_trained(e, dim, n_sub, seed_modulus, train_iters, quant)
+
+    def _nq_case(j: int) -> F.Column:
+        expr = F.when(
+            F.col("m") == 0,
+            F.round(F.col(f"d{j}") / F.col("nrm") * quant).cast("long"),
+        )
+        for m in range(1, n_sub):
+            expr = expr.when(
+                F.col("m") == m,
+                F.round(F.col(f"d{m * w + j}") / F.col("nrm") * quant).cast(
+                    "long"
+                ),
+            )
+        return expr
+
+    dist = None
+    for j in range(w):
+        d = _nq_case(j) - F.col(f"k{j}")
+        t = d * d
+        dist = t if dist is None else dist + t
+    enc = (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", "m", "code", dist.alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+    )
+
+    q = queries.select(
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+
+    def _qsub_case(j: int) -> F.Column:
+        expr = F.when(F.col("m") == 0, F.col(f"q{j}"))
+        for m in range(1, n_sub):
+            expr = expr.when(F.col("m") == m, F.col(f"q{m * w + j}"))
+        return expr
+
+    pdot = None
+    for j in range(w):
+        t = _qsub_case(j) * F.col(f"k{j}")
+        pdot = t if pdot is None else pdot + t
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "m",
+        "code",
+        F.round(pdot / F.col("qnrm") * F.lit(1_000_000))
+        .cast("long")
+        .alias("pdot_e12"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_e12"), F.asc("vec_id")
+    )
+    cand = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot_e12").alias("adc_e12"))
+        .withColumn("arnk", F.row_number().over(w_adc))
+        .filter(F.col("arnk") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    cos_sim = F.round(
+        flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos_sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
