@@ -613,63 +613,76 @@ def pq_codebooks_trained(
     sum — all linear; the bounded per-round codebook materializes to a
     LocalRelation exactly like :func:`kmeans_centroids`.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = e.sparkSession
     w = dim // n_sub
     e = e.persist()
-    try:
-        parts = []
-        for m in range(n_sub):
-            nq = e.select(
-                "vec_id",
-                *[
-                    F.round(F.col(f"d{m * w + j}") / F.col("nrm") * quant)
-                    .cast("long")
-                    .alias(f"nq{j}")
-                    for j in range(w)
-                ],
+
+    def _train_subspace(m: int) -> list:
+        nq = e.select(
+            "vec_id",
+            *[
+                F.round(F.col(f"d{m * w + j}") / F.col("nrm") * quant)
+                .cast("long")
+                .alias(f"nq{j}")
+                for j in range(w)
+            ],
+        )
+        rows = nq.filter(F.col("vec_id") % seed_modulus == 0).collect()
+        codes = [
+            (int(r["vec_id"]), [int(r[f"nq{j}"]) for j in range(w)])
+            for r in sorted(rows, key=lambda r: r["vec_id"])
+        ]
+        for _ in range(iters):
+            cb = spark.createDataFrame(
+                [(c, *k) for c, k in codes],
+                schema="code long, "
+                + ", ".join(f"k{j} long" for j in range(w)),
             )
-            rows = (
-                nq.filter(F.col("vec_id") % seed_modulus == 0)
+            dist = None
+            for j in range(w):
+                d = F.col(f"nq{j}") - F.col(f"k{j}")
+                t = d * d
+                dist = t if dist is None else dist + t
+            assigned = (
+                nq.crossJoin(F.broadcast(cb))
+                .select("vec_id", "code", dist.alias("dist"))
+                .groupBy("vec_id")
+                .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+            )
+            longq = nq.select(
+                "vec_id",
+                F.posexplode(
+                    F.array(*[F.col(f"nq{j}") for j in range(w)])
+                ).alias("j", "q"),
+            )
+            sums = (
+                assigned.join(longq, "vec_id")
+                .groupBy("code", "j")
+                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
                 .collect()
             )
-            codes = [(int(r["vec_id"]), [int(r[f"nq{j}"]) for j in range(w)])
-                     for r in sorted(rows, key=lambda r: r["vec_id"])]
-            for _ in range(iters):
-                cb = spark.createDataFrame(
-                    [(c, *k) for c, k in codes],
-                    schema="code long, "
-                    + ", ".join(f"k{j} long" for j in range(w)),
-                )
-                dist = None
-                for j in range(w):
-                    d = F.col(f"nq{j}") - F.col(f"k{j}")
-                    t = d * d
-                    dist = t if dist is None else dist + t
-                assigned = (
-                    nq.crossJoin(F.broadcast(cb))
-                    .select("vec_id", "code", dist.alias("dist"))
-                    .groupBy("vec_id")
-                    .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
-                )
-                longq = nq.select(
-                    "vec_id",
-                    F.posexplode(
-                        F.array(*[F.col(f"nq{j}") for j in range(w)])
-                    ).alias("j", "q"),
-                )
-                sums = (
-                    assigned.join(longq, "vec_id")
-                    .groupBy("code", "j")
-                    .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
-                    .collect()
-                )
-                by_code: dict[int, list[int]] = {}
-                for r in sums:
-                    s, cnt = int(r["s"]), int(r["cnt"])
-                    t = -((-s) // cnt) if s < 0 else s // cnt
-                    by_code.setdefault(int(r["code"]), [0] * w)[int(r["j"])] = t
-                codes = sorted(by_code.items())
-            parts.extend((m, c, *k) for c, k in codes)
+            by_code: dict[int, list[int]] = {}
+            for r in sums:
+                s, cnt = int(r["s"]), int(r["cnt"])
+                t = -((-s) // cnt) if s < 0 else s // cnt
+                by_code.setdefault(int(r["code"]), [0] * w)[int(r["j"])] = t
+            codes = sorted(by_code.items())
+        return [(m, c, *k) for c, k in codes]
+
+    try:
+        # The n_sub trainings are fully independent — run them as
+        # CONCURRENT Spark jobs (driver threads; the scheduler interleaves
+        # the small stages) instead of 2·n_sub sequential job waves of
+        # driver round-trips.  Results assemble per-subspace, so the
+        # output is identical to the sequential order.
+        with ThreadPoolExecutor(max_workers=n_sub) as pool:
+            parts = [
+                row
+                for sub in pool.map(_train_subspace, range(n_sub))
+                for row in sub
+            ]
         return spark.createDataFrame(
             parts,
             schema="m int, code long, "
