@@ -411,3 +411,126 @@ def shared_span_stats(
             .alias("boilerplate_e6"),
         )
     )
+
+
+# PII patterns shared with the SQL oracle.  Deliberately restricted to
+# character classes, literals and bounded quantifiers — the regex subset
+# where Java regex (Spark) and RE2 (DuckDB) agree exactly (no
+# backreferences, no lookaround, no possessive quantifiers).  The four
+# patterns are mutually disjoint by construction (3-3-4 phone vs 3-2-4
+# id; dotted quad vs dashed groups), so per-pattern counts over the
+# ORIGINAL text never double-count and the sequential redaction order
+# below is deterministic on both engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("id", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the privacy-scrub pass every
+    training-data pipeline runs before release (emails, NANP phones,
+    SSN-shaped ids, IPv4 literals).
+
+    Output: (doc_id, n_emails, n_phones, n_ids, n_ips, pii_total,
+    clean_len, clean_md5).  Counts are measured per pattern on the
+    ORIGINAL text; the clean text applies the replacements sequentially
+    in ``PII_PATTERNS`` order and is emitted as (length, md5) so the
+    redaction itself — not just the counts — is under the oracle hash.
+
+    Scale shape: a pure per-row map (regexp count + replace, all
+    codegen'd JVM expressions, no Python) — shuffle-free, pipelines with
+    the scan, linear in corpus bytes.  At 100 TB this is the cheapest
+    stage in the pipeline; run it early so downstream stages never see
+    raw PII.
+    """
+    col = F.col(text_col)
+    clean = col
+    for _, pat, rep in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    inner = docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}s")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+    return inner.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ids",
+        "n_ips",
+        (
+            F.col("n_emails") + F.col("n_phones") + F.col("n_ids") + F.col("n_ips")
+        ).alias("pii_total"),
+        "clean_len",
+        "clean_md5",
+    )
+
+
+def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language-model scoring — the CCNet/KenLM-style
+    fluency filter: documents whose bigrams are improbable under the
+    corpus's own bigram statistics score low (gibberish, shuffled text,
+    OCR noise) and get filtered before training.
+
+    Per bigram (w1,w2) the conditional probability surrogate is the
+    exact integer ``p_e6 = c(w1,w2)·1e6 div c(w1,·)`` (count of the
+    bigram over the count of bigrams starting with w1); a document's
+    score is the exact mean ``sum(p_e6) div n_bigrams`` — no logs, no
+    doubles, bit-identical cross-engine while ranking documents the
+    same way a log-probability mean would for fixed-length docs.
+
+    Output: (doc_id, n_bigrams, lm_score_e6); docs with < 2 tokens
+    carry zeros via the left join.
+
+    Scale shape: bigram explode (codegen'd slice, not a per-row HOF
+    fold); the model counts are two partial-aggregable groupBys over
+    the same exploded set; the score join keys on the bigram string —
+    vocabulary-sized, AQE broadcasts it when small.  The "model" is
+    itself a DataFrame, so at 100 TB it can be trained on a sample and
+    joined against the full corpus unchanged.
+    """
+    t = tokens(text_col)
+    toks = docs.select("doc_id", t.alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+            ).otherwise(F.array().cast("array<integer>"))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.get("t", F.col("i") - 1).alias("w1"),  # 0-based, bounds-safe
+        F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("bg"),
+    )
+    big_c = bigrams.groupBy("w1", "bg").agg(F.count("*").alias("c12"))
+    pre_c = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    stats = big_c.join(pre_c, "w1").select(
+        "bg", F.expr("(c12 * 1000000L) div c1").alias("p_e6")
+    )
+    per_doc = (
+        bigrams.join(stats, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p_e6").alias("_s"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.expr("_s div n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("lm_score_e6"),
+        )
+    )

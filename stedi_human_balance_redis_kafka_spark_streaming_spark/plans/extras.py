@@ -362,3 +362,158 @@ def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_within_5pct"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    # Ordered-sequence funnel: first signup, first view AFTER it, first
+    # purchase AFTER that — strict-> at each hop, per user.  Timestamps
+    # are emitted as epoch-micros integers (unix_micros / epoch_us), so
+    # the compare is render- and timezone-free.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           epoch_us(t1) AS t1_us,
+           epoch_us(t2) AS t2_us,
+           epoch_us(t3) AS t3_us,
+           CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS reached_stage
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel (signup → view → purchase) with strict
+    temporal ordering at each hop — the sequence-analytics op Spark has
+    no built-in for, expressed as three stage-filtered min-aggregations
+    chained by equi-joins.
+
+    Scale shape: each stage filters by event type BEFORE its keyed
+    shuffle (predicate reaches the scan; with a type/date-partitioned
+    events table the stages partition-prune); all three shuffles key on
+    user_id, so AQE can reuse/co-locate the exchanges, and every join's
+    build side is one-row-per-user aggregates.  No windows over the raw
+    event stream, no per-user collect.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("t1_us"),
+            F.unix_micros("t2").alias("t2_us"),
+            F.unix_micros("t3").alias("t3_us"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("reached_stage"),
+        )
+    )
+
+
+@register(
+    "events_gapfill_rollup",
+    # Hypertable-style hourly rollup with gap filling: EVERY (type,
+    # hour) cell on the dense axis appears, zero-filled where no events
+    # landed.  Bucket keys are epoch-hour integers (unix_micros div
+    # 3600e6 == epoch_us // 3600e6) — timezone-free, no timestamp
+    # rendering in the compare; values in exact e4 ints per the repo FP
+    # policy.
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_bucket,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events
+    ), agg AS (
+      SELECT event_type, hour_bucket, COUNT(*) AS n_events,
+             CAST(SUM(v) AS BIGINT) AS sum_value_e4
+      FROM e GROUP BY event_type, hour_bucket
+    ), b AS (
+      SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM e
+    ), axis AS (
+      SELECT unnest(range(lo, hi + 1)) AS hour_bucket FROM b
+    ), types AS (SELECT DISTINCT event_type FROM e)
+    SELECT t.event_type,
+           CAST(a.hour_bucket AS BIGINT) AS hour_bucket,
+           CAST(COALESCE(g.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(g.sum_value_e4, 0) AS BIGINT) AS sum_value_e4
+    FROM axis a CROSS JOIN types t
+    LEFT JOIN agg g
+      ON g.event_type = t.event_type AND g.hour_bucket = a.hour_bucket
+    """,
+)
+def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup over a DENSE time axis (TimescaleDB
+    time_bucket_gapfill semantics): buckets with no events surface with
+    zero counts instead of silently missing — the contract dashboards
+    and downsampling jobs need.
+
+    Scale shape: ONE fact-sized partial-aggregable shuffle (the keyed
+    rollup); the dense axis is generated from the 1-row bounds
+    aggregate with ``sequence`` + ``explode`` (metadata-sized — hours ×
+    types, never fact-sized) and left-joins the rollup, which AQE
+    broadcasts.  The dense side grows with time-span, not data volume,
+    so the shape is unchanged at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    agg = e.groupBy("event_type", "hour_bucket").agg(
+        F.count("*").alias("n_events"), F.sum("v").alias("sum_value_e4")
+    )
+    bounds = e.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_bucket")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        axis.crossJoin(types)
+        .join(agg, ["event_type", "hour_bucket"], "left")
+        .select(
+            "event_type",
+            "hour_bucket",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("sum_value_e4", F.lit(0))
+            .cast("long")
+            .alias("sum_value_e4"),
+        )
+    )

@@ -123,3 +123,64 @@ SQL_BIRTH_DAY = (
 )
 SQL_PHONE = "lpad(CAST(c_custkey AS VARCHAR), 10, '0')"
 SQL_RISK_DATE = "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"
+
+
+def pii_enriched_documents(docs: DataFrame) -> DataFrame:
+    """Deterministically inject synthetic PII into the documents corpus.
+
+    The driver's documents table is clean word-soup, so exercising the
+    PII scrubber needs a corpus that actually contains PII.  Same
+    golden-payload philosophy as :func:`redis_envelope_raw`: derive the
+    injected strings purely from ``doc_id`` so the SQL oracle
+    (``SQL_PII_TEXT``) reconstructs the identical corpus and the scrub
+    must detect/redact EXACTLY the planted items.  Moduli are coprime-ish
+    (7/11/13/17) so documents carry 0–4 PII kinds in mixed combinations.
+    """
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 0,
+        F.format_string(
+            " call 555-%03d-%04d",
+            (d % 1000).cast("int"),
+            (d % 10000).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        d % 13 == 0,
+        F.format_string(
+            " ref %03d-%02d-%04d",
+            (d % 900).cast("int"),
+            (d % 90).cast("int"),
+            (d % 9000).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 17 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), email, phone, ssn, ip))
+
+
+SQL_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user'"
+    " || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN"
+    " printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN"
+    " printf(' ref %03d-%02d-%04d', doc_id % 900, doc_id % 90, doc_id % 9000)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' host 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " ELSE '' END"
+)

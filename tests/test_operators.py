@@ -615,3 +615,86 @@ def test_rebalance_by_rate_boundaries_and_determinism(spark):
         [("a", 0)], "source string, rate_e6 long"
     )
     assert rebalance_by_rate(df, rates0).count() == 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "write to alice.smith+x@mail-host.co.uk or call 555-123-4567"),
+        (2, "ssn 123-45-6789 from 192.168.1.10 twice 10.0.0.1"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert (out[2].n_ids, out[2].n_ips) == (1, 2)
+    assert out[3].pii_total == 0
+    assert out[4].n_emails == 2
+    # redaction is verified through the hash of the replaced text
+    exp = "write to <EMAIL> or call <PHONE>"
+    assert out[1].clean_md5 == hashlib.md5(exp.encode()).hexdigest()
+    assert out[1].clean_len == len(exp)
+    exp2 = "ssn <ID> from <IP> twice <IP>"
+    assert out[2].clean_md5 == hashlib.md5(exp2.encode()).hexdigest()
+
+
+def test_pii_patterns_disjoint_on_mixed_text(spark):
+    # a phone is NOT counted as an id and vice versa (3-3-4 vs 3-2-4)
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 ref 123-45-6789")], "doc_id long, text string"
+    )
+    r = text_ops.pii_scrub(df).collect()[0]
+    assert (r.n_phones, r.n_ids, r.pii_total) == (1, 1, 2)
+
+
+def test_lm_score_known_bigram_model(spark):
+    # corpus bigrams: "a b" x2, "a c" x1, "b a" x1, "c a" x1
+    # c(a,.)=3 -> p(a b)=666666, p(a c)=333333; c(b,.)=1 -> p(b a)=1e6
+    # doc 1 "a b a c" bigrams: a b, b a, a c
+    #   score = (666666 + 1000000 + 333333) div 3 = 666666
+    # doc 2 "c a b": c a (1e6), a b (666666) -> 833333
+    rows = [(1, "a b a c"), (2, "c a b"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.lm_score(df).collect()}
+    assert out[1].n_bigrams == 3 and out[1].lm_score_e6 == 666666
+    assert out[2].n_bigrams == 2 and out[2].lm_score_e6 == 833333
+    assert out[3].n_bigrams == 0 and out[3].lm_score_e6 == 0
+
+
+def test_events_funnel_ordering_invariants(spark, sf_dir):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        events_funnel,
+    )
+
+    rows = events_funnel(spark, sf_dir).collect()
+    assert rows, "funnel produced no users"
+    for r in rows:
+        if r.reached_stage >= 2:
+            assert r.t2_us > r.t1_us
+        else:
+            assert r.t2_us is None
+        if r.reached_stage == 3:
+            assert r.t3_us > r.t2_us
+        else:
+            assert r.t3_us is None
+
+
+def test_events_gapfill_dense_axis_and_totals(spark, sf_dir):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        events_gapfill_rollup,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    out = events_gapfill_rollup(spark, sf_dir)
+    rows = out.collect()
+    buckets = {r.hour_bucket for r in rows}
+    types = {r.event_type for r in rows}
+    # dense: every (type, bucket) cell exactly once over the full range
+    assert buckets == set(range(min(buckets), max(buckets) + 1))
+    assert len(rows) == len(buckets) * len(types)
+    # zero-filled cells exist and totals reconcile with the raw table
+    assert any(r.n_events == 0 for r in rows)
+    n_raw = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_raw
