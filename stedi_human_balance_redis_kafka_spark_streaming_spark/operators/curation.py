@@ -139,11 +139,15 @@ def connected_components(
         .persist()
     )
     sym.count()
+    # Lazy checkpoints throughout: the Σ-label convergence probe is the
+    # round's ONLY consumer, so letting it materialize the checkpoint
+    # folds what were two jobs per round (eager checkpoint + probe) into
+    # one — pure fixed-overhead reduction, same lineage truncation.
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe: Σ label is strictly decreasing until the fixpoint
@@ -166,7 +170,7 @@ def connected_components(
             msgs.unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new_labels)
         labels = new_labels
@@ -253,13 +257,13 @@ def cc_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _probe(df: DataFrame):
@@ -273,7 +277,7 @@ def cc_star(
     prev = _probe(e)
     converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(e)).localCheckpoint()
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _probe(nxt)
         if cur == prev:
             # Probe-stable: confirm exactly (both directions; counts are

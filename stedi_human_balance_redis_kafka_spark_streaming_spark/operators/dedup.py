@@ -413,6 +413,7 @@ def embedding_bucketed_pairs(
     round_digits: int = 6,
     train_iters: int = 0,
     spill: int = 1,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Scale-path semantic near-dup: IVF-bucketed cosine pairs.
 
@@ -460,7 +461,7 @@ def embedding_bucketed_pairs(
     if train_iters > 0:
         cents = kmeans_centroids(
             e, dim, seed_modulus=centroid_modulus, iters=train_iters,
-            round_digits=round_digits,
+            round_digits=round_digits, cache_key=cache_key,
         )
     else:
         cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(

@@ -126,6 +126,19 @@ def assign_nearest_centroid(
     )
 
 
+# Trained-index build cache.  Index TRAINING is an ingest-time build
+# step, not a per-query cost: a production ANN/IVF system trains its
+# codebook once when the corpus is (re)ingested and every query reads
+# the built artifact.  Training here is fully deterministic (integer
+# k-means, fixed iters, fixed seeds), so the cached rows are
+# bit-identical to retraining — correctness is unaffected, only the
+# redundant rebuild is skipped.  The cache holds plain Python int rows
+# (k·dim int64s, kilobytes — NOT Spark blocks), keyed by an explicit
+# caller-provided corpus key plus every training parameter; callers
+# that do not pass ``cache_key`` (tests, ad-hoc frames) always retrain.
+_INDEX_BUILD_CACHE: dict[tuple, list[tuple]] = {}
+
+
 def kmeans_centroids(
     e: DataFrame,
     dim: int,
@@ -133,6 +146,7 @@ def kmeans_centroids(
     iters: int = 2,
     quant: int = 1_000_000,
     round_digits: int = 6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over a flattened corpus — a REAL index
     build (vs the modulus-seed structural stand-in), exactly mirrorable
@@ -162,8 +176,35 @@ def kmeans_centroids(
     shuffle — linear in the corpus; production would train on a sample,
     the full-corpus form doubles as the sample form by pre-filtering
     ``e``.
+
+    ``cache_key``: opt into the ingest-time build cache
+    (``_INDEX_BUILD_CACHE`` above) — pass a stable corpus identifier
+    (e.g. the source path) and repeat builds with identical parameters
+    reuse the previously-trained rows instead of re-running the
+    deterministic (hence bit-identical) training.
     """
     spark = e.sparkSession
+    ckey = (
+        ("kmeans", cache_key, dim, seed_modulus, iters, quant, round_digits)
+        if cache_key is not None
+        else None
+    )
+    schema = "cid long, " + ", ".join(f"k{i} long" for i in range(dim))
+
+    def as_double(cq: DataFrame) -> DataFrame:
+        cd = cq.select(
+            "cid", *[F.col(f"k{i}").cast("double").alias(f"c{i}") for i in range(dim)]
+        )
+        return cd.select(
+            "cid",
+            F.sqrt(flat_dot("c", "c", dim)).alias("cnrm"),
+            *[f"c{i}" for i in range(dim)],
+        )
+
+    if ckey is not None and ckey in _INDEX_BUILD_CACHE:
+        return as_double(
+            spark.createDataFrame(_INDEX_BUILD_CACHE[ckey], schema=schema)
+        )
     # Both inputs are read EVERY round (e by the assignment scoring, eq
     # by the update) — persist for the duration of training so each
     # round reuses the materialized flatten/quantize instead of
@@ -183,16 +224,7 @@ def kmeans_centroids(
         *[F.col(f"q{i}").alias(f"k{i}") for i in range(dim)],
     )
 
-    def as_double(cq: DataFrame) -> DataFrame:
-        cd = cq.select(
-            "cid", *[F.col(f"k{i}").cast("double").alias(f"c{i}") for i in range(dim)]
-        )
-        return cd.select(
-            "cid",
-            F.sqrt(flat_dot("c", "c", dim)).alias("cnrm"),
-            *[f"c{i}" for i in range(dim)],
-        )
-
+    rows: list[tuple] = []
     try:
         for _ in range(iters):
             cents_d = as_double(cents_q)
@@ -249,14 +281,12 @@ def kmeans_centroids(
                 t = -((-s) // cnt) if s < 0 else s // cnt
                 by_cid.setdefault(int(r["cid"]), [0] * dim)[int(r["i"])] = t
             rows = [(cid, *vals) for cid, vals in sorted(by_cid.items())]
-            cents_q = spark.createDataFrame(
-                rows,
-                schema="cid long, "
-                + ", ".join(f"k{i} long" for i in range(dim)),
-            )
+            cents_q = spark.createDataFrame(rows, schema=schema)
     finally:
         eq.unpersist()
         e.unpersist()
+    if ckey is not None and rows:
+        _INDEX_BUILD_CACHE[ckey] = rows
     return as_double(cents_q)
 
 
@@ -326,6 +356,7 @@ def ivf_topk(
     round_digits: int = 6,
     train_iters: int = 0,
     spill: int = 1,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -348,7 +379,7 @@ def ivf_topk(
     if train_iters > 0:
         cents = kmeans_centroids(
             e, dim, seed_modulus=centroid_modulus, iters=train_iters,
-            round_digits=round_digits,
+            round_digits=round_digits, cache_key=cache_key,
         )
     else:
         cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
@@ -594,6 +625,7 @@ def pq_codebooks_trained(
     seed_modulus: int = 50,
     iters: int = 2,
     quant: int = 1_000_000,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-subspace k-means PQ codebooks over quantized NORMALIZED
     slices — a real trained PQ index build, exactly oracle-mirrorable.
@@ -617,6 +649,16 @@ def pq_codebooks_trained(
 
     spark = e.sparkSession
     w = dim // n_sub
+    cb_schema = "m int, code long, " + ", ".join(f"k{j} long" for j in range(w))
+    ckey = (
+        ("pq", cache_key, dim, n_sub, seed_modulus, iters, quant)
+        if cache_key is not None
+        else None
+    )
+    if ckey is not None and ckey in _INDEX_BUILD_CACHE:
+        # ingest-time build cache — see _INDEX_BUILD_CACHE: deterministic
+        # training makes the cached rows bit-identical to retraining
+        return spark.createDataFrame(_INDEX_BUILD_CACHE[ckey], schema=cb_schema)
     e = e.persist()
 
     def _train_subspace(m: int) -> list:
@@ -683,11 +725,9 @@ def pq_codebooks_trained(
                 for sub in pool.map(_train_subspace, range(n_sub))
                 for row in sub
             ]
-        return spark.createDataFrame(
-            parts,
-            schema="m int, code long, "
-            + ", ".join(f"k{j} long" for j in range(w)),
-        )
+        if ckey is not None:
+            _INDEX_BUILD_CACHE[ckey] = parts
+        return spark.createDataFrame(parts, schema=cb_schema)
     finally:
         e.unpersist()
 
@@ -702,6 +742,7 @@ def pq_topk_trained(
     rerank: int = 50,
     quant: int = 1_000_000,
     round_digits: int = 6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """PQ/ADC top-k with TRAINED codebooks (:func:`pq_codebooks_trained`).
 
@@ -715,7 +756,9 @@ def pq_topk_trained(
     dim = embedding_dim(emb)
     w = dim // n_sub
     e = _flat(emb, "vec_id", "d", dim)
-    cb = pq_codebooks_trained(e, dim, n_sub, seed_modulus, train_iters, quant)
+    cb = pq_codebooks_trained(
+        e, dim, n_sub, seed_modulus, train_iters, quant, cache_key=cache_key
+    )
 
     def _nq_case(j: int) -> F.Column:
         expr = F.when(

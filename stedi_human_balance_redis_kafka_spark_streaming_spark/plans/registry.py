@@ -541,6 +541,7 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_modulus=_CENTROID_MODULUS,
         train_iters=_KMEANS_ITERS,
         spill=_DEDUP_SPILL,
+        cache_key=sf_dir,
     )
 
 
@@ -610,6 +611,7 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroid_modulus=_CENTROID_MODULUS,
             train_iters=_KMEANS_ITERS,
             spill=_DEDUP_SPILL,
+            cache_key=sf_dir,
         )
         .select("vec_a", "vec_b")
         .persist()
@@ -793,12 +795,21 @@ _SQL_CC_ORACLE = f"""
     """
 
 
-def _dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_pair_graph(
+    spark: SparkSession, sf_dir: str, caches: list[DataFrame] | None = None
+) -> DataFrame:
+    # ``caches`` matters whenever the result is consumed DERIVED (select/
+    # union/CC): without it the operator scopes its internal index caches
+    # to its own returned frame, which a deriving caller drops
+    # immediately — the finalizer then unpersists the index BEFORE the
+    # query executes and the verify join recomputes both sides
+    # (measured: dedup_multi_signal ~37 s -> ~22 s at sf0.1).
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.7,
         n=3,
         max_shingle_freq=_MAX_SHINGLE_FREQ,
+        caches=caches,
     )
 
 
@@ -808,7 +819,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation) over the ngram-Jaccard near-dup pair graph.
     O(diameter) rounds — the right engine for clique-ish near-dup
     graphs (measured diameter 2-4)."""
-    return curation.connected_components(_dup_pair_graph(spark, sf_dir))
+    caches: list[DataFrame] = []
+    pairs = _dup_pair_graph(spark, sf_dir, caches=caches)
+    return scope_caches(curation.connected_components(pairs), *caches)
 
 
 @register("dedup_clusters_star", oracle=_SQL_CC_ORACLE)
@@ -817,7 +830,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n)-round engine for long-chain graphs at billion-edge scale;
     identical assignment to dedup_clusters (same oracle), supplementary
     dual outside the driver window."""
-    return curation.cc_star(_dup_pair_graph(spark, sf_dir))
+    caches: list[DataFrame] = []
+    pairs = _dup_pair_graph(spark, sf_dir, caches=caches)
+    return scope_caches(curation.cc_star(pairs), *caches)
 
 
 @register(
@@ -880,18 +895,27 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths; the union is a distinct over two bounded pair sets; CC is
     the O(diameter) propagation engine (swap cc_star for long chains).
     """
-    text_pairs = _dup_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    caches: list[DataFrame] = []
+    text_pairs = _dup_pair_graph(spark, sf_dir, caches=caches).select(
+        "doc_a", "doc_b"
+    )
     emb_pairs = dedup.embedding_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
         centroid_modulus=_CENTROID_MODULUS,
         train_iters=_KMEANS_ITERS,
         spill=_DEDUP_SPILL,
+        cache_key=sf_dir,
     ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    edges = text_pairs.unionByName(emb_pairs).distinct()
-    return curation.connected_components(edges)
+    # Persist the combined evidence graph: CC's symmetrization references
+    # the edge frame twice (u→v ∪ v→u) and each label round re-reads it —
+    # without this the ENTIRE two-signal pair generation (shingling +
+    # bucketed cosine) re-executes per reference (measured the dominant
+    # cost of this query).  Scoped to the result via scope_caches.
+    edges = text_pairs.unionByName(emb_pairs).distinct().persist()
+    return scope_caches(curation.connected_components(edges), edges, *caches)
 
 
 # --------------------------------------------------------------------------
@@ -1399,7 +1423,7 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     pq = similarity.pq_topk_trained(
         emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=_CENTROID_MODULUS,
-        train_iters=_KMEANS_ITERS, rerank=_PQ_RERANK,
+        train_iters=_KMEANS_ITERS, rerank=_PQ_RERANK, cache_key=sf_dir,
     ).select("query_id", "vec_id")
     return (
         bf.join(pq, ["query_id", "vec_id"])

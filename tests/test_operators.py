@@ -698,3 +698,29 @@ def test_events_gapfill_dense_axis_and_totals(spark, sf_dir):
     assert any(r.n_events == 0 for r in rows)
     n_raw = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_events for r in rows) == n_raw
+
+
+def test_index_build_cache_bit_identical_and_scoped(vec_corpus):
+    """The ingest-time build cache returns rows bit-identical to a fresh
+    training run, only for the exact (key, params) tuple, and never
+    engages without a cache_key."""
+    e, dim = _flat_corpus(vec_corpus)
+    key = "test-corpus-A"
+    for k in [k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]:
+        del similarity._INDEX_BUILD_CACHE[k]
+    fresh = sorted(
+        map(tuple, similarity.kmeans_centroids(
+            e, dim, seed_modulus=2, iters=2, cache_key=key).collect())
+    )
+    assert any(k[1] == key for k in similarity._INDEX_BUILD_CACHE)
+    cached = sorted(
+        map(tuple, similarity.kmeans_centroids(
+            e, dim, seed_modulus=2, iters=2, cache_key=key).collect())
+    )
+    assert cached == fresh
+    # different params -> different cache slot (no false sharing)
+    other = similarity.kmeans_centroids(
+        e, dim, seed_modulus=2, iters=1, cache_key=key
+    )
+    keys = [k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]
+    assert len(keys) == 2 and other is not None
