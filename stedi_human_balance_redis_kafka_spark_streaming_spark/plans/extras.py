@@ -517,3 +517,58 @@ def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_e4"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    # Cohort retention matrix: users grouped by first-signup day, counted
+    # on each later active day by day offset.  Day keys are epoch-day
+    # integers (unix_micros div 86400e6 == epoch_us // 86400e6) —
+    # timezone-free.  (user, day) pairs are pre-deduped, so the per-cell
+    # COUNT(*) IS the distinct-user count without an expand rewrite.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 AS day FROM events
+    ), cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, day FROM e
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort c USING (user_id)
+    WHERE a.day >= c.cohort_day
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: per first-signup-day cohort, how many of its
+    users are active N days later — the standard product-analytics
+    retention matrix.
+
+    Scale shape: the (user, day) dedup and the cohort min are both
+    partial-aggregable keyed shuffles; the join keys on user_id against
+    one-row-per-user cohorts (AQE broadcasts when small); the final cell
+    rollup is a tiny keyed agg.  Because activity is deduped FIRST, no
+    count-distinct expand rewrite ever touches the fact table.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    activity = e.select("user_id", "day").distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -916,8 +916,6 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost of this query).  Scoped to the result via scope_caches.
     edges = text_pairs.unionByName(emb_pairs).distinct().persist()
     return scope_caches(curation.connected_components(edges), edges, *caches)
-
-
 # --------------------------------------------------------------------------
 # Similarity search (SURVEY.md §2.6) over the embeddings table
 # --------------------------------------------------------------------------
@@ -1809,6 +1807,82 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_keep_best",
+    # Representative selection: one kept document per near-dup cluster,
+    # chosen by (quality_e6 DESC, doc_id ASC) — the step after duplicate
+    # CLUSTERS that decides which copy survives.  Singletons (docs in no
+    # pair) keep themselves via the left join + coalesce.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    q AS (
+      SELECT doc_id, CAST({_SQL_QE6} AS BIGINT) AS quality_e6
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    j AS (
+      SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id,
+             q.quality_e6
+      FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY quality_e6 DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, quality_e6 AS rep_quality_e6,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked representative per duplicate cluster — dedup's
+    KEEP decision (highest quality_e6 wins, doc_id breaks ties), with
+    singleton docs as their own clusters.
+
+    Scale shape: CC over the bounded pair graph + one corpus-keyed left
+    join + one partial-aggregable ``max_by`` groupBy — no window over
+    the corpus (the argmax folds map-side; the oracle's row_number is
+    the SQL mirror, not the plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    clusters = curation.connected_components(
+        _dup_pair_graph(spark, sf_dir, caches=caches)
+    )
+    quality = text_ops.text_stats(docs).select("doc_id", "quality_e6")
+    j = quality.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "quality_e6",
+    )
+    ret = j.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality_e6"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("rep_doc_id"),
+        F.max("quality_e6").alias("rep_quality_e6"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    return scope_caches(ret, *caches)
+
+
+@register(
     "curation_rebalance",
     # The execution half of mixture re-balancing: text_domain_mixture's
     # computed uniform keep-rates applied by deterministic in-plan hash
@@ -2173,6 +2247,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "text_lm_score",
     "events_funnel",
     "events_gapfill_rollup",
+    "curation_keep_best",
+    "events_retention_cohorts",
 )
 
 

@@ -724,3 +724,43 @@ def test_index_build_cache_bit_identical_and_scoped(vec_corpus):
     )
     keys = [k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]
     assert len(keys) == 2 and other is not None
+
+
+def test_keep_best_picks_quality_argmax(spark, sf_dir):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
+        curation_keep_best,
+        dedup_clusters,
+    )
+
+    best = {r.cluster_id: r for r in curation_keep_best(spark, sf_dir).collect()}
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    n_docs = 0
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    # every multi-doc cluster appears with the right member count and its
+    # representative is a member
+    for cid, members in by_cluster.items():
+        assert best[cid].n_members == len(members)
+        assert best[cid].rep_doc_id in members
+        n_docs += len(members)
+    # singletons: every doc not in a pair keeps itself
+    singles = [r for r in best.values() if r.n_members == 1]
+    assert len(best) == len(by_cluster) + len(singles)
+    assert all(r.rep_doc_id == r.cluster_id for r in singles)
+
+
+def test_retention_cohorts_day_zero_complete(spark, sf_dir):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        events_retention_cohorts,
+    )
+
+    rows = events_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    # every cohort has a day-0 cell (the signup day itself is active) and
+    # no cell exceeds its cohort's day-0 population
+    day0 = {r.cohort_day: r.n_users for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert r.day_offset >= 0
+        assert r.cohort_day in day0
+        assert r.n_users <= day0[r.cohort_day]
