@@ -623,3 +623,30 @@ def test_streaming_assign_centroids_matches_batch(spark, tmp_path):
     )
     got = sorted((r.vec_id, r.cid) for r in out.collect())
     assert got == batch_assign
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """pii_scrub is batch/streaming-dual AS-IS: a stateless codegen'd
+    regexp map, no aggregation/window — the ingest-time privacy pass."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "mail a@b.io call 555-123-4567"),
+        (2, "ssn 123-45-6789 ip 10.0.0.1"),
+        (3, "clean text only"),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pii_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        text_ops.pii_scrub(sdf),
+        f"pii_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(map(tuple, out.collect()))
+    expected = sorted(map(tuple, text_ops.pii_scrub(batch_df).collect()))
+    assert got == expected
