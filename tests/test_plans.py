@@ -189,3 +189,41 @@ def test_pq_adc_joins_are_broadcast(spark):
     # broadcast-side bounded: no SortMergeJoin over the corpus
     plan = _plan(spark, "ann_pq_recall")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_stage_filters_pushed_to_scan(spark):
+    """Each funnel stage's event-type predicate must reach the Parquet
+    scan (PushedFilters) so a partitioned events table prunes; no
+    cartesian anywhere."""
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    assert "event_type" in plan and "PushedFilters" in plan
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in p for p in pushed)
+
+
+def test_gapfill_single_fact_shuffle(spark):
+    """The dense-axis gap-fill joins metadata-sized frames; the fact
+    table contributes exactly one keyed aggregate exchange (plus the
+    1-row bounds and bounded type-distinct aggregates) — the axis
+    generation must never shuffle fact-sized data."""
+    plan = _plan(spark, "events_gapfill_rollup")
+    assert "CartesianProduct" not in plan
+    # the only fact-wide shuffles are hashpartitioning exchanges keyed by
+    # (event_type, hour_bucket) or their partials; a fact-sized
+    # range/rebalance exchange would betray axis misdesign
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """The privacy pass is a pure map: no Exchange at all in its plan."""
+    plan = _plan(spark, "text_pii_scrub")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # codegen'd regexp, no Python UDF
+
+
+def test_lm_score_no_cartesian_and_pruned_scan(spark):
+    plan = _plan(spark, "text_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema" in plan
