@@ -288,3 +288,54 @@ def test_pq_topk_partition_invariant(spark, seed, parts):
         ).collect()
     )
     assert base == shuf
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_pii_scrub_total_on_arbitrary_text(spark, texts):
+    """pii_scrub never throws on arbitrary unicode (ANSI mode on), the
+    total always equals the sum of per-kind counts, and redaction never
+    lengthens text by more than the replacement-token delta allows."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.text import (
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = pii_scrub(df).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r.pii_total == r.n_emails + r.n_phones + r.n_ids + r.n_ips
+        assert r.pii_total >= 0 and r.clean_len >= 0
+        if r.pii_total == 0:
+            assert r.clean_len == len(texts[r.doc_id])
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab @.", max_size=30), min_size=1, max_size=6
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_lm_score_partition_invariant(spark, texts, parts):
+    """Integer-surrogate LM scores are exact — independent of physical
+    partitioning (a float log-prob mean would not be)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.text import (
+        lm_score,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    a = sorted(map(tuple, lm_score(df).collect()))
+    b = sorted(map(tuple, lm_score(df.repartition(parts)).collect()))
+    assert a == b
