@@ -572,3 +572,60 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "lineitem_bloom_prune_revenue",
+    # Bloom join pruning is SEMANTICS-PRESERVING (no false negatives),
+    # so the oracle is simply the plain join — the correctness gate
+    # proves the prefilter dropped no matching row.  Revenue in the
+    # exact-int e6 domain per the repo FP policy.
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+                AS BIGINT) AS revenue_e6
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to high-value orders, with the fact
+    side Bloom-PREFILTERED before the join shuffle — the explicit
+    runtime-filter shape (operators/prefilter.py) that cuts the
+    big-side exchange by the non-match fraction at 100 TB.
+
+    Scale shape: the filter build is one bounded collect_set aggregate
+    over the SMALL side (≤ num_bits ints); the probe is k O(1)
+    substring checks per fact row against a 1-row broadcast, pipelined
+    with the scan; only surviving rows reach the join exchange.  The
+    driver oracle (plain join) proves zero matches were dropped.
+    """
+    from ..operators.prefilter import bloom_prefilter
+    from .analytics import _rev_e6
+
+    orders_hi = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 400000)
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prefilter(
+        li, orders_hi, key="l_orderkey", small_key="o_orderkey",
+        num_hashes=3, num_bits=65536,
+    )
+    return (
+        pruned.join(
+            orders_hi, pruned["l_orderkey"] == orders_hi["o_orderkey"]
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_rev_e6()).alias("revenue_e6"),
+        )
+    )

@@ -2249,6 +2249,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_gapfill_rollup",
     "curation_keep_best",
     "events_retention_cohorts",
+    "lineitem_bloom_prune_revenue",
 )
 
 

@@ -764,3 +764,36 @@ def test_retention_cohorts_day_zero_complete(spark, sf_dir):
         assert r.day_offset >= 0
         assert r.cohort_day in day0
         assert r.n_users <= day0[r.cohort_day]
+
+
+def test_bloom_prefilter_prunes_and_is_partition_invariant(spark, sf_dir):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.prefilter import (
+        bloom_bits,
+        bloom_prefilter,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    orders_hi = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 400000)
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    n_total = li.count()
+    pruned = bloom_prefilter(
+        li, orders_hi, key="l_orderkey", small_key="o_orderkey", num_bits=65536
+    )
+    n_kept = pruned.count()
+    n_match = li.join(
+        orders_hi, li["l_orderkey"] == orders_hi["o_orderkey"], "left_semi"
+    ).count()
+    # actually prunes (false-positive rate well under 50%) yet keeps
+    # every true match
+    assert n_match <= n_kept < n_total
+    assert n_kept - n_match < 0.5 * (n_total - n_match)
+    # the filter contents are partition-independent
+    a = bloom_bits(orders_hi, "o_orderkey", num_bits=1024).collect()[0].bf
+    b = bloom_bits(orders_hi.repartition(7), "o_orderkey", num_bits=1024).collect()[0].bf
+    assert a == b

@@ -227,3 +227,17 @@ def test_lm_score_no_cartesian_and_pruned_scan(spark):
     plan = _plan(spark, "text_lm_score")
     assert "CartesianProduct" not in plan
     assert "ReadSchema" in plan
+
+
+def test_bloom_probe_applies_before_join_exchange(spark):
+    """The Bloom probe must be a narrow filter on the fact scan side —
+    before the join's hashpartitioning exchange — or the pruning buys
+    nothing at scale."""
+    plan = _plan(spark, "lineitem_bloom_prune_revenue")
+    assert "CartesianProduct" not in plan
+    # the probe's substring checks exist, and the fact side still
+    # reaches the equi join (SortMergeJoin/BroadcastHashJoin), so the
+    # filter is a pre-join prune, not a join replacement
+    assert "substring" in plan
+    lower = plan.lower()
+    assert "hashjoin" in lower or "sortmergejoin" in lower

@@ -339,3 +339,23 @@ def test_lm_score_partition_invariant(spark, texts, parts):
     a = sorted(map(tuple, lm_score(df).collect()))
     b = sorted(map(tuple, lm_score(df.repartition(parts)).collect()))
     assert a == b
+
+
+@given(
+    big_keys=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    small_keys=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=15),
+)
+@settings(max_examples=12, deadline=None)
+def test_bloom_prefilter_never_drops_matches(spark, big_keys, small_keys):
+    """No false negatives: every big row whose key appears in the small
+    set survives the prefilter, for ANY key sets."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.prefilter import (
+        bloom_prefilter,
+    )
+
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    small = spark.createDataFrame([(k,) for k in small_keys], "j long")
+    kept = {r.k for r in bloom_prefilter(
+        big, small, key="k", small_key="j", num_bits=256).collect()}
+    matches = {k for k in big_keys if k in set(small_keys)}
+    assert matches <= kept  # superset: false positives allowed, negatives never
