@@ -629,3 +629,83 @@ def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_rev_e6()).alias("revenue_e6"),
         )
     )
+
+
+@register(
+    "events_gapfill_locf",
+    # The other hypertable fill mode: last-observation-carried-forward
+    # over the dense axis (gauge semantics — a bucket with no samples
+    # reports the last known value; buckets before the first observation
+    # stay NULL, honestly).  Same dense-axis construction as
+    # events_gapfill_rollup; the carry is one per-type ordered window
+    # with IGNORE NULLS on both engines.
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_bucket,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events
+    ), agg AS (
+      SELECT event_type, hour_bucket,
+             CAST(SUM(v) AS BIGINT) AS sum_value_e4
+      FROM e GROUP BY event_type, hour_bucket
+    ), b AS (
+      SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM e
+    ), axis AS (
+      SELECT unnest(range(lo, hi + 1)) AS hour_bucket FROM b
+    ), types AS (SELECT DISTINCT event_type FROM e),
+    dense AS (
+      SELECT t.event_type, CAST(a.hour_bucket AS BIGINT) AS hour_bucket,
+             g.sum_value_e4
+      FROM axis a CROSS JOIN types t
+      LEFT JOIN agg g
+        ON g.event_type = t.event_type AND g.hour_bucket = a.hour_bucket
+    )
+    SELECT event_type, hour_bucket,
+           (sum_value_e4 IS NULL) AS is_gap,
+           last_value(sum_value_e4 IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour_bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value_e4
+    FROM dense
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly axis with last-observation-carried-forward values
+    (time_bucket_gapfill + locf semantics).
+
+    Scale shape: identical to events_gapfill_rollup plus ONE window over
+    the metadata-sized dense frame (hours × types — never fact-sized),
+    partitioned by type so the carry parallelizes.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    agg = e.groupBy("event_type", "hour_bucket").agg(
+        F.sum("v").alias("sum_value_e4")
+    )
+    bounds = e.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_bucket")
+    )
+    types = e.select("event_type").distinct()
+    dense = axis.crossJoin(types).join(
+        agg, ["event_type", "hour_bucket"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "event_type",
+        "hour_bucket",
+        F.col("sum_value_e4").isNull().alias("is_gap"),
+        F.last("sum_value_e4", ignorenulls=True).over(w).alias("filled_value_e4"),
+    )

@@ -2250,6 +2250,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "curation_keep_best",
     "events_retention_cohorts",
     "lineitem_bloom_prune_revenue",
+    "events_gapfill_locf",
 )
 
 

@@ -377,3 +377,73 @@ def streaming_assign_centroids(
         best["cid"].alias("cid"),
         best["cos_c"].alias("cos_c"),
     )
+
+
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, t1_us long, t2_us long, t3_us long, reached_stage int"
+)
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def _funnel_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine: first signup, first view strictly
+    after it, first purchase strictly after that.  State is three
+    epoch-micros longs (-1 = not reached); each batch's events advance
+    the machine in event-time order, so with per-user time-ordered
+    arrival the result matches the batch events_funnel query exactly
+    (stream==batch tested).  Out-of-order arrival across micro-batches
+    can only UNDER-advance (an earlier qualifying event seen late is
+    ignored) — the standard caveat for non-replaying stateful streams."""
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    for pdf in pdf_iter:
+        for ts_us, et in sorted(
+            zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist())
+        ):
+            us = int(ts_us)
+            if et == _FUNNEL_STAGES[0] and t1 < 0:
+                t1 = us
+            elif et == _FUNNEL_STAGES[1] and 0 <= t1 < us and t2 < 0:
+                t2 = us
+            elif et == _FUNNEL_STAGES[2] and 0 <= t2 < us and t3 < 0:
+                t3 = us
+    state.update((t1, t2, t3))
+    if t1 >= 0:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "t1_us": t1,
+                    "t2_us": t2 if t2 >= 0 else None,
+                    "t3_us": t3 if t3 >= 0 else None,
+                    "reached_stage": 1 + (t2 >= 0) + (t3 >= 0),
+                }
+            ]
+        )
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Streaming conversion funnel via applyInPandasWithState — the
+    custom-stateful form of plans/extras.events_funnel (three longs of
+    state per user, updated incrementally; the batch form re-aggregates
+    the full history).
+
+    ``events`` needs (user_id, event_type, ts); use with update output
+    mode.  Scale: state is O(users) × 24 bytes — far below the windowed
+    aggs' state — and each micro-batch touches only the arriving users'
+    groups.
+    """
+    prepared = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

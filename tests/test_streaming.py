@@ -650,3 +650,60 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, out.collect()))
     expected = sorted(map(tuple, text_ops.pii_scrub(batch_df).collect()))
     assert got == expected
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState funnel state machine must reproduce the
+    batch events_funnel query exactly with time-ordered arrival,
+    including users who never convert past stage 1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 0: full funnel; user 1: view before signup (stage 1 only);
+    # user 2: signup+view, purchase BEFORE view (stage 2 only);
+    # user 3: no signup (absent from output)
+    script = [
+        (0, "signup", 0), (0, "view", 10), (0, "purchase", 20),
+        (1, "view", 0), (1, "signup", 10),
+        (2, "purchase", 0), (2, "signup", 5), (2, "view", 15),
+        (3, "view", 1), (3, "purchase", 2),
+    ]
+    for u, et, mins in script:
+        rows.append((u, et, base + dt.timedelta(minutes=mins)))
+    batch_df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    # batch truth via the same stage logic as plans/extras.events_funnel
+    s1 = batch_df.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1"))
+    s2 = (batch_df.filter(F.col("event_type") == "view").join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t1")).groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (batch_df.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t2")).groupBy("user_id").agg(F.min("ts").alias("t3")))
+    expected = sorted(
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us, r.reached_stage)
+        for r in s1.join(s2, "user_id", "left").join(s3, "user_id", "left").select(
+            "user_id",
+            F.unix_micros("t1").alias("t1_us"),
+            F.unix_micros("t2").alias("t2_us"),
+            F.unix_micros("t3").alias("t3_us"),
+            (F.lit(1) + F.col("t2").isNotNull().cast("int")
+             + F.col("t3").isNotNull().cast("int")).alias("reached_stage"),
+        ).collect()
+    )
+
+    path = str(tmp_path / "funnel_stream")
+    batch_df.coalesce(1).write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_funnel(sdf),
+        f"funnel_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    got = sorted(
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us, r.reached_stage)
+        for r in out.collect()
+    )
+    assert got == expected
+    assert {u for u, *_ in got} == {0, 1, 2}  # user 3 never signed up
