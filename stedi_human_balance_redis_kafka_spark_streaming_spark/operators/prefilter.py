@@ -52,29 +52,34 @@ def _positions(key: Column, num_hashes: int, num_bits: int) -> list[Column]:
 def bloom_bits(
     small: DataFrame, key: str, num_hashes: int = 3, num_bits: int = 16384
 ) -> DataFrame:
-    """Build the filter as a ONE-ROW DataFrame carrying a '0'/'1'
-    bitstring of length ``num_bits`` (column ``bf``).
+    """Build the filter as a ONE-ROW DataFrame carrying an
+    ``array<boolean>`` of length ``num_bits`` (column ``bf``).
 
-    Scale shape: one partial-aggregable ``collect_set`` over exploded
-    positions — bounded at ``num_bits`` distinct ints (kilobytes) by
-    construction, NEVER key-cardinality — then a single-row transform
-    renders the bitstring.  Broadcast cost is num_bits bytes.  Size
-    ``num_bits`` ≈ 10× expected distinct keys for ~1-2% false-positive
-    rate at k=3.
+    Scale shape: a distinct over exploded positions — bounded at
+    ``num_bits`` ints (kilobytes) by construction, NEVER
+    key-cardinality — left-joined by a dense ``range(num_bits)`` axis,
+    then ONE num_bits-element sorted collect assembles the flags.
+    Broadcast cost is num_bits bytes.  Size ``num_bits`` ≈ 10× expected
+    distinct keys for ~1-2% false-positive rate at k=3.
     """
     pos = small.select(
         F.explode(F.array(*_positions(F.col(key), num_hashes, num_bits))).alias("p")
+    ).distinct()
+    # Render the filter as array<boolean> built DISTRIBUTED: dense bit
+    # axis left-joins the set positions (one bounded shuffle), then a
+    # single sorted collect assembles num_bits flags.  Two rejected
+    # alternatives, both measured in MINUTES at num_bits=65536: a one-row
+    # transform(sequence, i -> array_contains(ps, i)) is
+    # O(num_bits·|positions|) on one task, and a '0'/'1' STRING probed
+    # with substring scans O(position) bytes per probe (UTF8String
+    # boundary walk) × rows × k.  Array element access is O(1).
+    axis = small.sparkSession.range(num_bits).select(F.col("id").alias("i"))
+    flags = axis.join(pos, axis["i"] == pos["p"], "left").select(
+        "i", F.col("p").isNotNull().alias("b")
     )
-    agg = pos.agg(F.sort_array(F.collect_set("p")).alias("ps"))
-    return agg.select(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bits - 1)),
-                lambda i: F.when(
-                    F.array_contains(F.col("ps"), i.cast("long")), F.lit("1")
-                ).otherwise(F.lit("0")),
-            ),
+    return flags.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "b"))), lambda s: s["b"]
         ).alias("bf")
     )
 
@@ -92,7 +97,7 @@ def bloom_prefilter(
     ``small_key`` set, before any shuffle.
 
     Returns ``big``'s rows (same schema) with the probe applied as a
-    narrow codegen'd filter over a 1-row broadcast: k O(1) ``substring``
+    narrow codegen'd filter over a 1-row broadcast: k O(1) array-element
     probes per row — no join, no shuffle, pipelined with the scan.  Every
     true match survives (no false negatives), so composing with the real
     join afterwards is row-identical to joining unfiltered.
@@ -102,7 +107,7 @@ def bloom_prefilter(
     )
     probe = None
     for p in _positions(F.col(key), num_hashes, num_bits):
-        c = F.substring(F.col("__bf"), (p + 1).cast("int"), 1) == "1"
+        c = F.get(F.col("__bf"), p.cast("int"))  # O(1) array access
         probe = c if probe is None else (probe & c)
     return (
         big.crossJoin(F.broadcast(bits.withColumnRenamed("bf", "__bf")))

@@ -235,9 +235,9 @@ def test_bloom_probe_applies_before_join_exchange(spark):
     nothing at scale."""
     plan = _plan(spark, "lineitem_bloom_prune_revenue")
     assert "CartesianProduct" not in plan
-    # the probe's substring checks exist, and the fact side still
+    # the probe's array-element checks exist, and the fact side still
     # reaches the equi join (SortMergeJoin/BroadcastHashJoin), so the
     # filter is a pre-join prune, not a join replacement
-    assert "substring" in plan
+    assert "__bf" in plan or "get(" in plan
     lower = plan.lower()
     assert "hashjoin" in lower or "sortmergejoin" in lower
