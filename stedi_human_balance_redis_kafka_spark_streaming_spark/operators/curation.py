@@ -383,3 +383,57 @@ def rebalance_by_rate(
     return df.join(F.broadcast(rates), stratum_col).filter(
         (F.col(rate_col).cast("long") >= 1_000_000) | (bucket < thresh)
     )
+
+
+def upsample_by_factor(
+    df: DataFrame,
+    factors: DataFrame,
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    factor_col: str = "factor_e6",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic FRACTIONAL repetition — the mixture-epochs op:
+    repeat each stratum ``factor_e6/1e6`` times (e.g. 2.5 epochs of a
+    rare high-quality source), the standard up-weighting move when
+    building a training mixture.
+
+    Every row gets ``factor_e6 div 1e6`` full copies plus one extra
+    copy iff its hash bucket falls below the fractional remainder —
+    the same md5-bucket-vs-hex-threshold construction as
+    :func:`rebalance_by_rate`, so expected copies equal the factor
+    EXACTLY and membership of the fractional copy is a pure function
+    of (salt, id): reproducible across engines, runs, partitionings.
+    Factors below 1e6 degrade gracefully to plain downsampling (0 or 1
+    copies).  Output: input columns + ``copy_id`` (0-based).
+
+    Scale shape: bounded factor table broadcast + a narrow map +
+    ``explode(sequence)`` — output grows by exactly the mixture factor,
+    no shuffle.  Strata absent from ``factors`` are dropped (inner
+    join), the unknown-stratum guard.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    frac = F.col(factor_col).cast("long") % 1_000_000
+    thresh = F.lpad(F.lower(F.hex(frac * F.lit(4294))), 8, "0")
+    n_copies = (
+        F.expr(f"CAST({factor_col} AS LONG) div 1000000L")
+        + F.when(bucket < thresh, F.lit(1)).otherwise(F.lit(0))
+    ).alias("__n")
+    with_n = df.join(F.broadcast(factors), stratum_col).select(
+        df["*"], n_copies
+    )
+    return (
+        with_n.select(
+            "*",
+            F.explode(
+                F.when(
+                    F.col("__n") >= 1,
+                    F.sequence(F.lit(0).cast("long"), F.col("__n") - 1),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("copy_id"),
+        )
+        .drop("__n")
+    )

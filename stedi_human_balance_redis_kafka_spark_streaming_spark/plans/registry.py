@@ -1883,6 +1883,51 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_upsample",
+    # Mixture epochs: per-source uniform rates UNCAPPED above 1 (cap 4e6
+    # = max 4 epochs) applied as deterministic fractional repetition —
+    # full copies = factor div 1e6, plus a hash-gated fractional copy
+    # (same md5-bucket threshold construction as curation_rebalance, so
+    # expected copies equal the factor exactly and membership is a pure
+    # function of doc_id).
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per
+    ), rates AS (
+      SELECT source,
+             CAST(least((CAST(total AS HUGEINT) * 1000000)
+                        // (k * sum_tokens), 4000000) AS BIGINT) AS factor_e6
+      FROM per CROSS JOIN tot
+    ), base AS (
+      SELECT d.doc_id, d.source,
+             r.factor_e6 // 1000000
+             + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    < lpad(lower(hex((r.factor_e6 % 1000000) * 4294)), 8, '0')
+               THEN 1 ELSE 0 END AS n
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, CAST(copy_id AS BIGINT) AS copy_id
+    FROM base, LATERAL (SELECT unnest(range(n)) AS copy_id) g
+    """,
+)
+def curation_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-epochs upsampling: repeat each source ``uniform_rate``
+    times (fractionally, hash-deterministic) toward a uniform token
+    budget — the up-weighting half of mixture construction
+    (curation_rebalance is the down-weighting half)."""
+    docs = load_table(spark, sf_dir, "documents")
+    factors = text_ops.domain_mixture(docs, cap_e6=4_000_000).select(
+        "source", F.col("uniform_rate_e6").alias("factor_e6")
+    )
+    return curation.upsample_by_factor(
+        docs.select("doc_id", "source"), factors
+    )
+
+
+@register(
     "curation_rebalance",
     # The execution half of mixture re-balancing: text_domain_mixture's
     # computed uniform keep-rates applied by deterministic in-plan hash
@@ -2251,6 +2296,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_retention_cohorts",
     "lineitem_bloom_prune_revenue",
     "events_gapfill_locf",
+    "curation_upsample",
 )
 
 

@@ -359,3 +359,35 @@ def test_bloom_prefilter_never_drops_matches(spark, big_keys, small_keys):
         big, small, key="k", small_key="j", num_bits=256).collect()}
     matches = {k for k in big_keys if k in set(small_keys)}
     assert matches <= kept  # superset: false positives allowed, negatives never
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=40, unique=True),
+    factor=st.integers(min_value=0, max_value=3_500_000),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=12, deadline=None)
+def test_upsample_copy_counts_and_partition_invariance(spark, ids, factor, parts):
+    """Each row gets floor(factor) or ceil(factor) copies, membership of
+    the fractional copy is partition-invariant, and copy_ids are dense
+    0..n-1."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        upsample_by_factor,
+    )
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    factors = spark.createDataFrame([("s", factor)], "source string, factor_e6 long")
+    out = upsample_by_factor(df, factors).collect()
+    lo, rem = factor // 1_000_000, factor % 1_000_000
+    per_doc: dict[int, list[int]] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    for i in ids:
+        copies = sorted(per_doc.get(i, []))
+        assert copies in ([list(range(lo))] if rem == 0 else
+                          [list(range(lo)), list(range(lo + 1))])
+    again = upsample_by_factor(df.repartition(parts), factors).collect()
+    assert sorted((r.doc_id, r.copy_id) for r in again) == sorted(
+        (r.doc_id, r.copy_id) for r in out
+    )
