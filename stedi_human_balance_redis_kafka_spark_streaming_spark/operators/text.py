@@ -534,3 +534,84 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("lm_score_e6"),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """BPE tokenizer induction: learn the top-``n_merges`` byte-pair
+    merges over the corpus — the core of training a BPE/WordPiece
+    tokenizer (Sennrich et al.), expressed as fixed-depth DataFrame
+    rounds.
+
+    Classic formulation: train on the WORD-FREQUENCY table (bounded
+    vocabulary — ≪ corpus), never the raw corpus.  Each round counts
+    adjacent symbol pairs weighted by word count, picks the argmax
+    (count DESC, pair ASC — the deterministic tie-break), and rewrites
+    the vocabulary by fusing that pair.  Symbols are space-joined
+    strings, and the fuse is ``replace(' '||s||' ', ' a b ', ' ab ')``
+    — non-overlapping left-to-right on both engines, which IS greedy
+    BPE merge order, so the rounds are bit-identical to the SQL oracle.
+
+    Output: (step, pair, merged, cnt) — one row per learned merge,
+    step 1-based.  Rounds are FIXED (no convergence probe) so plan
+    depth is bounded and the oracle unrolls the same CTE chain.
+
+    Scale shape: the corpus is touched ONCE (word-count groupBy, one
+    partial-aggregable shuffle); every round then runs on the bounded
+    vocabulary table — pair explode + keyed sum + a 1-row top-1
+    broadcast joined back for the rewrite.  At 100 TB the vocabulary
+    is still ~10⁶ rows, so rounds cost vocabulary-, not corpus-, time.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
+    state = words.select("wc", F.concat_ws(" ", chars).alias("s"))
+
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        toks = state.select("wc", F.split(F.col("s"), " ").alias("t"))
+        pairs = toks.select(
+            "wc",
+            F.explode(
+                F.when(
+                    F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+                ).otherwise(F.array().cast("array<integer>"))
+            ).alias("i"),
+            "t",
+        ).select(
+            "wc", F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("merged"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(top.select(F.col("pair").alias("__p"))))
+            .select(
+                "wc",
+                F.trim(
+                    F.expr(
+                        "replace(' ' || s || ' ', ' ' || __p || ' ',"
+                        " ' ' || replace(__p, ' ', '') || ' ')"
+                    )
+                ).alias("s"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

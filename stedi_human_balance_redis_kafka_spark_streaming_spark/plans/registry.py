@@ -1882,6 +1882,50 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(ret, *caches)
 
 
+def _sql_bpe_oracle(n_merges: int) -> str:
+    """Unrolled CTE chain mirroring text.bpe_merges round-for-round:
+    same pair counting (word-count weighted), same (cnt DESC, pair ASC)
+    argmax, same space-delimited ``replace`` rewrite — both engines'
+    ``replace`` is non-overlapping left-to-right, which IS greedy BPE
+    merge order, so every round is bit-identical."""
+    parts = [
+        f"""words AS (
+      SELECT w, COUNT(*) AS wc
+      FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents) GROUP BY w
+    ), v0 AS (
+      SELECT wc, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+      FROM words
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+      SELECT pair, SUM(wc) AS cnt FROM (
+        SELECT wc, array_to_string(t[j:j+1], ' ') AS pair
+        FROM (SELECT wc, string_split(s, ' ') AS t FROM v{i-1}),
+             LATERAL (SELECT unnest(range(1, len(t))) AS j) g
+      ) GROUP BY pair
+    ), t{i} AS (
+      SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), v{i} AS (
+      SELECT wc, trim(replace(' ' || s || ' ', ' ' || t{i}.pair || ' ',
+                              ' ' || replace(t{i}.pair, ' ', '') || ' ')) AS s
+      FROM v{i-1} CROSS JOIN t{i}
+    )""")
+    selects = [
+        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("text_bpe_merges", oracle=_sql_bpe_oracle(5))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction: the corpus's top-5 learned byte-pair
+    merges (word-frequency training, deterministic argmax rounds)."""
+    return text_ops.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=5)
+
+
 @register(
     "curation_upsample",
     # Mixture epochs: per-source uniform rates UNCAPPED above 1 (cap 4e6
@@ -2297,6 +2341,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "lineitem_bloom_prune_revenue",
     "events_gapfill_locf",
     "curation_upsample",
+    "text_bpe_merges",
 )
 
 

@@ -797,3 +797,22 @@ def test_bloom_prefilter_prunes_and_is_partition_invariant(spark, sf_dir):
     a = bloom_bits(orders_hi, "o_orderkey", num_bits=1024).collect()[0].bf
     b = bloom_bits(orders_hi.repartition(7), "o_orderkey", num_bits=1024).collect()[0].bf
     assert a == b
+
+
+def test_bpe_merges_classic_example(spark):
+    """Hand-checkable BPE: corpus weights make 'lo' the first merge,
+    then 'low' — the Sennrich walkthrough shape; greedy left-to-right
+    fusion on repeated letters must not double-merge."""
+    rows = [
+        (1, "low low low lower lower lowest"),
+        (2, "aaaa aaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.step: r for r in text_ops.bpe_merges(df, n_merges=3).collect()}
+    # step 1: pair counts — 'l o' and 'o w' both appear in all 6 low* words;
+    # 'a a' appears 3x per 'aaaa' word x2 = 6 too; tie-break pair ASC picks 'a a'
+    assert out[1].pair == "a a" and out[1].merged == "aa" and out[1].cnt == 6
+    # after fusing: 'aaaa' -> 'aa aa' (greedy, no overlap); next best is
+    # 'l o' (6) vs 'aa aa' (2) and 'o w' (6): tie-break 'l o' < 'o w'
+    assert out[2].pair == "l o" and out[2].cnt == 6
+    assert out[3].pair == "lo w" and out[3].merged == "low" and out[3].cnt == 6
