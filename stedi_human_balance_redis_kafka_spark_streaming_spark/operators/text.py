@@ -550,8 +550,14 @@ def bpe_merges(
     (count DESC, pair ASC — the deterministic tie-break), and rewrites
     the vocabulary by fusing that pair.  Symbols are space-joined
     strings, and the fuse is ``replace(' '||s||' ', ' a b ', ' ab ')``
-    — non-overlapping left-to-right on both engines, which IS greedy
-    BPE merge order, so the rounds are bit-identical to the SQL oracle.
+    — non-overlapping left-to-right with boundary-space consumption,
+    identical on both engines, so the rounds are bit-identical to the
+    SQL oracle.  Semantics note: on RUNS of the same pair ('a a a a')
+    the consumed boundary makes fusion alternate ('aa a a'), a
+    deliberate divergence from textbook greedy that keeps the rewrite
+    one cross-engine-exact string op (a faithful array-fold has no
+    DuckDB mirror); pair statistics outside same-symbol runs are
+    unaffected.
 
     Output: (step, pair, merged, cnt) — one row per learned merge,
     step 1-based.  Rounds are FIXED (no convergence probe) so plan
@@ -615,3 +621,58 @@ def bpe_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_segment_counts(
+    docs: DataFrame,
+    merges: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges (:func:`bpe_merges`) to segment every
+    document and report its subword token count — the application half
+    of tokenizer induction, and the real token-budget estimator once a
+    vocabulary exists (vs token_counts' chars/4 heuristic).
+
+    Per word: symbolize to space-joined chars, apply each merge in
+    learned order with the same boundary-delimited ``replace`` as
+    training (greedy left-to-right fusion), count surviving symbols;
+    the document's count is the sum over its words.  Entirely
+    shuffle-free on the corpus side: the ordered merge pairs arrive as
+    a ONE-ROW broadcast (pivoted columns), and the whole segmentation
+    is a codegen'd transform+aggregate map.
+
+    Output: (doc_id, ws_tokens, bpe_vocab_tokens).
+    """
+    pairs_row = None
+    for i in range(1, n_merges + 1):
+        pi = merges.filter(F.col("step") == i).select(
+            F.col("pair").alias(f"__p{i}")
+        )
+        pairs_row = pi if pairs_row is None else pairs_row.crossJoin(pi)
+
+    def _applied(w):
+        s = F.array_join(F.regexp_extract_all(w, F.lit("."), 0), " ")
+        for i in range(1, n_merges + 1):
+            p = F.col(f"__p{i}")
+            fused = F.replace(p, F.lit(" "), F.lit(""))
+            s = F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), s, F.lit(" ")),
+                    F.concat(F.lit(" "), p, F.lit(" ")),
+                    F.concat(F.lit(" "), fused, F.lit(" ")),
+                )
+            )
+        return s
+
+    t = tokens(text_col)
+    n_bpe = F.aggregate(
+        F.transform(t, lambda w: F.size(F.split(_applied(w), " "))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.crossJoin(F.broadcast(pairs_row)).select(
+        "doc_id",
+        F.size(t).cast("long").alias("ws_tokens"),
+        n_bpe.alias("bpe_vocab_tokens"),
+    )

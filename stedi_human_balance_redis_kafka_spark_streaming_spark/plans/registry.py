@@ -1882,7 +1882,7 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(ret, *caches)
 
 
-def _sql_bpe_oracle(n_merges: int) -> str:
+def _sql_bpe_ctes(n_merges: int) -> str:
     """Unrolled CTE chain mirroring text.bpe_merges round-for-round:
     same pair counting (word-count weighted), same (cnt DESC, pair ASC)
     argmax, same space-delimited ``replace`` rewrite — both engines'
@@ -1911,12 +1911,44 @@ def _sql_bpe_oracle(n_merges: int) -> str:
                               ' ' || replace(t{i}.pair, ' ', '') || ' ')) AS s
       FROM v{i-1} CROSS JOIN t{i}
     )""")
+    return ",\n".join(parts)
+
+
+def _sql_bpe_oracle(n_merges: int) -> str:
     selects = [
         f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged,"
         f" CAST(cnt AS BIGINT) AS cnt FROM t{i}"
         for i in range(1, n_merges + 1)
     ]
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return (
+        "WITH " + _sql_bpe_ctes(n_merges) + "\n" + "\nUNION ALL ".join(selects)
+    )
+
+
+def _sql_bpe_segment_oracle(n_merges: int) -> str:
+    """Per-document subword counts with the learned merges applied in
+    order — the t1..t{n} single-row CTEs cross-join in as p1..p{n} and
+    the per-word replace chain matches text.bpe_segment_counts."""
+    applied = "array_to_string(regexp_extract_all(w, '.'), ' ')"
+    for i in range(1, n_merges + 1):
+        applied = (
+            f"trim(replace(' ' || {applied} || ' ',"
+            f" ' ' || p{i} || ' ',"
+            f" ' ' || replace(p{i}, ' ', '') || ' '))"
+        )
+    joins = " ".join(
+        f"CROSS JOIN (SELECT pair AS p{i} FROM t{i}) j{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_sql_bpe_ctes(n_merges)}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS ws_tokens,
+           CAST(list_sum(list_transform(toks,
+                w -> len(string_split({applied}, ' ')))) AS BIGINT)
+             AS bpe_vocab_tokens
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents) d {joins}
+    """
 
 
 @register("text_bpe_merges", oracle=_sql_bpe_oracle(5))
@@ -1924,6 +1956,17 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer induction: the corpus's top-5 learned byte-pair
     merges (word-frequency training, deterministic argmax rounds)."""
     return text_ops.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=5)
+
+
+@register("text_bpe_segment", oracle=_sql_bpe_segment_oracle(5))
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the induced BPE merges to every document: per-doc subword
+    counts under the learned vocabulary (the application half of
+    text_bpe_merges; one corpus-wide shuffle-free map + the 1-row merge
+    broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text_ops.bpe_merges(docs, n_merges=5)
+    return text_ops.bpe_segment_counts(docs, merges, n_merges=5)
 
 
 @register(
@@ -2342,6 +2385,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_gapfill_locf",
     "curation_upsample",
     "text_bpe_merges",
+    "text_bpe_segment",
 )
 
 

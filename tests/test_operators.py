@@ -812,7 +812,22 @@ def test_bpe_merges_classic_example(spark):
     # step 1: pair counts — 'l o' and 'o w' both appear in all 6 low* words;
     # 'a a' appears 3x per 'aaaa' word x2 = 6 too; tie-break pair ASC picks 'a a'
     assert out[1].pair == "a a" and out[1].merged == "aa" and out[1].cnt == 6
-    # after fusing: 'aaaa' -> 'aa aa' (greedy, no overlap); next best is
-    # 'l o' (6) vs 'aa aa' (2) and 'o w' (6): tie-break 'l o' < 'o w'
+    # boundary-consuming fuse: 'a a a a' -> 'aa a a' (alternating on
+    # same-symbol runs — the documented replace semantics); next best is
+    # 'l o' (6) over 'a a' (2) and 'o w' (6, tie-break 'l o' < 'o w')
     assert out[2].pair == "l o" and out[2].cnt == 6
     assert out[3].pair == "lo w" and out[3].merged == "low" and out[3].cnt == 6
+
+
+def test_bpe_segment_counts_shrink_consistently(spark):
+    """Merge application shrinks symbol counts per the documented
+    boundary-consuming replace semantics (runs fuse alternately)."""
+    rows = [(1, "low low low lower lower lowest"), (2, "aaaa aaaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = text_ops.bpe_merges(df, n_merges=3)
+    out = {r.doc_id: r for r in text_ops.bpe_segment_counts(df, merges, 3).collect()}
+    # doc 2: 'a a a a' -> 'aa a a' (alternating fuse) => 3 symbols/word
+    assert out[2].ws_tokens == 2 and out[2].bpe_vocab_tokens == 6
+    # doc 1: 'low' (3 chars) after 'l o' + 'lo w' merges -> 1 symbol;
+    # 'lower' -> low+e+r = 3; 'lowest' -> low+e+s+t = 4
+    assert out[1].bpe_vocab_tokens == 3 * 1 + 2 * 3 + 4
