@@ -36,6 +36,11 @@ QUERIES = [
     "curation_rebalance",
     "dedup_embedding_bucketed",
     "ann_pq_recall",
+    "events_funnel",            # epoch-micros funnel hops under tz change
+    "events_gapfill_locf",      # dense-axis window carry on epoch buckets
+    "curation_upsample",        # hash-gated fractional copies
+    "text_bpe_merges",          # weighted argmax rounds + string rewrites
+    "lineitem_bloom_prune_revenue",  # bloom build/probe position math
 ]
 
 
