@@ -25,11 +25,16 @@ def _persistent_rdd_count(spark) -> int:
 def _assert_drains_to(spark, baseline: int) -> None:
     # unpersist(blocking=False) removes the RDD from the persistentRdds
     # map synchronously; poll briefly anyway to absorb finalizer timing.
+    # localCheckpoint RDDs (CC label rounds) are reclaimed by the
+    # ContextCleaner only after a JVM GC surfaces their weak refs — the
+    # same mechanism session.py's periodicGC interval relies on — so the
+    # poll nudges the JVM collector too.
     for _ in range(50):
         if _persistent_rdd_count(spark) <= baseline:
             return
         gc.collect()
-        time.sleep(0.1)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.2)
     assert _persistent_rdd_count(spark) <= baseline
 
 
@@ -73,4 +78,22 @@ def test_caches_survive_until_action(spark, sf_dir):
     pairs.count()
     for c in caches:
         c.unpersist(False)
+    _assert_drains_to(spark, baseline)
+
+
+def test_multi_signal_caches_live_through_execution_then_release(spark, sf_dir):
+    """dedup_multi_signal threads the pair-generators' index caches out
+    via the caches= seam and scopes them (plus the persisted evidence
+    graph) to ITS result — the round-4 fix for the finalizer firing on
+    the immediately-dropped inner frame and unpersisting the index
+    before execution."""
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    result = registry.queries()["dedup_multi_signal"](spark, sf_dir)
+    # caches must still be registered while the caller holds the result
+    assert _persistent_rdd_count(spark) > baseline
+    rows = result.collect()
+    assert rows
+    assert _persistent_rdd_count(spark) > baseline
+    del result
     _assert_drains_to(spark, baseline)
