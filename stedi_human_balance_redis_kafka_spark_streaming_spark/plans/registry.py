@@ -163,14 +163,27 @@ def _score_e4():
 
 
 def _avg_score_from_e4():
-    return F.round(
-        F.sum(_score_e4()).cast("double") / F.count("*") / 10000.0, 4
+    # Average rounded to 4 decimals ENTIRELY in integers — half-up in
+    # 1e-4 units is ``(2·sum + n) div (2·n)`` (scores non-negative, so
+    # Spark's truncating div == DuckDB's floor //).  The former
+    # ``round(sum/n/10000.0, 4)`` hit a half-ULP boundary at sf0.1
+    # (sum/n = 491912.5 exactly: Spark's BigDecimal-of-shortest-repr
+    # rounds 49.19125 up, DuckDB rounds the binary double down — one row
+    # hash-diverged).  The final ÷10000.0 of an int ≤ 1e15 is a single
+    # correctly-rounded IEEE op, identical on both engines.
+    return (
+        F.expr(
+            "(2 * SUM(CAST(round(score * 10000) AS BIGINT)) + COUNT(*))"
+            " div (2 * COUNT(*))"
+        ).cast("double")
+        / 10000.0
     )
 
 
 SQL_SCORE_E4 = "CAST(round(score * 10000) AS BIGINT)"
 SQL_AVG_SCORE = (
-    f"ROUND(CAST(SUM({SQL_SCORE_E4}) AS DOUBLE) / COUNT(*) / 10000.0, 4)"
+    f"CAST((2 * SUM({SQL_SCORE_E4}) + COUNT(*)) // (2 * COUNT(*))"
+    f" AS DOUBLE) / 10000.0"
 )
 
 

@@ -21,8 +21,16 @@ def _avg_score_e4():
     units, sum exactly, derive the double once (repo FP policy —
     plans/analytics.py docstring).  round(avg(double)) is not stable
     across partial-aggregation orders."""
-    q = F.round(F.col("score") * 10000).cast("long")
-    return F.round(F.sum(q).cast("double") / F.count("*") / 10000.0, 4)
+    # Integer half-up to 4 decimals — (2·sum + n) div (2·n) — matching
+    # plans/registry._avg_score_from_e4 (a double round() diverged
+    # cross-engine on an exact-half boundary at sf0.1).
+    return (
+        F.expr(
+            "(2 * SUM(CAST(round(score * 10000) AS BIGINT)) + COUNT(*))"
+            " div (2 * COUNT(*))"
+        ).cast("double")
+        / 10000.0
+    )
 
 
 def streaming_risk_gate_agg(risk: DataFrame) -> DataFrame:
@@ -70,7 +78,7 @@ def _risk_gate_fn(
                 {
                     "customer": key[0],
                     "n_assessments": n,
-                    "avg_score": round(float(total_e4) / n / 10000.0, 4),
+                    "avg_score": ((2 * total_e4 + n) // (2 * n)) / 10000.0,
                 }
             ]
         )
@@ -284,7 +292,7 @@ def streaming_risk_gate_tws(risk: DataFrame) -> DataFrame:
                         {
                             "customer": key[0],
                             "n_assessments": n,
-                            "avg_score": round(float(total_e4) / n / 10000.0, 4),
+                            "avg_score": ((2 * total_e4 + n) // (2 * n)) / 10000.0,
                         }
                     ]
                 )
