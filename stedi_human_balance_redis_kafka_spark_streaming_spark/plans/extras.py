@@ -105,22 +105,37 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_price_quantiles",
+    # Interpolate over EXACT CENTS (int64-born), like the approx sibling:
+    # the interpolation fraction has ≤1 decimal, so the cent-domain
+    # result has ≤1 decimal and the ÷100 value ≤3 decimals — round(.., 4)
+    # is then EXACT (never sits on a half boundary), removing the
+    # engines-differ-in-last-ULP exposure of interpolating raw doubles
+    # (the ADVICE-flagged pattern; cf. the stedi_risk_gate boundary hit
+    # found at sf0.1).
     oracle="""
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(cents, 0.5) / 100, 4) AS p50,
+           round(quantile_cont(cents, 0.9) / 100, 4) AS p90,
            COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderstatus
+    FROM c GROUP BY o_orderstatus
     """,
 )
 def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark ``percentile`` —
-    exact, not the approx sketch; rounded because the two engines'
-    interpolation formulas differ in the last float bits)."""
-    o = load_table(spark, sf_dir, "orders")
+    exact, not the approx sketch), interpolated over exact int64 cents
+    so the rounded result is boundary-free cross-engine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(cents, 0.5)") / 100, 4).alias("p50"),
+        F.round(F.expr("percentile(cents, 0.9)") / 100, 4).alias("p90"),
         F.count("*").alias("n_orders"),
     )
 
