@@ -455,3 +455,58 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dup_flags(
+    docs: DataFrame,
+    index_docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time near-dup candidate flagging against a STATIC corpus
+    index: each arriving document is MinHash-signed and its LSH band
+    keys probe the already-ingested corpus's band index — the streaming
+    half of incremental dedup (flag at ingest, verify/cluster in the
+    batch layer).
+
+    Same stream-static shape as :func:`streaming_decontaminate`:
+    signature + banding are pure per-row higher-order column
+    expressions (stateless, streaming-safe); the static band index is
+    bounded by the indexed corpus and re-planned per micro-batch
+    (Catalyst broadcasts it when small).  Emits one (doc_id,
+    index_doc_id, bkey) row per band collision in append mode —
+    candidates, not verified pairs, exactly like the batch LSH
+    candidate stage; Jaccard verification stays batch-side.
+
+    Batch/streaming duality: on a batch ``docs`` this equals the plain
+    band-equality join (stream==batch tested).
+    """
+    from ..functions.hashing import (
+        lsh_band_keys,
+        minhash_signature,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    rpb = num_hashes // num_bands
+
+    def band_rows(df: DataFrame, id_alias: str) -> DataFrame:
+        s = df.select(
+            F.col("doc_id").alias(id_alias), tokens(text_col).alias("t")
+        ).select(
+            id_alias, shingles_from_tokens(F.col("t"), shingle_n).alias("sh")
+        ).select(
+            id_alias, minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        )
+        return s.select(
+            id_alias,
+            F.explode(lsh_band_keys(F.col("sig"), num_bands, rpb)).alias("bkey"),
+        )
+
+    idx = band_rows(index_docs, "index_doc_id").distinct()
+    return band_rows(docs, "doc_id").join(idx, "bkey").select(
+        "doc_id", "index_doc_id", "bkey"
+    )

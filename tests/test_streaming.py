@@ -707,3 +707,38 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert {u for u, *_ in got} == {0, 1, 2}  # user 3 never signed up
+
+
+def test_streaming_near_dup_flags_stream_static_matches_batch(spark, tmp_path):
+    """Ingest-time LSH flagging: an arriving exact/near duplicate of an
+    indexed document must collide on at least one band, and the
+    streaming join must equal the batch band-equality join."""
+    index_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "completely unrelated content about query engines"),
+    ]
+    new_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (2, "fresh novel text with no overlap whatsoever"),
+    ]
+    index_df = spark.createDataFrame(index_rows, "doc_id long, text string")
+    batch_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    expected = sorted(
+        (r.doc_id, r.index_doc_id)
+        for r in stateful.streaming_near_dup_flags(batch_df, index_df).collect()
+    )
+    assert (1, 100) in expected           # the duplicate is flagged
+    assert all(d != 2 for d, _ in expected)  # novel doc passes clean
+
+    path = str(tmp_path / "neardup_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_near_dup_flags(sdf, index_df),
+        f"ndup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted((r.doc_id, r.index_doc_id) for r in out.collect())
+    assert got == expected
