@@ -927,8 +927,14 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this the ENTIRE two-signal pair generation (shingling +
     # bucketed cosine) re-executes per reference (measured the dominant
     # cost of this query).  Scoped to the result via scope_caches.
+    # Star contraction, not propagation: the multi-signal union CHAINS
+    # lexical and semantic edges (a text-dup of a semantic-dup of ...),
+    # so component diameters exceed the single-signal clique-ish graphs
+    # propagation is tuned for — star's O(log n) rounds measure ≥ as
+    # fast here and degrade gracefully on longer chains.  Identical
+    # cluster ids (property-tested equivalence; same oracle).
     edges = text_pairs.unionByName(emb_pairs).distinct().persist()
-    return scope_caches(curation.connected_components(edges), edges, *caches)
+    return scope_caches(curation.cc_star(edges), edges, *caches)
 # --------------------------------------------------------------------------
 # Similarity search (SURVEY.md §2.6) over the embeddings table
 # --------------------------------------------------------------------------
