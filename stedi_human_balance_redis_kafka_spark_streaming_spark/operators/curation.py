@@ -362,12 +362,13 @@ def rebalance_by_rate(
     Unlike :func:`sample_by_hash` (static driver-side rate dict, 1/256
     hex buckets) the rates here are a DataFrame computed in-plan, so the
     threshold must be built in-plan too: keep a row iff the first 8 hex
-    digits of md5(salt || id) sort below ``lpad(hex(rate_e6 · 4294), 8)``
-    — 4294 = 2³² div 1e6, scaling rates into the 32-bit bucket space, built
-    with integer ops and hex formatting that Spark and DuckDB render
-    identically, so membership is exactly reproducible on both engines
-    (rate_e6 ≥ 1e6 short-circuits to keep-all to avoid the truncation
-    bias at the top of the range).
+    digits of md5(salt || id) sort below
+    ``lpad(hex(rate_e6 · 2³² div 10⁶), 8)`` — the exact floor of the
+    rate scaled into the 32-bit bucket space (keep probability within
+    2⁻³², one hash bucket, of rate_e6/10⁶), built with integer ops and
+    hex formatting that Spark and DuckDB render identically, so
+    membership is exactly reproducible on both engines (rate_e6 ≥ 1e6
+    short-circuits to keep-all).
 
     Strata absent from ``rates`` are dropped (inner join) — the unknown
     stratum guard.  Scale shape: rates are bounded (one row per
@@ -378,7 +379,13 @@ def rebalance_by_rate(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
     )
     thresh = F.lpad(
-        F.lower(F.hex(F.col(rate_col).cast("long") * F.lit(4294))), 8, "0"
+        F.lower(
+            F.hex(
+                F.expr(f"(CAST({rate_col} AS BIGINT) * 4294967296L) div 1000000L")
+            )
+        ),
+        8,
+        "0",
     )
     return df.join(F.broadcast(rates), stratum_col).filter(
         (F.col(rate_col).cast("long") >= 1_000_000) | (bucket < thresh)
@@ -401,10 +408,11 @@ def upsample_by_factor(
 
     Every row gets ``factor_e6 div 1e6`` full copies plus one extra
     copy iff its hash bucket falls below the fractional remainder —
-    the same md5-bucket-vs-hex-threshold construction as
-    :func:`rebalance_by_rate`, so expected copies equal the factor
-    EXACTLY and membership of the fractional copy is a pure function
-    of (salt, id): reproducible across engines, runs, partitionings.
+    the same exact-floor md5-bucket-vs-hex-threshold construction as
+    :func:`rebalance_by_rate`, so expected copies equal the factor to
+    within 2⁻³² (one 32-bit hash bucket) and membership of the
+    fractional copy is a pure function of (salt, id): reproducible
+    across engines, runs, partitionings.
     Factors below 1e6 degrade gracefully to plain downsampling (0 or 1
     copies).  Output: input columns + ``copy_id`` (0-based).
 
@@ -416,8 +424,18 @@ def upsample_by_factor(
     bucket = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
     )
-    frac = F.col(factor_col).cast("long") % 1_000_000
-    thresh = F.lpad(F.lower(F.hex(frac * F.lit(4294))), 8, "0")
+    thresh = F.lpad(
+        F.lower(
+            F.hex(
+                F.expr(
+                    f"((CAST({factor_col} AS BIGINT) % 1000000L)"
+                    f" * 4294967296L) div 1000000L"
+                )
+            )
+        ),
+        8,
+        "0",
+    )
     n_copies = (
         F.expr(f"CAST({factor_col} AS LONG) div 1000000L")
         + F.when(bucket < thresh, F.lit(1)).otherwise(F.lit(0))

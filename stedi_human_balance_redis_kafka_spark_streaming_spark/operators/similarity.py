@@ -831,22 +831,27 @@ def pq_topk_trained(
     for j in range(w):
         t = _qsub_case(j) * F.col(f"k{j}")
         pdot = t if pdot is None else pdot + t
+    # LUT units: the codebook components are already int64 in 1e-6 units
+    # (pq_codebooks_trained), so Σ q̂_j·k_j / qnrm lands in ~1e6-scaled
+    # doubles and ONE further 1e6 quantization step suffices — hence
+    # pdot_e6 (the seed-codebook pq_topk works on raw doubles and needs
+    # the full 1e12 factor).
     lut = q.crossJoin(F.broadcast(cb)).select(
         "query_id",
         "m",
         "code",
         F.round(pdot / F.col("qnrm") * F.lit(1_000_000))
         .cast("long")
-        .alias("pdot_e12"),
+        .alias("pdot_e6"),
     )
     w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_e12"), F.asc("vec_id")
+        F.desc("adc_e6"), F.asc("vec_id")
     )
     cand = (
         enc.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("pdot_e12").alias("adc_e12"))
+        .agg(F.sum("pdot_e6").alias("adc_e6"))
         .withColumn("arnk", F.row_number().over(w_adc))
         .filter(F.col("arnk") <= rerank)
         .select("query_id", "vec_id")

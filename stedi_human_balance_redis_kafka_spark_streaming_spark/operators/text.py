@@ -643,7 +643,21 @@ def bpe_segment_counts(
     is a codegen'd transform+aggregate map.
 
     Output: (doc_id, ws_tokens, bpe_vocab_tokens).
+
+    Guard: ``merges`` must carry EXACTLY one row per step 1..n_merges —
+    a missing step would make the per-step filter empty and the
+    crossJoin pivot silently annihilate the whole output (zero rows for
+    the entire corpus).  The merge table is bounded (n_merges rows) so
+    the validation is one cheap eager driver action, like the other
+    plan-time gates.
     """
+    steps = sorted(int(r["step"]) for r in merges.select("step").collect())
+    if steps != list(range(1, n_merges + 1)):
+        raise ValueError(
+            f"bpe_segment_counts needs exactly one merge per step "
+            f"1..{n_merges}; got steps {steps} — a degenerate corpus ran "
+            f"out of pairs during bpe_merges (lower n_merges)"
+        )
     pairs_row = None
     for i in range(1, n_merges + 1):
         pi = merges.filter(F.col("step") == i).select(

@@ -613,11 +613,13 @@ def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime-filter shape (operators/prefilter.py) that cuts the
     big-side exchange by the non-match fraction at 100 TB.
 
-    Scale shape: the filter build is one bounded collect_set aggregate
-    over the SMALL side (≤ num_bits ints); the probe is k O(1)
-    substring checks per fact row against a 1-row broadcast, pipelined
-    with the scan; only surviving rows reach the join exchange.  The
-    driver oracle (plain join) proves zero matches were dropped.
+    Scale shape: the filter build aggregates the SMALL side's distinct
+    hash positions and left-joins them onto a dense bit axis to form
+    one bounded array<boolean> row (≤ num_bits entries); the probe is
+    k O(1) array-element accesses (F.get) per fact row against that
+    1-row broadcast, pipelined with the scan; only surviving rows reach
+    the join exchange.  The driver oracle (plain join) proves zero
+    matches were dropped.
     """
     from ..operators.prefilter import bloom_prefilter
     from .analytics import _rev_e6

@@ -1395,7 +1395,7 @@ def _sql_pq_trained_cb_ctes(
         SELECT q.query_id, cb.m, cb.code,
                CAST(round(list_sum(list_transform(generate_series(1, {_PQ_W}),
                       j -> q.qv[cb.m * {_PQ_W} + j] * cb.k[j]))
-                    / q.qnrm * 1000000) AS BIGINT) AS pdot_e12
+                    / q.qnrm * 1000000) AS BIGINT) AS pdot_e6
         FROM qn q CROSS JOIN cb
       ),
       cand AS (
@@ -1403,9 +1403,9 @@ def _sql_pq_trained_cb_ctes(
           SELECT query_id, vec_id,
                  row_number() OVER (
                    PARTITION BY query_id
-                   ORDER BY adc_e12 DESC, vec_id ASC) AS arnk
+                   ORDER BY adc_e6 DESC, vec_id ASC) AS arnk
           FROM (
-            SELECT l.query_id, enc.vec_id, SUM(l.pdot_e12) AS adc_e12
+            SELECT l.query_id, enc.vec_id, SUM(l.pdot_e6) AS adc_e6
             FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
             WHERE enc.vec_id != l.query_id
             GROUP BY l.query_id, enc.vec_id
@@ -1993,9 +1993,9 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mixture epochs: per-source uniform rates UNCAPPED above 1 (cap 4e6
     # = max 4 epochs) applied as deterministic fractional repetition —
     # full copies = factor div 1e6, plus a hash-gated fractional copy
-    # (same md5-bucket threshold construction as curation_rebalance, so
-    # expected copies equal the factor exactly and membership is a pure
-    # function of doc_id).
+    # (same exact-floor md5-bucket threshold construction as
+    # curation_rebalance, so expected copies equal the factor to within
+    # 2⁻³² and membership is a pure function of doc_id).
     oracle=f"""
     WITH per AS (
       SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS sum_tokens
@@ -2011,7 +2011,8 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, d.source,
              r.factor_e6 // 1000000
              + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-                    < lpad(lower(hex((r.factor_e6 % 1000000) * 4294)), 8, '0')
+                    < lpad(lower(hex(((r.factor_e6 % 1000000) * 4294967296)
+                                     // 1000000)), 8, '0')
                THEN 1 ELSE 0 END AS n
       FROM documents d JOIN rates r USING (source)
     )
@@ -2037,8 +2038,9 @@ def curation_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_rebalance",
     # The execution half of mixture re-balancing: text_domain_mixture's
     # computed uniform keep-rates applied by deterministic in-plan hash
-    # thresholds (md5 8-hex-digit bucket vs lpad(hex(rate·4294)) —
-    # integer ops + hex formatting both engines render identically).
+    # thresholds (md5 8-hex-digit bucket vs lpad(hex(rate·2³² div 10⁶))
+    # — exact-floor bucket scaling; integer ops + hex formatting both
+    # engines render identically).
     oracle=f"""
     WITH per AS (
       SELECT source, COUNT(*) AS n_docs,
@@ -2056,7 +2058,7 @@ def curation_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d JOIN rates r USING (source)
     WHERE r.rate_e6 >= 1000000
        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-          < lpad(lower(hex(r.rate_e6 * 4294)), 8, '0')
+          < lpad(lower(hex((r.rate_e6 * 4294967296) // 1000000)), 8, '0')
     """,
 )
 def curation_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:

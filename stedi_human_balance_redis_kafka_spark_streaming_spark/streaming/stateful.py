@@ -401,24 +401,32 @@ def _funnel_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-user funnel state machine: first signup, first view strictly
     after it, first purchase strictly after that.  State is three
-    epoch-micros longs (-1 = not reached); each batch's events advance
-    the machine in event-time order, so with per-user time-ordered
-    arrival the result matches the batch events_funnel query exactly
-    (stream==batch tested).  Out-of-order arrival across micro-batches
-    can only UNDER-advance (an earlier qualifying event seen late is
-    ignored) — the standard caveat for non-replaying stateful streams."""
+    epoch-micros longs (-1 = not reached).  applyInPandasWithState
+    delivers a group as an ITERATOR of Arrow chunks (bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch), so the batch's
+    events are accumulated across ALL chunks first and sorted once —
+    a per-chunk sort would let a later chunk's earlier event be
+    processed after an earlier chunk's later one and under-advance the
+    machine (multi-chunk groups are covered by a dedicated test).
+    With per-user time-ordered arrival across micro-batches the result
+    matches the batch events_funnel query exactly (stream==batch
+    tested).  Out-of-order arrival ACROSS micro-batches can only
+    UNDER-advance (an earlier qualifying event seen late is ignored) —
+    the standard caveat for non-replaying stateful streams."""
     t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    batch_events: list[tuple[int, str]] = []
     for pdf in pdf_iter:
-        for ts_us, et in sorted(
+        batch_events.extend(
             zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist())
-        ):
-            us = int(ts_us)
-            if et == _FUNNEL_STAGES[0] and t1 < 0:
-                t1 = us
-            elif et == _FUNNEL_STAGES[1] and 0 <= t1 < us and t2 < 0:
-                t2 = us
-            elif et == _FUNNEL_STAGES[2] and 0 <= t2 < us and t3 < 0:
-                t3 = us
+        )
+    for ts_us, et in sorted(batch_events):
+        us = int(ts_us)
+        if et == _FUNNEL_STAGES[0] and t1 < 0:
+            t1 = us
+        elif et == _FUNNEL_STAGES[1] and 0 <= t1 < us and t2 < 0:
+            t2 = us
+        elif et == _FUNNEL_STAGES[2] and 0 <= t2 < us and t3 < 0:
+            t3 = us
     state.update((t1, t2, t3))
     if t1 >= 0:
         yield pd.DataFrame(

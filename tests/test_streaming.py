@@ -709,6 +709,60 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert {u for u, *_ in got} == {0, 1, 2}  # user 3 never signed up
 
 
+def test_streaming_funnel_multi_chunk_group(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as SEVERAL
+    pandas chunks; the state machine must sort events across the whole
+    micro-batch, not per chunk — a later chunk carrying the earliest
+    event (signup) must still anchor the funnel."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # Source order puts view/purchase FIRST and signup LAST, so with
+    # maxRecordsPerBatch=2 the signup lands in a later chunk than the
+    # (event-time later) view/purchase.  A per-chunk sort would leave
+    # the user at stage 1; the whole-batch sort reaches stage 3.
+    script = [
+        (0, "view", 10), (0, "purchase", 20), (0, "view", 30),
+        (0, "purchase", 40), (0, "signup", 0),
+    ]
+    rows = [
+        (u, et, base + dt.timedelta(minutes=mins)) for u, et, mins in script
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    path = str(tmp_path / "funnel_chunked")
+    batch_df.coalesce(1).write.parquet(path)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+        out = _run_to_memory(
+            spark,
+            stateful.streaming_funnel(sdf),
+            f"funnel_chunk_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+        got = [
+            (r.user_id, r.t1_us, r.t2_us, r.t3_us, r.reached_stage)
+            for r in out.collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # expected micros derived through Spark itself so the naive-datetime
+    # → epoch conversion matches the ingest path exactly
+    exp = {
+        r["m"]: r["us"]
+        for r in spark.createDataFrame(
+            [(m, base + dt.timedelta(minutes=m)) for m in (0, 10, 20)],
+            "m int, ts timestamp",
+        )
+        .select("m", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    assert got == [(0, exp[0], exp[10], exp[20], 3)]
+
+
 def test_streaming_near_dup_flags_stream_static_matches_batch(spark, tmp_path):
     """Ingest-time LSH flagging: an arriving exact/near duplicate of an
     indexed document must collide on at least one band, and the
