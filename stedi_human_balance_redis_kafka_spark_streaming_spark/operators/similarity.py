@@ -126,17 +126,17 @@ def assign_nearest_centroid(
     )
 
 
-# Trained-index build cache.  Index TRAINING is an ingest-time build
-# step, not a per-query cost: a production ANN/IVF system trains its
-# codebook once when the corpus is (re)ingested and every query reads
-# the built artifact.  Training here is fully deterministic (integer
-# k-means, fixed iters, fixed seeds), so the cached rows are
-# bit-identical to retraining — correctness is unaffected, only the
-# redundant rebuild is skipped.  The cache holds plain Python int rows
-# (k·dim int64s, kilobytes — NOT Spark blocks), keyed by an explicit
-# caller-provided corpus key plus every training parameter; callers
-# that do not pass ``cache_key`` (tests, ad-hoc frames) always retrain.
-_INDEX_BUILD_CACHE: dict[tuple, list[tuple]] = {}
+# Trained-index build cache — see operators/buildcache.py for the full
+# contract (ingest-time build step, deterministic hence bit-identical,
+# LRU-bounded, fingerprinted keys).  Callers that do not pass
+# ``cache_key`` (tests, ad-hoc frames) always retrain.
+# ``_INDEX_BUILD_CACHE`` is re-exported here because this module
+# introduced the pattern; the OrderedDict itself lives in buildcache so
+# the near-dup pair-graph build (plans/registry) shares the same store
+# and bound.
+from .buildcache import INDEX_BUILD_CACHE as _INDEX_BUILD_CACHE  # noqa: E402
+from .buildcache import lookup as _cache_lookup  # noqa: E402
+from .buildcache import store as _cache_store  # noqa: E402
 
 
 def kmeans_centroids(
@@ -201,10 +201,10 @@ def kmeans_centroids(
             *[f"c{i}" for i in range(dim)],
         )
 
-    if ckey is not None and ckey in _INDEX_BUILD_CACHE:
-        return as_double(
-            spark.createDataFrame(_INDEX_BUILD_CACHE[ckey], schema=schema)
-        )
+    if ckey is not None:
+        hit = _cache_lookup(ckey)
+        if hit is not None:
+            return as_double(spark.createDataFrame(hit, schema=schema))
     # Both inputs are read EVERY round (e by the assignment scoring, eq
     # by the update) — persist for the duration of training so each
     # round reuses the materialized flatten/quantize instead of
@@ -286,7 +286,7 @@ def kmeans_centroids(
         eq.unpersist()
         e.unpersist()
     if ckey is not None and rows:
-        _INDEX_BUILD_CACHE[ckey] = rows
+        _cache_store(ckey, rows)
     return as_double(cents_q)
 
 
@@ -694,10 +694,12 @@ def pq_codebooks_trained(
         if cache_key is not None
         else None
     )
-    if ckey is not None and ckey in _INDEX_BUILD_CACHE:
-        # ingest-time build cache — see _INDEX_BUILD_CACHE: deterministic
+    if ckey is not None:
+        # ingest-time build cache — see buildcache.py: deterministic
         # training makes the cached rows bit-identical to retraining
-        return spark.createDataFrame(_INDEX_BUILD_CACHE[ckey], schema=cb_schema)
+        hit = _cache_lookup(ckey)
+        if hit is not None:
+            return spark.createDataFrame(hit, schema=cb_schema)
     e = e.persist()
 
     def _train_subspace(m: int) -> list:
@@ -765,7 +767,7 @@ def pq_codebooks_trained(
                 for row in sub
             ]
         if ckey is not None:
-            _INDEX_BUILD_CACHE[ckey] = parts
+            _cache_store(ckey, parts)
         return spark.createDataFrame(parts, schema=cb_schema)
     finally:
         e.unpersist()

@@ -43,6 +43,30 @@ def as_utc_instant(col_name: str) -> "F.Column":
     )
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap data fingerprint of one testdata table: path + total bytes
+    + newest mtime (ns) over its parquet file(s).
+
+    Folded into ingest-time build-cache keys (operators/buildcache.py)
+    so a corpus REGENERATED at the same path within one process can
+    never be served a stale trained artifact — the key changes with the
+    data, not just the directory name.  Pure ``os.stat`` metadata: no
+    file contents are read, so the check costs microseconds per call.
+    """
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        stats = [
+            os.stat(os.path.join(root, fn))
+            for root, _dirs, fns in os.walk(p)
+            for fn in sorted(fns)
+        ]
+    else:
+        stats = [os.stat(p)]
+    total = sum(st.st_size for st in stats)
+    newest = max((st.st_mtime_ns for st in stats), default=0)
+    return f"{p}|{total}|{newest}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md) as a DataFrame.
 

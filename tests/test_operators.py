@@ -726,6 +726,54 @@ def test_index_build_cache_bit_identical_and_scoped(vec_corpus):
     assert len(keys) == 2 and other is not None
 
 
+def test_index_build_cache_lru_eviction():
+    """The build cache is LRU-bounded: overfilling past MAX_ENTRIES
+    evicts the least-recently-used key; touching a key refreshes it."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        buildcache,
+    )
+
+    saved = dict(buildcache.INDEX_BUILD_CACHE)
+    buildcache.INDEX_BUILD_CACHE.clear()
+    try:
+        for i in range(buildcache.MAX_ENTRIES):
+            buildcache.store(("t", f"corpus-{i}"), [(i,)])
+        assert len(buildcache.INDEX_BUILD_CACHE) == buildcache.MAX_ENTRIES
+        # touch the oldest so it becomes most-recent
+        assert buildcache.lookup(("t", "corpus-0")) == [(0,)]
+        buildcache.store(("t", "corpus-new"), [(99,)])
+        assert len(buildcache.INDEX_BUILD_CACHE) == buildcache.MAX_ENTRIES
+        # corpus-1 (now the LRU) was evicted; corpus-0 survived its touch
+        assert buildcache.lookup(("t", "corpus-1")) is None
+        assert buildcache.lookup(("t", "corpus-0")) == [(0,)]
+        assert buildcache.invalidate("corpus-0") == 1
+        assert buildcache.lookup(("t", "corpus-0")) is None
+    finally:
+        buildcache.INDEX_BUILD_CACHE.clear()
+        buildcache.INDEX_BUILD_CACHE.update(saved)
+
+
+def test_table_fingerprint_tracks_data_changes(tmp_path):
+    """Cache keys embed a data fingerprint: rewriting a table at the
+    same path changes the key, so a regenerated corpus cannot be served
+    a stale trained artifact."""
+    import shutil
+    import time
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        table_fingerprint,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = tmp_path / "embeddings.parquet"
+    shutil.copy(src, dst)
+    fp1 = table_fingerprint(str(tmp_path), "embeddings")
+    assert fp1 == table_fingerprint(str(tmp_path), "embeddings")  # stable
+    time.sleep(0.01)
+    dst.touch()  # same bytes, new mtime — still a regeneration signal
+    assert table_fingerprint(str(tmp_path), "embeddings") != fp1
+
+
 def test_keep_best_picks_quality_argmax(spark, sf_dir):
     from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
         curation_keep_best,
