@@ -1,8 +1,14 @@
 """Benchmark runner: every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": "total_runtime", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": "<dir>"}
+followed by ONE SHORT LINE PER QUERY ({"query": name, "sec": t}) and a
+final short summary line.  Rationale: the driver may keep only the head
+or tail of stdout — round 3 lost the total to head truncation, round 4
+lost the per-query map the same way.  The tail now carries the full
+information in lines short enough that any truncation window keeps
+them; the last line is always a self-contained parseable total.
 
 Each query is fully materialized via the noop sink (no driver collect —
 measures the distributed plan, not result transfer).
@@ -25,8 +31,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 RUNS_PER_QUERY = 2
 
+# Recycle the SparkSession every N queries.  A single 90+-query session
+# accrues a uniform ~1.4× slowdown on its later queries (measured
+# r03→r04 on unchanged plans: block-manager population, lingering
+# localCheckpoint RDDs from the iterative CC/BPE queries, heap
+# fragmentation feeding longer GC cycles) that per-query clearCache +
+# System.gc() does not reclaim.  A fresh session resets the block
+# manager and drops dead RDD/broadcast registries for ~3-5 s of restart
+# cost per recycle; driver-side build caches (operators/buildcache) are
+# plain Python rows and survive recycles by design.
+SESSION_RECYCLE_EVERY = 24
 
-def main() -> None:
+
+def _fresh_session():
     # Periodic-GC timer raised to 30min: the per-query explicit GC below
     # already keeps the ContextCleaner fed, and the 5-minute timer would
     # otherwise fire a concurrent cycle mid-bench that lands its cost on
@@ -38,6 +55,11 @@ def main() -> None:
     # JVM/codegen warmup on a trivial action so the first timed query
     # doesn't absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    return spark
+
+
+def main() -> None:
+    spark = _fresh_session()
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -53,7 +75,10 @@ def main() -> None:
         return elapsed
 
     timings: dict[str, float] = {}
-    for name, fn in sorted(registry.queries().items()):
+    for i, (name, fn) in enumerate(sorted(registry.queries().items())):
+        if i > 0 and i % SESSION_RECYCLE_EVERY == 0:
+            spark.stop()
+            spark = _fresh_session()
         # Steady-state timing: min of N runs.  Cleanup I/O (ContextCleaner
         # deleting the previous heavy query's shuffle files) is bursty and
         # lands on whichever query is running — observed as a roaming
@@ -75,10 +100,13 @@ def main() -> None:
         ),
         flush=True,
     )
-    # Truncation guard: the driver may keep only the tail of stdout, and the
-    # full per-query line above can lose its head (round 3: BENCH_r03.json had
-    # parsed=null).  Emit a short self-contained summary LAST so the official
-    # artifact always carries a parseable total.
+    # Truncation-proof per-query record: one short line per query, all
+    # near the tail of stdout, so a bounded tail capture keeps every
+    # timing even when the big map line above loses its head.
+    for name in sorted(timings):
+        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+    # Short self-contained summary LAST so the official artifact always
+    # ends with a parseable total whatever the capture window.
     print(
         json.dumps(
             {

@@ -536,91 +536,126 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_BPE_SCHEMA = "step int, pair string, merged string, cnt long"
+
+
 def bpe_merges(
-    docs: DataFrame, n_merges: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 5,
+    batch: int = 1,
+    text_col: str = "text",
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """BPE tokenizer induction: learn the top-``n_merges`` byte-pair
-    merges over the corpus — the core of training a BPE/WordPiece
-    tokenizer (Sennrich et al.), expressed as fixed-depth DataFrame
-    rounds.
+    """BPE tokenizer induction: learn ``n_merges`` byte-pair merges over
+    the corpus — the core of training a BPE/WordPiece tokenizer
+    (Sennrich et al.) — in BATCHED rounds of ``batch`` merges each.
 
     Classic formulation: train on the WORD-FREQUENCY table (bounded
     vocabulary — ≪ corpus), never the raw corpus.  Each round counts
-    adjacent symbol pairs weighted by word count, picks the argmax
-    (count DESC, pair ASC — the deterministic tie-break), and rewrites
-    the vocabulary by fusing that pair.  Symbols are space-joined
-    strings, and the fuse is ``replace(' '||s||' ', ' a b ', ' ab ')``
-    — non-overlapping left-to-right with boundary-space consumption,
-    identical on both engines, so the rounds are bit-identical to the
-    SQL oracle.  Semantics note: on RUNS of the same pair ('a a a a')
-    the consumed boundary makes fusion alternate ('aa a a'), a
-    deliberate divergence from textbook greedy that keeps the rewrite
-    one cross-engine-exact string op (a faithful array-fold has no
-    DuckDB mirror); pair statistics outside same-symbol runs are
-    unaffected.
+    adjacent symbol pairs weighted by word count, takes the TOP-``batch``
+    pairs (count DESC, pair ASC — the deterministic tie-break), and
+    applies them sequentially in rank order in ONE vocabulary rewrite.
+    This is the standard scalable-BPE "stale count" batching: merges
+    2..batch of a round are ranked by counts measured at round START
+    (applying merge 1 can shift them), a deliberate, deterministic
+    approximation that cuts driver round-trips and plan depth by
+    ``batch``× — the only way a 10⁴-merge vocabulary trains in bounded
+    rounds.  ``batch=1`` is exact textbook-order induction.  The
+    reported ``cnt`` is the round-start count, mirrored by the oracle.
+
+    Symbols are space-joined strings, and each fuse is
+    ``replace(padded, ' a b ', ' ab ')`` — non-overlapping
+    left-to-right with boundary-space consumption, identical on both
+    engines, so every round is bit-identical to the SQL oracle.
+    Semantics note: on RUNS of the same pair ('a a a a') the consumed
+    boundary makes fusion alternate ('aa a a'), a deliberate divergence
+    from textbook greedy that keeps the rewrite one cross-engine-exact
+    string op; pair statistics outside same-symbol runs are unaffected.
 
     Output: (step, pair, merged, cnt) — one row per learned merge,
-    step 1-based.  Rounds are FIXED (no convergence probe) so plan
-    depth is bounded and the oracle unrolls the same CTE chain.
+    step 1-based and contiguous; raises if the vocabulary runs out of
+    adjacent pairs before ``n_merges`` (loud, never silently short —
+    the round-4 empty-crossJoin footgun).  Rounds are FIXED
+    (ceil(n_merges/batch)) so plan depth is bounded and the oracle
+    unrolls the same CTE chain.
 
     Scale shape: the corpus is touched ONCE (word-count groupBy, one
-    partial-aggregable shuffle); every round then runs on the bounded
-    vocabulary table — pair explode + keyed sum + a 1-row top-1
-    broadcast joined back for the rewrite.  At 100 TB the vocabulary
-    is still ~10⁶ rows, so rounds cost vocabulary-, not corpus-, time.
+    partial-aggregable shuffle, persisted for the training's duration);
+    every round then runs ONE vocabulary-sized job (pair explode +
+    keyed sum + top-``batch`` collect — ``batch`` literal replaces go
+    back out in the next round's projection).  Driver round-trips are
+    n_merges/batch, sub-linear in merges.  At 100 TB the vocabulary is
+    still ~10⁶ rows, so rounds cost vocabulary-, not corpus-, time.
+
+    ``cache_key``: opt into the ingest-time build cache
+    (operators/buildcache) — a tokenizer is trained once per corpus
+    ingest; deterministic training makes cached rows bit-identical.
     """
+    from . import buildcache
+
+    spark = docs.sparkSession
+    ckey = (
+        ("bpe", cache_key, n_merges, batch, text_col)
+        if cache_key is not None
+        else None
+    )
+    if ckey is not None:
+        hit = buildcache.lookup(ckey)
+        if hit is not None:
+            return spark.createDataFrame(hit, schema=_BPE_SCHEMA)
+
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
+        .persist()
     )
     chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
     state = words.select("wc", F.concat_ws(" ", chars).alias("s"))
 
-    merge_rows = []
-    for step in range(1, n_merges + 1):
-        toks = state.select("wc", F.split(F.col("s"), " ").alias("t"))
-        pairs = toks.select(
-            "wc",
-            F.explode(
-                F.when(
-                    F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
-                ).otherwise(F.array().cast("array<integer>"))
-            ).alias("i"),
-            "t",
-        ).select(
-            "wc", F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("pair")
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
-        )
-        merge_rows.append(
-            top.select(
-                F.lit(step).alias("step"),
-                "pair",
-                F.expr("replace(pair, ' ', '')").alias("merged"),
-                F.col("cnt").cast("long").alias("cnt"),
-            )
-        )
-        state = (
-            state.crossJoin(F.broadcast(top.select(F.col("pair").alias("__p"))))
-            .select(
+    out_rows: list[tuple] = []
+    try:
+        while len(out_rows) < n_merges:
+            k = min(batch, n_merges - len(out_rows))
+            toks = state.select("wc", F.split(F.col("s"), " ").alias("t"))
+            pairs = toks.select(
                 "wc",
-                F.trim(
-                    F.expr(
-                        "replace(' ' || s || ' ', ' ' || __p || ' ',"
-                        " ' ' || replace(__p, ' ', '') || ' ')"
-                    )
-                ).alias("s"),
+                F.explode(
+                    F.when(
+                        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+                    ).otherwise(F.array().cast("array<integer>"))
+                ).alias("i"),
+                "t",
+            ).select(
+                "wc", F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("pair")
             )
-        )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+            # Bounded collect: k rows of (pair, cnt), already ranked.
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(k)
+                .collect()
+            )
+            if not top:
+                raise ValueError(
+                    f"bpe_merges ran out of adjacent pairs after "
+                    f"{len(out_rows)} merges (n_merges={n_merges}) — the "
+                    f"corpus is too small for the requested vocabulary"
+                )
+            expr = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+            for r in top:
+                pair, fused = r["pair"], r["pair"].replace(" ", "")
+                out_rows.append((len(out_rows) + 1, pair, fused, int(r["cnt"])))
+                expr = F.replace(
+                    expr, F.lit(f" {pair} "), F.lit(f" {fused} ")
+                )
+            state = state.select("wc", F.trim(expr).alias("s"))
+    finally:
+        words.unpersist()
+    if ckey is not None:
+        buildcache.store(ckey, out_rows)
+    return spark.createDataFrame(out_rows, schema=_BPE_SCHEMA)
 
 
 def bpe_segment_counts(
@@ -635,49 +670,43 @@ def bpe_segment_counts(
     vocabulary exists (vs token_counts' chars/4 heuristic).
 
     Per word: symbolize to space-joined chars, apply each merge in
-    learned order with the same boundary-delimited ``replace`` as
-    training (greedy left-to-right fusion), count surviving symbols;
-    the document's count is the sum over its words.  Entirely
-    shuffle-free on the corpus side: the ordered merge pairs arrive as
-    a ONE-ROW broadcast (pivoted columns), and the whole segmentation
-    is a codegen'd transform+aggregate map.
+    learned (step) order with the same boundary-delimited ``replace``
+    as training — one shared pad, a chained replace per merge, one
+    final trim (identical string sequence to per-merge pad/trim, since
+    each replacement preserves its boundary spaces) — then count
+    surviving symbols; the document's count is the sum over its words.
+    Entirely shuffle-free on the corpus side: the bounded merge table
+    is collected once (n_merges rows — the same eager bounded action as
+    the validation guard) and inlined as literal replaces, so the whole
+    segmentation is a codegen'd transform+aggregate map with NO join.
 
     Output: (doc_id, ws_tokens, bpe_vocab_tokens).
 
     Guard: ``merges`` must carry EXACTLY one row per step 1..n_merges —
-    a missing step would make the per-step filter empty and the
-    crossJoin pivot silently annihilate the whole output (zero rows for
-    the entire corpus).  The merge table is bounded (n_merges rows) so
-    the validation is one cheap eager driver action, like the other
-    plan-time gates.
+    a missing step (degenerate corpus ran out of pairs during training)
+    raises loudly instead of silently misapplying the vocabulary.
     """
-    steps = sorted(int(r["step"]) for r in merges.select("step").collect())
+    rows = merges.select("step", "pair").collect()
+    steps = sorted(int(r["step"]) for r in rows)
     if steps != list(range(1, n_merges + 1)):
         raise ValueError(
             f"bpe_segment_counts needs exactly one merge per step "
             f"1..{n_merges}; got steps {steps} — a degenerate corpus ran "
             f"out of pairs during bpe_merges (lower n_merges)"
         )
-    pairs_row = None
-    for i in range(1, n_merges + 1):
-        pi = merges.filter(F.col("step") == i).select(
-            F.col("pair").alias(f"__p{i}")
-        )
-        pairs_row = pi if pairs_row is None else pairs_row.crossJoin(pi)
+    ordered = [r["pair"] for r in sorted(rows, key=lambda r: int(r["step"]))]
 
     def _applied(w):
-        s = F.array_join(F.regexp_extract_all(w, F.lit("."), 0), " ")
-        for i in range(1, n_merges + 1):
-            p = F.col(f"__p{i}")
-            fused = F.replace(p, F.lit(" "), F.lit(""))
-            s = F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), s, F.lit(" ")),
-                    F.concat(F.lit(" "), p, F.lit(" ")),
-                    F.concat(F.lit(" "), fused, F.lit(" ")),
-                )
+        s = F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all(w, F.lit("."), 0), " "),
+            F.lit(" "),
+        )
+        for p in ordered:
+            s = F.replace(
+                s, F.lit(f" {p} "), F.lit(f" {p.replace(' ', '')} ")
             )
-        return s
+        return F.trim(s)
 
     t = tokens(text_col)
     n_bpe = F.aggregate(
@@ -685,7 +714,7 @@ def bpe_segment_counts(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.crossJoin(F.broadcast(pairs_row)).select(
+    return docs.select(
         "doc_id",
         F.size(t).cast("long").alias("ws_tokens"),
         n_bpe.alias("bpe_vocab_tokens"),

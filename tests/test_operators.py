@@ -879,3 +879,64 @@ def test_bpe_segment_counts_shrink_consistently(spark):
     # doc 1: 'low' (3 chars) after 'l o' + 'lo w' merges -> 1 symbol;
     # 'lower' -> low+e+r = 3; 'lowest' -> low+e+s+t = 4
     assert out[1].bpe_vocab_tokens == 3 * 1 + 2 * 3 + 4
+
+
+def test_bpe_merges_batched_contiguous_and_stale_counts(spark):
+    """Batched rounds: steps stay 1-based contiguous, pairs are distinct,
+    the first merge matches the sequential argmax, and within a round
+    every reported cnt is the round-START count (stale by design —
+    never larger than the rank-1 count)."""
+    rows = [
+        (1, "low low low lower lower lowest"),
+        (2, "newer newest new"),
+        (3, "wider widest wide"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batched = text_ops.bpe_merges(df, n_merges=6, batch=3).collect()
+    assert sorted(r.step for r in batched) == list(range(1, 7))
+    assert len({r.pair for r in batched}) == 6
+    seq = text_ops.bpe_merges(df, n_merges=1, batch=1).collect()
+    by_step = {r.step: r for r in batched}
+    assert by_step[1].pair == seq[0].pair and by_step[1].cnt == seq[0].cnt
+    # stale-count batching: counts within a round are ranked at round
+    # start, so they are non-increasing inside each round of 3
+    for base in (1, 4):
+        cnts = [by_step[base + i].cnt for i in range(3)]
+        assert cnts == sorted(cnts, reverse=True)
+    # segmentation under the batched vocabulary still validates + shrinks
+    seg = {
+        r.doc_id: r
+        for r in text_ops.bpe_segment_counts(df, text_ops.bpe_merges(
+            df, n_merges=6, batch=3), n_merges=6).collect()
+    }
+    for r in seg.values():
+        assert r.bpe_vocab_tokens >= r.ws_tokens  # symbols >= words
+
+
+def test_bpe_merges_exhaustion_raises(spark):
+    """Asking for more merges than the corpus has adjacent pairs must
+    raise loudly, never return a silently short merge table."""
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="ran out of adjacent pairs"):
+        text_ops.bpe_merges(df, n_merges=5, batch=2)
+
+
+def test_bpe_merges_build_cache_roundtrip(spark):
+    """cache_key routes BPE training through the ingest-time build
+    cache: the second call serves bit-identical rows from the cache."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        buildcache,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newer newest")], "doc_id long, text string"
+    )
+    key = "bpe-test-corpus"
+    buildcache.invalidate(key)
+    fresh = sorted(map(tuple, text_ops.bpe_merges(
+        df, n_merges=4, batch=2, cache_key=key).collect()))
+    assert any(k[1] == key for k in buildcache.INDEX_BUILD_CACHE)
+    cached = sorted(map(tuple, text_ops.bpe_merges(
+        df, n_merges=4, batch=2, cache_key=key).collect()))
+    assert cached == fresh
+    buildcache.invalidate(key)
