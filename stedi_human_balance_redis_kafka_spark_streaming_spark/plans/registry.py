@@ -1345,6 +1345,128 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_recall",
+    # recall@10 of the COMPOSED IVF-PQ index (PQ codes within IVF
+    # buckets — the FAISS IVFx,PQy layout): probe 2 coarse centroids,
+    # ADC-scan only the probed buckets' codes (4.9% of the corpus at
+    # sf0.1 — ~20× scan reduction), exact top-50 re-rank.  Measured
+    # recall@10 0.840 vs PQ-alone's 0.600 at equal rerank: the bucket
+    # restriction filters ADC imposters out of the rerank window, so
+    # the composition beats both halves.  Every stage deterministic and
+    # mirrored (rounded cosines, (DESC, id ASC) ties, 1e-12 int ADC).
+    oracle=f"""
+    WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))}),
+    ivfpq AS (
+      WITH e AS ({_SQL_EMB}),
+      nr AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM e
+      ),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {_CENTROID_MODULUS} = 0),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT nr.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY nr.vec_id
+                   ORDER BY {_SQL_COS.format(a="nr.v", b="c.cv")} DESC, c.cid ASC
+                 ) AS arank
+          FROM nr CROSS JOIN c
+        ) WHERE arank = 1
+      ),
+      qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nr
+             WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+      probes AS (
+        SELECT query_id, cid FROM (
+          SELECT qn.query_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY qn.query_id
+                   ORDER BY {_SQL_COS.format(a="qn.qv", b="c.cv")} DESC, c.cid ASC
+                 ) AS prank
+          FROM qn CROSS JOIN c
+        ) WHERE prank <= 2
+      ),
+      cb AS (
+        SELECT m.m AS m, s.vec_id AS code, s.nrm AS cnrm, s.v AS cw
+        FROM nr s CROSS JOIN generate_series(0, {_PQ_NSUB - 1}) AS m(m)
+        WHERE s.vec_id % {_CENTROID_MODULUS} = 0
+      ),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT nr.vec_id, cb.m, cb.code,
+                 row_number() OVER (
+                   PARTITION BY nr.vec_id, cb.m
+                   ORDER BY {_SQL_PQ_DIST} ASC, cb.code ASC) AS rnk
+          FROM nr CROSS JOIN cb
+        ) WHERE rnk = 1
+      ),
+      lut AS (
+        SELECT q.query_id, cb.m, cb.code, {_SQL_PQ_PDOT} AS pdot_e12
+        FROM qn q CROSS JOIN cb
+      ),
+      candv AS (
+        SELECT DISTINCT probes.query_id, assign.vec_id
+        FROM assign JOIN probes ON assign.cid = probes.cid
+        WHERE assign.vec_id != probes.query_id
+      ),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_e12 DESC, vec_id ASC) AS arnk
+          FROM (
+            SELECT cv.query_id, cv.vec_id, SUM(l.pdot_e12) AS adc_e12
+            FROM candv cv
+            JOIN enc ON enc.vec_id = cv.vec_id
+            JOIN lut l ON l.query_id = cv.query_id
+                      AND l.m = enc.m AND l.code = enc.code
+            GROUP BY cv.query_id, cv.vec_id
+          )
+        ) WHERE arnk <= {_PQ_RERANK}
+      ),
+      rr AS (
+        SELECT c.query_id, a.vec_id,
+               {_SQL_COS.format(a="a.v", b="qn2.qv")} AS cos_sim
+        FROM cand c
+        JOIN e a ON a.vec_id = c.vec_id
+        JOIN (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id % {_ANN_QUERY_MODULUS} = 0) qn2
+          ON qn2.query_id = c.query_id
+      ), r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM rr
+      )
+      SELECT query_id, vec_id FROM r WHERE rank <= 10
+    )
+    SELECT bf.query_id, COUNT(*) AS n_overlap, 10 AS k
+    FROM bf JOIN ivfpq ON bf.query_id = ivfpq.query_id
+                      AND bf.vec_id = ivfpq.vec_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed IVF-PQ index (PQ codes within IVF
+    buckets, ADC over probed buckets only, exact re-rank) vs brute
+    force — the production ANN layout's eval.  Measured at sf0.1:
+    0.840 vs PQ-alone 0.600 at equal rerank, scanning 4.9% of codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    ivfpq = similarity.ivfpq_topk(
+        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2, spill=1,
+        n_sub=_PQ_NSUB, seed_modulus=_CENTROID_MODULUS, rerank=_PQ_RERANK,
+    ).select("query_id", "vec_id")
+    return (
+        bf.join(ivfpq, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"), F.lit(10).cast("int").alias("k"))
+    )
+
+
 def _sql_pq_trained_cb_ctes(
     n_sub: int = _PQ_NSUB,
     w: int = _PQ_W,
@@ -2521,6 +2643,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "curation_upsample",
     "text_bpe_merges",
     "text_bpe_segment",
+    "ann_ivfpq_recall",
 )
 
 
