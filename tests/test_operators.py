@@ -774,6 +774,29 @@ def test_table_fingerprint_tracks_data_changes(tmp_path):
     assert table_fingerprint(str(tmp_path), "embeddings") != fp1
 
 
+def test_registered_query_kwargs_overridable(spark, sf_dir):
+    """Data-coupled constants are keyword-overridable per call with the
+    module defaults (VERDICT r04 #6): overriding changes the live
+    parameterization, the default call is unchanged."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.analytics import (
+        q8_market_share,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
+        ann_ivf_recall,
+    )
+
+    default_rows = ann_ivf_recall(spark, sf_dir).collect()
+    # nprobe == number of centroids → probes every bucket → exact search
+    # → perfect recall for every surviving query
+    n_cents = 1 + (1000 // 50 - 1)  # sf0.001: vec_ids 0..999, modulus 50
+    full = ann_ivf_recall(spark, sf_dir, nprobe=n_cents).collect()
+    assert all(r.n_overlap == r.k for r in full)
+    assert len(full) >= len(default_rows)
+    # q8: an absent nation yields zero nation revenue in every year
+    zero = q8_market_share(spark, sf_dir, supp_nation="NO_SUCH_NATION").collect()
+    assert zero and all(r.nation_rev_e6 == 0 and r.share_e6 == 0 for r in zero)
+
+
 def test_keep_best_picks_quality_argmax(spark, sf_dir):
     from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
         curation_keep_best,
