@@ -633,14 +633,13 @@ def dedup_embedding_recall(
         .select("vec_a", "vec_b")
         .persist()
     )
+    # index side = the shared ingest-time semantic pair-graph build
+    # (_emb_pair_graph, defined below) — also consumed by
+    # dedup_multi_signal, so the eval amortizes the bucketing pass.
     bkt = (
-        dedup.embedding_bucketed_pairs(
-            emb,
-            threshold=0.4,
-            centroid_modulus=centroid_modulus,
-            train_iters=train_iters,
-            spill=spill,
-            cache_key=table_fingerprint(sf_dir, "embeddings"),
+        _emb_pair_graph(
+            spark, sf_dir, threshold=0.4, centroid_modulus=centroid_modulus,
+            train_iters=train_iters, spill=spill,
         )
         .select("vec_a", "vec_b")
         .persist()
@@ -889,6 +888,48 @@ def _dup_pair_graph(
     return spark.createDataFrame(data, schema=_DUP_PAIR_SCHEMA)
 
 
+_EMB_PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
+
+
+def _emb_pair_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = 0.4,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    train_iters: int = _KMEANS_ITERS,
+    spill: int = _DEDUP_SPILL,
+) -> DataFrame:
+    """The semantic (IVF-bucketed embedding cosine) verified near-dup
+    pair set — the second shared ingest-time pair-graph build, consumed
+    by dedup_multi_signal and dedup_embedding_recall's index side.
+    (dedup_embedding_bucketed itself stays on the live plan — it IS the
+    operator's registered demonstration, exactly like dedup_ngram_jaccard
+    vs _dup_pair_graph.)  Same buildcache contract, bounded driver
+    collect, and over-cap live-plan degradation as :func:`_dup_pair_graph`;
+    determinism comes from the rounded-cosine threshold over the
+    deterministic (trained, spilled) bucketing."""
+    fp = table_fingerprint(sf_dir, "embeddings")
+    ckey = ("emb_pairs", fp, threshold, centroid_modulus, train_iters, spill)
+    hit = buildcache.lookup(ckey)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema=_EMB_PAIR_SCHEMA)
+    pairs = dedup.embedding_bucketed_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=threshold,
+        centroid_modulus=centroid_modulus,
+        train_iters=train_iters,
+        spill=spill,
+        cache_key=fp,
+    )
+    rows = pairs.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return pairs
+    data = [(int(r["vec_a"]), int(r["vec_b"]), float(r["cos_sim"])) for r in rows]
+    buildcache.store(ckey, data)
+    return spark.createDataFrame(data, schema=_EMB_PAIR_SCHEMA)
+
+
 @register("dedup_clusters", oracle=_SQL_CC_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster extraction: connected components (iterative
@@ -982,13 +1023,9 @@ def dedup_multi_signal(
     text_pairs = _dup_pair_graph(spark, sf_dir, caches=caches).select(
         "doc_a", "doc_b"
     )
-    emb_pairs = dedup.embedding_bucketed_pairs(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=0.4,
-        centroid_modulus=centroid_modulus,
-        train_iters=train_iters,
-        spill=spill,
-        cache_key=table_fingerprint(sf_dir, "embeddings"),
+    emb_pairs = _emb_pair_graph(
+        spark, sf_dir, threshold=0.4, centroid_modulus=centroid_modulus,
+        train_iters=train_iters, spill=spill,
     ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
