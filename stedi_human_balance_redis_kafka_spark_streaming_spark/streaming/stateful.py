@@ -387,6 +387,88 @@ def streaming_assign_centroids(
     )
 
 
+def streaming_pq_encode(
+    vecs: DataFrame, codebook: DataFrame, *, round_digits: int = 6
+) -> DataFrame:
+    """Stream-time PQ encoding: compress each incoming vector to its
+    ``n_sub`` codeword ids — the other ingest half of index maintenance
+    (pair with :func:`streaming_assign_centroids` for the full streaming
+    IVF-PQ ingest: route to bucket + encode to codes as vectors arrive).
+
+    ``codebook`` is a BATCH frame from ``similarity.pq_codebooks``
+    ((m, code, cnrm, cw0..cw{w-1})) — bounded by construction, so it is
+    collected once and inlined as literal expressions: the per-subspace
+    argmin becomes a stateless codegen'd ``array_min`` over
+    (dist, code) structs — no crossJoin, no aggregation, no state.
+    Distance is the identical rounded normalized-space L2² the batch
+    :func:`..operators.similarity.pq_encode` computes, with the same
+    left-associated term order (codeword self-products fold driver-side
+    in the same IEEE sequence), so the emitted rows are bit-identical
+    to the batch encoder (tested stream==batch).  Ties break
+    (dist ASC, code ASC) via struct ordering — same as the batch
+    ``min_by``.
+
+    Inline-expression bound: |codebook|·w literal terms — fine to
+    ~10³ codewords; beyond that, encode through the batch path per
+    micro-batch (foreachBatch).  Output: (vec_id, m, code).
+    """
+    rows = codebook.collect()
+    w = len([c for c in codebook.columns if c.startswith("cw") and c[2:].isdigit()])
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), []).append(r)
+    n_sub = len(by_m)
+
+    v = F.col("embedding").cast("array<double>")
+    dim = n_sub * w
+    nrm_sq = None
+    for j in range(dim):
+        t = v[j] * v[j]
+        nrm_sq = t if nrm_sq is None else nrm_sq + t
+    nrm = F.sqrt(nrm_sq)
+
+    per_m = []
+    for m in sorted(by_m):
+        cands = []
+        for r in sorted(by_m[m], key=lambda r: int(r["code"])):
+            cw = [float(r[f"cw{j}"]) for j in range(w)]
+            cnrm = float(r["cnrm"])
+            # codeword self-product folds driver-side in the same
+            # left-associated IEEE order as the batch expression
+            csub_sq = cw[0] * cw[0]
+            for j in range(1, w):
+                csub_sq += cw[j] * cw[j]
+            sub_sq = None
+            sub_dot = None
+            for j in range(w):
+                x = v[m * w + j]
+                sq_t = x * x
+                dp_t = x * F.lit(cw[j])
+                sub_sq = sq_t if sub_sq is None else sub_sq + sq_t
+                sub_dot = dp_t if sub_dot is None else sub_dot + dp_t
+            dist = F.round(
+                sub_sq / (nrm * nrm)
+                + F.lit(csub_sq) / (F.lit(cnrm) * F.lit(cnrm))
+                - F.lit(2.0) * sub_dot / (nrm * F.lit(cnrm)),
+                round_digits,
+            )
+            cands.append(
+                F.struct(
+                    dist.alias("dist"),
+                    F.lit(int(r["code"])).cast("long").alias("code"),
+                )
+            )
+        best = F.array_min(F.array(*cands))
+        per_m.append(
+            F.struct(
+                F.lit(m).cast("int").alias("m"), best["code"].alias("code")
+            )
+        )
+    return vecs.select(
+        "vec_id", F.explode(F.array(*per_m)).alias("__e")
+    ).select("vec_id", F.col("__e.m").alias("m"), F.col("__e.code").alias("code"))
+
+
 FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
 FUNNEL_OUTPUT_SCHEMA = (
     "user_id long, t1_us long, t2_us long, t3_us long, reached_stage int"

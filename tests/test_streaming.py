@@ -625,6 +625,44 @@ def test_streaming_assign_centroids_matches_batch(spark, tmp_path):
     assert got == batch_assign
 
 
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """Stream-time PQ encoding (inlined bounded codebook, stateless
+    array_min argmin) must emit rows bit-identical to the batch
+    pq_encode — the other ingest half of streaming IVF-PQ index
+    maintenance."""
+    import random
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rng = random.Random(7)
+    dim, n_sub = 8, 4
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    batch_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    e = similarity._flat(batch_df, "vec_id", "d", dim)
+    cb = similarity.pq_codebooks(e, dim, n_sub, seed_modulus=10)
+    batch_enc = sorted(
+        (r.vec_id, r.m, r.code)
+        for r in similarity.pq_encode(e, cb, dim, n_sub).collect()
+    )
+
+    path = str(tmp_path / "pq_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_pq_encode(sdf, cb),
+        f"pqenc_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted((r.vec_id, r.m, r.code) for r in out.collect())
+    assert got == batch_enc
+    assert len(got) == 40 * n_sub
+
+
 def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     """pii_scrub is batch/streaming-dual AS-IS: a stateless codegen'd
     regexp map, no aggregation/window — the ingest-time privacy pass."""
