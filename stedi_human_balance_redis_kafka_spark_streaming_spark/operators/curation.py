@@ -79,6 +79,40 @@ def sample_by_hash(
     return df.filter(bucket < thresh[F.col(stratum_col)])
 
 
+def sample_quota(
+    df: DataFrame,
+    quota: int,
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-QUOTA sampling: keep exactly
+    ``min(quota, |stratum|)`` rows per stratum — the rows with the
+    smallest md5(salt || id) priorities win (bottom-k / priority
+    sampling).  Because the priority is a pure hash of the id, the kept
+    set is a uniform without-replacement sample that is reproducible
+    across engines, runs, and partitionings — and quota-EXACT, where
+    the rate-based :func:`sample_by_hash` is exact only in expectation
+    (the right tool when a mixture recipe says "exactly N docs of X").
+    ``salt`` draws an independent sample.
+
+    Scale shape: one per-stratum window rank — strata rank in parallel;
+    a single hot stratum skews its window partition, so at 100 TB
+    pre-filter with an approximate priority threshold (e.g.
+    ``approx_percentile`` of the hash on a sample) before the exact
+    rank — same kept set, bounded partition.  Output: input columns,
+    quota rows per stratum.
+    """
+    pri = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(pri, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -2383,6 +2383,37 @@ def curation_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUOTA_PER_LANG = 50
+
+
+@register(
+    "curation_sample_quota",
+    # Fixed-quota bottom-k priority sampling: exactly min(quota, n) docs
+    # per language, smallest md5(doc_id) priorities win (doc_id breaks
+    # hash ties) — quota-exact where the rate-based stratified sample is
+    # exact only in expectation.
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_QUOTA_PER_LANG}
+    """,
+)
+def curation_sample_quota(
+    spark: SparkSession, sf_dir: str, *, quota: int = _QUOTA_PER_LANG
+) -> DataFrame:
+    """Deterministic fixed-quota sampling: exactly ``quota`` docs per
+    language by hash priority (uniform without replacement,
+    reproducible at any scale/partitioning) — the quota-exact
+    counterpart to curation_sample_stratified's rates."""
+    return curation.sample_quota(
+        load_table(spark, sf_dir, "documents"), quota
+    ).select("doc_id", "lang", "source")
+
+
 @register(
     "curation_rebalance",
     # The execution half of mixture re-balancing: text_domain_mixture's
@@ -2757,6 +2788,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "text_bpe_merges",
     "text_bpe_segment",
     "ann_ivfpq_recall",
+    "curation_sample_quota",
 )
 
 
