@@ -173,6 +173,24 @@ def test_new_round4_queries_not_cartesian(spark, name):
     assert "CartesianProduct" not in _plan(spark, name)
 
 
+@pytest.mark.parametrize(
+    "name", ["ann_ivfpq_recall", "text_bpe_segment", "curation_sample_quota"]
+)
+def test_new_round5_queries_not_cartesian(spark, name):
+    # round-5 additions: IVF-PQ's crossJoins are bounded broadcast sides
+    # (centroids/codebook/LUT); BPE segmentation is literal-replace maps;
+    # quota sampling is a per-stratum window — never CartesianProduct
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_ivfpq_candidate_restriction_is_broadcast(spark):
+    # the probed-bucket restriction and the ADC LUT join must both be
+    # broadcast-side bounded — the full code table never sort-merges
+    # against a per-query side
+    plan = _plan(spark, "ann_ivfpq_recall")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_rebalance_is_broadcast_join_plus_filter(spark):
     # the rate table must broadcast; the corpus side must not Exchange
     # before the keep-filter (narrow map claim)
