@@ -1081,6 +1081,46 @@ def ann_brute_force_topk(
     return similarity.brute_force_topk(emb, q, k=10)
 
 
+
+
+def _ann_truth(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 10,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+) -> DataFrame:
+    """Exact brute-force top-``k`` ground truth for the ANN eval family
+    — the ANN-benchmarks pattern: ground truth is COMPUTED ONCE per
+    (corpus, query set, k) and every index eval reads the precomputed
+    answer (SIFT/GIST ship theirs as files; here it lives in the
+    ingest-time build cache, deterministic hence bit-identical to
+    recomputation).  Six registered evals consume it: ann_ivf_recall,
+    ann_ivf_spill_recall, ann_pq_recall, ann_pq_trained_recall,
+    ann_ivfpq_recall, ann_label_purity.
+
+    Bounded: nq·k rows (nq = n/query_modulus).  The collect is
+    LIMIT-gated like the pair-graph builds; an over-cap query set
+    (huge corpus at fixed modulus) degrades to the live distributed
+    plan instead of an unbounded driver materialization.
+    Output: (query_id, vec_id) — the exact top-k per query.
+    """
+    fp = table_fingerprint(sf_dir, "embeddings")
+    ckey = ("ann_truth", fp, k, query_modulus)
+    hit = buildcache.lookup(ckey)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema="query_id long, vec_id long")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    bf = similarity.brute_force_topk(emb, q, k=k).select("query_id", "vec_id")
+    rows = bf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return bf
+    data = [(int(r["query_id"]), int(r["vec_id"])) for r in rows]
+    buildcache.store(ckey, data)
+    return spark.createDataFrame(data, schema="query_id long, vec_id long")
+
+
 @register(
     "ann_ivf_topk",
     # Seed (data-point) centroids, NOT k-means-trained: measured at
@@ -1220,7 +1260,7 @@ def ann_ivf_recall(
     overlap drop out (inner join) on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     ivf = similarity.ivf_topk(
         emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe
     ).select("query_id", "vec_id")
@@ -1295,7 +1335,7 @@ def ann_ivf_spill_recall(
     force — quantifies what IVF replication buys at equal nprobe."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     ivf = similarity.ivf_topk(
         emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe, spill=spill
     ).select("query_id", "vec_id")
@@ -1426,7 +1466,7 @@ def ann_pq_recall(
     with exact re-ranking of the top-{rerank} ADC candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     pq = similarity.pq_topk(
         emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=seed_modulus,
         rerank=_PQ_RERANK,
@@ -1556,7 +1596,7 @@ def ann_ivfpq_recall(
     0.840 vs PQ-alone 0.600 at equal rerank, scanning 4.9% of codes."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     ivfpq = similarity.ivfpq_topk(
         emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
         spill=spill, n_sub=_PQ_NSUB, seed_modulus=centroid_modulus,
@@ -1714,7 +1754,7 @@ def ann_pq_trained_recall(
     what per-subspace k-means buys over the seed codebooks."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     pq = similarity.pq_topk_trained(
         emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=seed_modulus,
         train_iters=_KMEANS_ITERS, rerank=_PQ_RERANK, cache_key=table_fingerprint(sf_dir, "embeddings"),
@@ -1758,9 +1798,7 @@ def ann_label_purity(
     Scale shape: the neighbor set (q·10 rows) is bounded → broadcast
     into both label joins; the corpus-sized label table never shuffles.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     nl = lab.select("vec_id", F.col("label").alias("n_label"))
     ql = lab.select(
