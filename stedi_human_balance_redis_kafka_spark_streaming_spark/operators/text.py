@@ -719,3 +719,64 @@ def bpe_segment_counts(
         F.size(t).cast("long").alias("ws_tokens"),
         n_bpe.alias("bpe_vocab_tokens"),
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window document chunking — the standard LLM
+    context-window preparation step (RAG passage splitting, long-doc
+    training-example windowing).
+
+    Each document is split into whitespace tokens and covered by windows
+    of ``chunk_tokens`` tokens starting every ``stride`` tokens; the
+    last window may be short (start positions run while ``start <
+    n_tokens``, so every token lands in ≥1 chunk, and consecutive
+    chunks overlap by ``chunk_tokens - stride`` tokens when ``stride <
+    chunk_tokens``).
+
+    Output: (doc_id, chunk_id, start_tok, chunk_len, chunk_text).
+
+    Scale shape: a single shuffle-free codegen'd map stage — tokenize,
+    ``sequence`` of chunk starts, ``explode``, bounds-safe ``slice`` +
+    ``concat_ws``.  Output size is n_tokens/stride rows per doc (~1.3×
+    the corpus bytes at the 64/48 default), produced streaming per
+    partition; nothing is ever collected or shuffled, so the operator
+    scales with scan bandwidth at 100 TB.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = tokens(text_col)
+    base = docs.select(
+        "doc_id", t.alias("__t"), F.size(t).cast("long").alias("__n")
+    ).where(F.col("__n") > 0)
+    start = (F.col("chunk_id").cast("long") * stride).alias("start_tok")
+    return (
+        base.select(
+            "doc_id",
+            "__t",
+            "__n",
+            F.explode(
+                F.expr(f"sequence(0, cast((__n - 1) div {stride} as int))")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start,
+            F.least(
+                F.lit(chunk_tokens).cast("long"), F.col("__n") - start
+            ).alias("chunk_len"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__t"),
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    chunk_tokens,
+                ),
+            ).alias("chunk_text"),
+        )
+    )

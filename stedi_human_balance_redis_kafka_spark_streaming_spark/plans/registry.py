@@ -2735,6 +2735,58 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(sampled, budget=_PACK_BUDGET)
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_sliding",
+    # Sliding token-window chunking mirrored exactly: DuckDB range() gives
+    # chunk ids 0..(n-1)//stride, list_slice clamps the tail window just
+    # like Spark's bounds-safe slice, and both sides emit the same
+    # lower-cased whitespace-token join — pure integer/string ops, no FP.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(((n - 1) // {_CHUNK_STRIDE}) + 1)) AS chunk_id
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_TOKENS}, n - chunk_id * {_CHUNK_STRIDE})
+                AS BIGINT) AS chunk_len,
+           array_to_string(
+             list_slice(toks,
+                        CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                        CAST(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}
+                             AS BIGINT)),
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    chunk_tokens: int = _CHUNK_TOKENS,
+    stride: int = _CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window document chunking (64-token windows every 48
+    tokens): the context-window preparation step for RAG passage
+    extraction and long-document training examples.  One shuffle-free
+    codegen'd map stage (see operators/text.py chunk_sliding)."""
+    return text_ops.chunk_sliding(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=chunk_tokens,
+        stride=stride,
+    )
+
+
 # Batch analytics + extras queries register themselves on import.
 from . import analytics  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
@@ -2827,6 +2879,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "text_bpe_segment",
     "ann_ivfpq_recall",
     "curation_sample_quota",
+    "text_chunk_sliding",
 )
 
 

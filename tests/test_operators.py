@@ -995,3 +995,52 @@ def test_bpe_merges_build_cache_roundtrip(spark):
         df, n_merges=4, batch=2, cache_key=key).collect()))
     assert cached == fresh
     buildcache.invalidate(key)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (text_chunk_sliding)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_sliding_covers_every_token_with_overlap(spark):
+    # 10 tokens, window 4, stride 3 → starts 0,3,6,9; last chunk short.
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(7, " ".join(words))], "doc_id long, text string"
+    )
+    rows = {
+        r["chunk_id"]: r
+        for r in text_ops.chunk_sliding(
+            df, chunk_tokens=4, stride=3
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert [rows[i]["start_tok"] for i in sorted(rows)] == [0, 3, 6, 9]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[3]["chunk_text"] == "w9"  # short tail window
+    assert rows[3]["chunk_len"] == 1
+    # every token appears in at least one chunk
+    covered = set()
+    for r in rows.values():
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(words)
+
+
+def test_chunk_sliding_single_chunk_when_doc_fits(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    out = text_ops.chunk_sliding(df, chunk_tokens=64, stride=48).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_id"] == 0
+    assert out[0]["chunk_len"] == 3
+    assert out[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_sliding_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text_ops.chunk_sliding(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        text_ops.chunk_sliding(df, stride=0)

@@ -124,6 +124,14 @@ def test_narrow_maps_are_shuffle_free(spark):
     assert "Scan parquet" in plan
 
 
+def test_chunk_sliding_is_shuffle_free(spark):
+    # sliding-window chunking is tokenize → sequence → explode → slice,
+    # one codegen'd map stage: no exchange anywhere in the plan
+    plan = _plan(spark, "text_chunk_sliding")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
 def test_interval_join_is_not_cartesian(spark):
     # the keyless range join must plan as an equi join on the time cell,
     # never a nested-loop/cartesian over events × intervals
