@@ -726,3 +726,83 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_e4").isNull().alias("is_gap"),
         F.last("sum_value_e4", ignorenulls=True).over(w).alias("filled_value_e4"),
     )
+
+
+_OUTLIER_TAU2 = 4  # τ² for the z-score gate (τ = 2 population std-devs)
+
+
+@register(
+    "events_anomaly_outliers",
+    # Per-(user, event_type) z-score outlier flagging with NO floating
+    # point anywhere: the gate |x − μ| > τ·σ is algebraically cleared of
+    # divisions — (n·x − S)² > τ²·(n·Q − S²) over exact integer cents
+    # (S = Σv, Q = Σv²) — so both engines compare identical integers.
+    # DuckDB computes in HUGEINT (128-bit); Spark mirrors in
+    # decimal(38,0), exact while n·max_cents < 10¹⁹ (documented bound).
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ), s AS (
+      SELECT event_id, user_id, event_type, v_cents,
+             COUNT(*) OVER w AS grp_n,
+             SUM(v_cents) OVER w AS s_v,
+             SUM(v_cents * v_cents) OVER w AS q_v
+      FROM e WINDOW w AS (PARTITION BY user_id, event_type)
+    )
+    SELECT event_id, user_id, event_type, v_cents,
+           CAST(grp_n AS BIGINT) AS grp_n
+    FROM s
+    WHERE (CAST(grp_n AS HUGEINT) * v_cents - s_v)
+          * (CAST(grp_n AS HUGEINT) * v_cents - s_v)
+          > {_OUTLIER_TAU2}
+            * (CAST(grp_n AS HUGEINT) * q_v - CAST(s_v AS HUGEINT) * s_v)
+    """,
+)
+def events_anomaly_outliers(
+    spark: SparkSession, sf_dir: str, *, tau2: int = _OUTLIER_TAU2
+) -> DataFrame:
+    """Statistical anomaly detection: events whose value sits more than
+    τ=2 population standard deviations from their (user, event_type)
+    group mean, decided entirely in integer arithmetic.
+
+    The textbook form computes μ and σ as doubles and compares
+    |x − μ| > τσ — two engines can disagree on the half-ULP boundary.
+    Clearing denominators gives the equivalent integer predicate
+    (n·x − S)² > τ²·(n·Q − S²), exact in decimal(38,0) while
+    n·max_cents < 10¹⁹.
+
+    Scale shape: ONE shuffle (partition by the group key) feeding a
+    single unbounded-frame window aggregate — no join back, no second
+    exchange; group cardinality is per-user-per-type event counts, so
+    partitions stay bounded by user activity, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id", "event_type")
+    s = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "v_cents",
+        F.count("*").over(w).alias("grp_n"),
+        F.sum("v_cents").over(w).alias("s_v"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("q_v"),
+    )
+    dev = F.col("grp_n").cast(dec) * F.col("v_cents").cast(dec) - F.col(
+        "s_v"
+    ).cast(dec)
+    spread = F.col("grp_n").cast(dec) * F.col("q_v").cast(dec) - F.col(
+        "s_v"
+    ).cast(dec) * F.col("s_v").cast(dec)
+    return s.filter(dev * dev > F.lit(tau2).cast(dec) * spread).select(
+        "event_id", "user_id", "event_type", "v_cents", "grp_n"
+    )

@@ -2880,6 +2880,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_ivfpq_recall",
     "curation_sample_quota",
     "text_chunk_sliding",
+    "events_anomaly_outliers",
 )
 
 

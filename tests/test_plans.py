@@ -132,6 +132,17 @@ def test_chunk_sliding_is_shuffle_free(spark):
     assert "Scan parquet" in plan
 
 
+def test_anomaly_outliers_single_shuffle_no_join(spark):
+    # z-score flagging is ONE exchange (the group-key partition) feeding
+    # a window aggregate — no join back to the fact table, no second
+    # shuffle, and the integer gate never plans a Python UDF
+    plan = _plan(spark, "events_anomaly_outliers")
+    # formatted mode: one "(N) Exchange" node detail block
+    assert plan.count(") Exchange") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_interval_join_is_not_cartesian(spark):
     # the keyless range join must plan as an equi join on the time cell,
     # never a nested-loop/cartesian over events × intervals
