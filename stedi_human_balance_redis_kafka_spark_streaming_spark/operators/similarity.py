@@ -436,6 +436,76 @@ def ivf_topk(
     )
 
 
+def ivf_range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.3,
+    centroid_modulus: int = 50,
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-bucketed radius search: ALL corpus vectors within cosine
+    distance of each query (``cos_sim >= threshold``), restricted to the
+    query's ``nprobe`` nearest IVF buckets.
+
+    The radius dual of :func:`ivf_topk` — range search is the shape
+    behind "find every candidate above a similarity bar" workloads
+    (near-dup candidate generation, retrieval cutoffs) where the result
+    cardinality is data-dependent rather than fixed-k.  Same
+    deterministic seed centroids (vec_id % centroid_modulus == 0) so the
+    oracle replicates the bucketing exactly.
+
+    Output: (query_id, vec_id, cos_sim) — unranked; downstream decides.
+
+    Scale shape: identical to ivf_topk minus the ranking window — the
+    corpus shuffles once for centroid assignment (partial-agg max_by),
+    probes broadcast, and the threshold filter runs map-side on the
+    bucket-joined candidates, so no per-query window is needed at all
+    (strictly cheaper than top-k at equal nprobe).
+    """
+    dim = embedding_dim(emb)
+    e = _flat(emb, "vec_id", "d", dim)
+    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("nrm").alias("cnrm"),
+        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    )
+    assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    q = queries.select(
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    cos_probe = F.round(
+        flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")), round_digits
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qnrm",
+            *[f"q{i}" for i in range(dim)],
+            "cid",
+            cos_probe.alias("cos_c"),
+        )
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= nprobe)
+        .drop("cos_c", "prank")
+    )
+    cos_sim = F.round(
+        flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------

@@ -1182,6 +1182,69 @@ def ann_ivf_topk(
     )
 
 
+_RANGE_THRESHOLD = 0.3
+
+
+@register(
+    "ann_range_search",
+    # Radius dual of ann_ivf_topk: same seed centroids, same nprobe=2
+    # bucket restriction, but a cosine cutoff instead of a rank window —
+    # the oracle swaps the final row_number for `cos_sim >= τ`.
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {_CENTROID_MODULUS} = 0),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC
+               ) AS arank
+        FROM e CROSS JOIN c
+      ) WHERE arank = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC, c.cid ASC
+               ) AS prank
+        FROM q CROSS JOIN c
+      ) WHERE prank <= 2
+    )
+    SELECT probes.query_id, assign.vec_id,
+           {_SQL_COS.format(a="assign.v", b="probes.qv")} AS cos_sim
+    FROM assign JOIN probes ON assign.cid = probes.cid
+    WHERE assign.vec_id != probes.query_id
+      AND {_SQL_COS.format(a="assign.v", b="probes.qv")} >= {_RANGE_THRESHOLD}
+    """,
+)
+def ann_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _RANGE_THRESHOLD,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed radius search: every vector with cos ≥ 0.3 of each
+    query, probed through nprobe=2 buckets — the data-dependent-result
+    dual of ann_ivf_topk (no ranking window at all)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    return similarity.ivf_range_search(
+        emb,
+        q,
+        threshold=threshold,
+        centroid_modulus=centroid_modulus,
+        nprobe=nprobe,
+    )
+
+
 _SQL_BF_TOPK = f"""
     WITH e AS ({{emb}}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
@@ -2881,6 +2944,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "curation_sample_quota",
     "text_chunk_sliding",
     "events_anomaly_outliers",
+    "ann_range_search",
 )
 
 
