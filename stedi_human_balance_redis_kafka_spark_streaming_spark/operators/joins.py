@@ -49,7 +49,14 @@ def join_risk_with_customers(
     if mode == "unbounded":
         cond = risk["customer"] == customers["email"]
         joined = risk.join(customers, cond, "inner")
-    elif mode == "watermarked":
+    elif mode in ("watermarked", "left_outer"):
+        # left_outer: same watermarks + time-range condition (mandatory
+        # for streaming outer joins — Spark needs the range to know when
+        # an unmatched left row can never match and must be emitted
+        # null-padded).  A risk event with no profile surfaces once the
+        # watermark passes the end of its match window, instead of
+        # silently vanishing — the production observability variant
+        # (catch events arriving for unknown/deleted customers).
         r = risk.withWatermark(risk_time_col, watermark_delay)
         c = customers.withWatermark(customer_time_col, watermark_delay)
         cond = (
@@ -60,7 +67,7 @@ def join_risk_with_customers(
                 <= c[customer_time_col] + F.expr(f"INTERVAL {watermark_delay}")
             )
         )
-        joined = r.join(c, cond, "inner")
+        joined = r.join(c, cond, "inner" if mode == "watermarked" else "leftOuter")
     else:
         raise ValueError(f"unknown join mode: {mode!r}")
     return joined.select("customer", "score", "email", "birthYear", *extra_cols)

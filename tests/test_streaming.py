@@ -834,3 +834,59 @@ def test_streaming_near_dup_flags_stream_static_matches_batch(spark, tmp_path):
     )
     got = sorted((r.doc_id, r.index_doc_id) for r in out.collect())
     assert got == expected
+
+
+def test_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """J1 left_outer mode: a risk event with NO matching customer profile
+    is emitted null-padded once the watermark passes the end of its
+    match window (never silently dropped), while matched pairs join as
+    in watermarked mode."""
+    cust_dir = _write_ordered_files(
+        spark, tmp_path, "cust", CUST_SCHEMA,
+        [
+            [
+                ("A", "a@test.com", "1980", _ts("2024-01-01T10:00:00")),
+                ("Z", "zz@none.com", "1999", _ts("2024-01-01T12:00:00")),
+            ],
+            [("X", "xx@none.com", "1990", _ts("2024-01-01T14:00:00"))],
+            [("Y", "yy@none.com", "1991", _ts("2024-01-01T16:00:00"))],
+        ],
+    )
+    risk_dir = _write_ordered_files(
+        spark, tmp_path, "risk", RISK_SCHEMA,
+        [
+            [
+                # matched: joins a@test.com within the range
+                ("a@test.com", 1.5, _ts("2024-01-01T10:05:00")),
+                # UNMATCHED: no profile for this key anywhere
+                ("ghost@test.com", 7.7, _ts("2024-01-01T10:07:00")),
+            ],
+            # watermark advancers on the risk side
+            [("wm@none.com", 0.0, _ts("2024-01-01T14:00:00"))],
+            [("wm2@none.com", 0.0, _ts("2024-01-01T16:00:00"))],
+        ],
+    )
+    c = (
+        spark.readStream.schema(CUST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cust_dir)
+    )
+    r = (
+        spark.readStream.schema(RISK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(risk_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        joins.join_risk_with_customers(
+            r, c, mode="left_outer", watermark_delay="10 minutes"
+        ),
+        f"loj_{uuid.uuid4().hex[:8]}",
+    )
+    rows = {(x.customer, x.score, x.email, x.birthYear) for x in out.collect()}
+    # matched pair joins normally; every advancer + the ghost row emit
+    # null-padded once the watermark proves they can never match
+    assert ("a@test.com", 1.5, "a@test.com", "1980") in rows
+    assert ("ghost@test.com", 7.7, None, None) in rows
+    # the matched row must NOT also appear null-padded
+    assert ("a@test.com", 1.5, None, None) not in rows
