@@ -280,3 +280,77 @@ def resize_fake(blobs: DataFrame) -> DataFrame:
         .repartition(par)
         .mapInPandas(_resize, RESIZE_SCHEMA)
     )
+
+
+WIN_SAMPLES = 100
+
+ENERGY_SCHEMA = (
+    "doc_id long, win_idx long, n_samples long, energy long, peak long"
+)
+
+
+def audio_energy(blobs: DataFrame) -> DataFrame:
+    """Deterministic fake audio analysis — the audio-modality plumbing.
+
+    Interprets each blob as 8-bit unsigned PCM (center 128) and emits
+    per-window signal statistics over fixed ``WIN_SAMPLES``-sample
+    windows (the last window may be short): sample count, total energy
+    Σ(b−128)² and peak amplitude max|b−128| — the silence-trim /
+    voice-activity-gate shape of an audio pretraining pipeline.  A real
+    pipeline would decode the codec right before the windowing (see
+    :func:`decode_media`); everything downstream of the decode is real.
+
+    Output: (doc_id, win_idx, n_samples, energy, peak) — all exact
+    integers, SQL-reproducible from hex(blob) byte extraction, so the
+    driver gets a full value-hash oracle.
+
+    Scale shape: mapInPandas with whole-batch numpy — ONE
+    ``np.add.reduceat`` over the concatenated sample buffer computes
+    every window of every doc in the batch (windows tile the buffer
+    contiguously, so reduceat's [start_i, start_{i+1}) segments are
+    exactly the windows); no per-row Python loop anywhere.
+    """
+
+    def _energy(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            raw = [bytes(b) for b in pdf["blob"]]
+            ids_all = pdf["doc_id"].to_numpy()
+            keep = [i for i, b in enumerate(raw) if len(b)]
+            if not keep:
+                continue
+            ids = ids_all[keep]
+            bufs = [raw[i] for i in keep]
+            lens = np.fromiter((len(b) for b in bufs), dtype="int64", count=len(keep))
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype("int64") - 128
+            n_wins = -(-lens // WIN_SAMPLES)  # ceil
+            doc_rep = np.repeat(np.arange(len(keep), dtype="int64"), n_wins)
+            win_idx = np.arange(n_wins.sum(), dtype="int64") - np.repeat(
+                np.concatenate(([0], np.cumsum(n_wins)[:-1])), n_wins
+            )
+            doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            starts = doc_off[doc_rep] + win_idx * WIN_SAMPLES
+            energy = np.add.reduceat(arr * arr, starts)
+            peak = np.maximum.reduceat(np.abs(arr), starts)
+            n_samples = np.minimum(
+                WIN_SAMPLES, lens[doc_rep] - win_idx * WIN_SAMPLES
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[doc_rep],
+                    "win_idx": win_idx,
+                    "n_samples": n_samples,
+                    "energy": energy,
+                    "peak": peak,
+                }
+            )
+
+    par = blobs.sparkSession.sparkContext.defaultParallelism
+    return (
+        blobs.select("doc_id", "blob")
+        .repartition(par)
+        .mapInPandas(_energy, ENERGY_SCHEMA)
+    )

@@ -2730,6 +2730,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(blobs)
 
 
+@register(
+    "multimodal_audio_energy",
+    # Per-window PCM energy is pure integer math over the blob's bytes:
+    # byte i is the hex-digit pair (2i-1, 2i), window = (i-1)//100, and
+    # energy/peak are integer aggregates — bit-exact both engines.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), b AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(1, CAST(n_bytes AS INT))) AS i
+      FROM h WHERE n_bytes > 0
+    ), v AS (
+      SELECT doc_id, (i - 1) // 100 AS win_idx,
+             (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1 - 128
+             AS amp
+      FROM b
+    )
+    SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(amp * amp) AS BIGINT) AS energy,
+           CAST(MAX(abs(amp)) AS BIGINT) AS peak
+    FROM v GROUP BY doc_id, win_idx
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality windowed signal stats: per-100-sample energy and
+    peak amplitude over fake 8-bit PCM (the silence-trim shape) via
+    whole-batch numpy reduceat in Arrow-batched mapInPandas."""
+    blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_energy(blobs)
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline: dedup → quality filter → sample → pack
 # --------------------------------------------------------------------------
@@ -2945,6 +2981,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "text_chunk_sliding",
     "events_anomaly_outliers",
     "ann_range_search",
+    "multimodal_audio_energy",
 )
 
 

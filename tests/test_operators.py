@@ -1044,3 +1044,22 @@ def test_chunk_sliding_rejects_bad_params(spark):
         text_ops.chunk_sliding(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         text_ops.chunk_sliding(df, stride=0)
+
+
+def test_audio_energy_windows_and_values(spark):
+    # doc of 250 'a' bytes (97): 3 windows of 100/100/50 samples;
+    # amp = 97-128 = -31 → energy = n·961, peak = 31.
+    df = spark.createDataFrame(
+        [(5, "a" * 250), (6, "")], "doc_id long, text string"
+    )
+    blobs = multimodal.attach_binary(df)
+    rows = {
+        (r["doc_id"], r["win_idx"]): r
+        for r in multimodal.audio_energy(blobs).collect()
+    }
+    assert set(rows) == {(5, 0), (5, 1), (5, 2)}  # empty doc: no rows
+    assert rows[(5, 0)]["n_samples"] == 100
+    assert rows[(5, 0)]["energy"] == 100 * 31 * 31
+    assert rows[(5, 2)]["n_samples"] == 50
+    assert rows[(5, 2)]["energy"] == 50 * 31 * 31
+    assert all(r["peak"] == 31 for r in rows.values())
