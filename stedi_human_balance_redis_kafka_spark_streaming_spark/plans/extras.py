@@ -806,3 +806,51 @@ def events_anomaly_outliers(
     return s.filter(dev * dev > F.lit(tau2).cast(dec) * spread).select(
         "event_id", "user_id", "event_type", "v_cents", "grp_n"
     )
+
+
+@register(
+    "orders_salted_join_revenue",
+    # The oracle is the PLAIN join + rollup: salting must be result-
+    # invisible (every skewed row meets exactly the one replica matching
+    # its deterministic salt), so the driver's value hash proves the
+    # skew machinery changes the schedule, never the answer.
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def orders_salted_join_revenue(
+    spark: SparkSession, sf_dir: str, *, salt: int = 8
+) -> DataFrame:
+    """Market-segment revenue through an 8-way SALTED orders⨝customer
+    join — the hot-key mitigation path (operators/skew.py) under the
+    full oracle gate rather than property tests alone.
+
+    Scale shape: the skewed fact side gets a deterministic per-row salt
+    (pure function of o_orderkey — reproducible across retries); the
+    dimension side explodes ×salt, spreading any single hot custkey over
+    ``salt`` tasks.  The rollup is partial-aggregable exact cents.  At
+    100 TB this is the shape you switch to when ONE key exceeds an
+    executor's share and AQE's partition-splitting can't help a
+    sort-merge join; compose with AQE, don't replace it.
+    """
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, on=["custkey"], salt=salt,
+                    salt_from=["o_orderkey"])
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -2982,6 +2982,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_anomaly_outliers",
     "ann_range_search",
     "multimodal_audio_energy",
+    "orders_salted_join_revenue",
 )
 
 
