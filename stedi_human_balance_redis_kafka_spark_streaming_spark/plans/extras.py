@@ -854,3 +854,97 @@ def orders_salted_join_revenue(
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+_PR_ITERS = 3
+_PR_BASE = (1_000_000_000_000 * 15) // 100  # (100-85)% of the 1e12 unit
+
+
+def _sql_pagerank(iters: int) -> str:
+    """Unrolled integer-exact PageRank oracle: one MATERIALIZED CTE per
+    round (DuckDB would otherwise inline the chain multiplicatively),
+    mirroring operators/graph.py bit-for-bit — `//` floor == `div`
+    truncation on the all-positive operands, HUGEINT sums == the
+    decimal(38,0) widening."""
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""r{t} AS MATERIALIZED (
+      SELECT d.src AS node,
+             CAST({_PR_BASE} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT)
+               AS rank_e12
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_e12 // dg.deg) AS m
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.src
+    )""")
+        prev = f"r{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank_e12 FROM deg
+    ),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           rank_e12
+    FROM {prev}
+    """
+
+
+@register("trade_graph_pagerank", oracle=_sql_pagerank(_PR_ITERS))
+def trade_graph_pagerank(
+    spark: SparkSession, sf_dir: str, *, iters: int = _PR_ITERS
+) -> DataFrame:
+    """PageRank centrality over the customer↔supplier trade graph —
+    the iterative graph-analytics engine (operators/graph.py) next to
+    the CC family: who are the hub customers/suppliers when each
+    distinct trading relationship is an undirected edge.
+
+    Scale shape: the edge build is one fact-fact equi-join + a
+    partial-aggregable distinct; each of the 3 rounds is one src-keyed
+    join shuffle + one dst-keyed partial-agg sum — linear in |edges|,
+    lineage-truncated per round.  Integer-exact throughout (1e12 rank
+    units, /100 damping rational), so the unrolled SQL oracle matches
+    bit-for-bit.
+    """
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ranks = graph.pagerank(edges, iters=iters)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        "rank_e12",
+    )

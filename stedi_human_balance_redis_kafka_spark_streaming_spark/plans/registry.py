@@ -2983,6 +2983,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_range_search",
     "multimodal_audio_energy",
     "orders_salted_join_revenue",
+    "trade_graph_pagerank",
 )
 
 

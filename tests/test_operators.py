@@ -1063,3 +1063,63 @@ def test_audio_energy_windows_and_values(spark):
     assert rows[(5, 2)]["n_samples"] == 50
     assert rows[(5, 2)]["energy"] == 50 * 31 * 31
     assert all(r["peak"] == 31 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_star_graph_one_round_exact(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    # undirected star: center 0 — leaves 1,2,3 (symmetrized edges)
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    r = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(edges, iters=1).collect()
+    }
+    # r1(center) = .15e12 + 85·(3·(1e12 div 1)) div 100
+    assert r[0] == 150_000_000_000 + (85 * 3 * 1_000_000_000_000) // 100
+    # r1(leaf) = .15e12 + 85·(1e12 div 3) div 100
+    assert r[1] == 150_000_000_000 + (85 * (10**12 // 3)) // 100
+    assert r[1] == r[2] == r[3]
+
+
+def test_pagerank_zero_iters_is_uniform_and_mass_conserved(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]  # 4-cycle
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    r0 = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(edges, iters=0).collect()
+    }
+    assert set(r0.values()) == {10**12}
+    # regular graph: every round is exactly mass-preserving per node
+    r3 = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(edges, iters=3).collect()
+    }
+    assert set(r3.values()) == {10**12}
+
+
+def test_pagerank_rejects_bad_params(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, iters=-1)
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, damping_pct=101)
