@@ -600,3 +600,62 @@ def streaming_near_dup_flags(
     return band_rows(docs, "doc_id").join(idx, "bkey").select(
         "doc_id", "index_doc_id", "bkey"
     )
+
+
+def streaming_anomaly_flags(
+    events: DataFrame,
+    baseline_events: DataFrame,
+    *,
+    tau2: int = 4,
+) -> DataFrame:
+    """Stream-STATIC anomaly flagging: incoming events whose value sits
+    more than τ population std-devs from their (user, event_type)
+    group's HISTORICAL distribution — the ingest-time monitor dual of
+    the batch ``events_anomaly_outliers`` query.
+
+    The baseline side aggregates the static history once per microbatch
+    plan (bounded: one row per (user, type) — Catalyst broadcasts);
+    the stream side is a stateless equi-join + the same
+    division-free integer gate (n·x − S)² > τ²·(n·Q − S²) in
+    decimal(38,0).  Semantic difference vs the batch query, by design:
+    the flagged event is scored against the history EXCLUDING itself
+    (it isn't part of the static baseline), which is exactly what an
+    ingest-time monitor wants.  Stateless append — no watermark; keys
+    absent from the baseline pass through unflagged (inner join drops
+    them; a production deploy may prefer left-anti routing for
+    never-seen keys).
+
+    Batch/streaming duality: on a batch ``events`` frame this computes
+    the same rows (tests assert stream==batch).
+    """
+    dec = "decimal(38,0)"
+    base = (
+        baseline_events.select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("b_cents"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("grp_n"),
+            F.sum("b_cents").alias("s_v"),
+            F.sum(F.col("b_cents") * F.col("b_cents")).alias("q_v"),
+        )
+    )
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    dev = F.col("grp_n").cast(dec) * F.col("v_cents").cast(dec) - F.col(
+        "s_v"
+    ).cast(dec)
+    spread = F.col("grp_n").cast(dec) * F.col("q_v").cast(dec) - F.col(
+        "s_v"
+    ).cast(dec) * F.col("s_v").cast(dec)
+    return (
+        ev.join(base, ["user_id", "event_type"])
+        .filter(dev * dev > F.lit(tau2).cast(dec) * spread)
+        .select("event_id", "user_id", "event_type", "v_cents", "grp_n")
+    )

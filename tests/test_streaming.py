@@ -890,3 +890,44 @@ def test_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     assert ("ghost@test.com", 7.7, None, None) in rows
     # the matched row must NOT also appear null-padded
     assert ("a@test.com", 1.5, None, None) not in rows
+
+
+def test_streaming_anomaly_flags_stream_static_matches_batch(spark, tmp_path):
+    """Stream-static anomaly monitor: streamed events scored against a
+    STATIC historical baseline with the division-free integer z-gate;
+    stream rows == batch-dual rows, and the obvious outlier is caught."""
+    EV_SCHEMA = "event_id long, user_id long, event_type string, value double"
+    # history for (1, click): tight cluster at 10.00 ± small
+    hist = spark.createDataFrame(
+        [
+            (100, 1, "click", 10.00),
+            (101, 1, "click", 10.02),
+            (102, 1, "click", 9.98),
+            (103, 1, "click", 10.01),
+            (104, 2, "view", 5.0),
+        ],
+        EV_SCHEMA,
+    )
+    incoming = [
+        (200, 1, "click", 10.01),   # in-distribution → unflagged
+        (201, 1, "click", 99.99),   # wild outlier → flagged
+        (202, 3, "click", 123.45),  # key absent from baseline → dropped
+    ]
+    batch_df = spark.createDataFrame(incoming, EV_SCHEMA)
+    path = str(tmp_path / "ev_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_anomaly_flags(sdf, hist),
+        f"anom_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = {(r.event_id, r.v_cents) for r in out.collect()}
+    expected = {
+        (r.event_id, r.v_cents)
+        for r in stateful.streaming_anomaly_flags(batch_df, hist).collect()
+    }
+    assert got == expected
+    assert got == {(201, 9999)}
