@@ -113,6 +113,47 @@ def sample_quota(
     )
 
 
+def sample_weighted(
+    df: DataFrame,
+    quota: int,
+    *,
+    weight_col: str,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic WEIGHTED bottom-k sampling: keep
+    ``min(quota, |stratum|)`` rows per stratum with the smallest integer
+    priority ``H div (w + 1)``, where ``H`` is the 60-bit integer from
+    the first 15 hex digits of md5(salt || id) and ``w`` the row's
+    weight — heavier rows draw smaller priorities, so inclusion odds
+    grow with weight (the integer-arithmetic analogue of
+    exponential-clocks / A-ES priority sampling, quality-weighted
+    selection being the training-data use).  Like :func:`sample_quota`
+    the kept set is a pure function of (ids, weights): reproducible
+    across engines, runs, and partitionings, and quota-exact.
+
+    Weights must be non-negative integers (e.g. ``quality_e6``); weight
+    0 still competes via the +1 floor.  Ties break on (priority, id).
+
+    Scale shape: identical to sample_quota — one per-stratum window
+    rank; pre-filter with an approximate priority threshold at extreme
+    stratum sizes.  Output: input columns, ≤ quota rows per stratum.
+    """
+    pri = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', cast({id_col} as string))),"
+        f" 1, 15), 16, 10) as bigint) div ({weight_col} + 1L)"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        pri.alias("__pri"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -2516,6 +2516,47 @@ def curation_sample_quota(
 
 
 @register(
+    "curation_sample_weighted",
+    # Quality-weighted bottom-k: priority = H div (quality_e6 + 1) with
+    # H the 60-bit int from md5's first 15 hex digits — Spark conv(.,16,
+    # 10) and DuckDB ('0x'||.)::BIGINT produce the identical integer, and
+    # the integer division keeps the weighted priorities cross-engine
+    # exact (no -ln(u)/w floats of the textbook A-ES form).
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, {_SQL_QE6} AS quality_e6
+      FROM (SELECT doc_id, lang, source, {_SQL_TOKENS} AS t FROM documents)
+    )
+    SELECT doc_id, lang, source, quality_e6 FROM (
+      SELECT doc_id, lang, source, quality_e6,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT)
+                        // (quality_e6 + 1),
+                        doc_id) AS rk
+      FROM s
+    ) WHERE rk <= {_QUOTA_PER_LANG}
+    """,
+)
+def curation_sample_weighted(
+    spark: SparkSession, sf_dir: str, *, quota: int = _QUOTA_PER_LANG
+) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: quota docs per language,
+    inclusion odds growing with the integer quality score — the
+    'sample the best-looking data harder' curation step, reproducible
+    at any scale/partitioning (see operators/curation.py
+    sample_weighted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_ops.text_stats(docs).select("doc_id", "quality_e6")
+    return curation.sample_weighted(
+        docs.join(stats, "doc_id"),
+        quota,
+        weight_col="quality_e6",
+    ).select("doc_id", "lang", "source", "quality_e6")
+
+
+@register(
     "curation_rebalance",
     # The execution half of mixture re-balancing: text_domain_mixture's
     # computed uniform keep-rates applied by deterministic in-plan hash
@@ -2984,6 +3025,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "multimodal_audio_energy",
     "orders_salted_join_revenue",
     "trade_graph_pagerank",
+    "curation_sample_weighted",
 )
 
 

@@ -1123,3 +1123,29 @@ def test_pagerank_rejects_bad_params(spark):
         graph.pagerank(edges, iters=-1)
     with pytest.raises(ValueError):
         graph.pagerank(edges, damping_pct=101)
+
+
+def test_sample_weighted_prefers_heavy_rows_and_is_exact_quota(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        curation,
+    )
+
+    # one stratum, 100 rows: ids 0..89 weight 1, ids 90..99 weight 10^9.
+    rows = [(i, "en", 1 if i < 90 else 1_000_000_000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    kept = curation.sample_weighted(
+        df, 20, weight_col="w", stratum_col="lang"
+    ).collect()
+    assert len(kept) == 20  # quota-exact
+    kept_ids = {r["doc_id"] for r in kept}
+    # every mega-weight row's priority is ~2^60/10^9 ≈ 10^9, far below
+    # the light rows' ~2^60/2 — all 10 heavy rows must be kept
+    assert set(range(90, 100)) <= kept_ids
+    # determinism: same call → same set
+    again = {
+        r["doc_id"]
+        for r in curation.sample_weighted(
+            df, 20, weight_col="w", stratum_col="lang"
+        ).collect()
+    }
+    assert again == kept_ids
