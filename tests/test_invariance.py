@@ -41,6 +41,9 @@ QUERIES = [
     "curation_upsample",        # hash-gated fractional copies
     "text_bpe_merges",          # weighted argmax rounds + string rewrites
     "lineitem_bloom_prune_revenue",  # bloom build/probe position math
+    "events_anomaly_outliers",  # decimal(38,0) z-gate across partitionings
+    "trade_graph_pagerank",     # iterative integer rounds, lineage-checkpointed
+    "curation_sample_weighted", # weighted hash priorities + rank tie-breaks
 ]
 
 
