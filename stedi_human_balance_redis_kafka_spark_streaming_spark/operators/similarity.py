@@ -506,6 +506,125 @@ def ivf_range_search(
     )
 
 
+def mmr_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cand: int = 20,
+    lam10: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily select
+    ``k`` results per query from its exact top-``n_cand`` candidates,
+    each step maximizing  λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
+    — the standard redundancy-penalized retrieval re-ranker (RAG
+    context diversification being the training-pipeline use).
+
+    ENTIRELY integer-scored: similarities quantize to exact 1e-6 units
+    (``round(cos·1e6)`` — the cosine is already 6-dp, so the integer is
+    exact) and λ = ``lam10``/10 enters as the integer blend
+    ``lam10·rel_e6 − (10−lam10)·pen_e6``; no float ever enters a
+    comparison, so selection order is bit-reproducible and the unrolled
+    SQL oracle matches exactly.  Ties break on vec_id.
+
+    Output: (query_id, vec_id, rel_e6, mmr_rank), mmr_rank 1..k.
+
+    Scale shape: the candidate set is bounded (nq·n_cand rows) and every
+    MMR structure derives from it — the pairwise-sim frame is
+    nq·n_cand² bounded rows, each greedy round is a bounded join + one
+    window over nq groups, and ``localCheckpoint`` truncates the
+    per-round lineage.  The corpus is touched exactly once (the
+    brute-force candidate generation; swap in ivf_topk for the
+    candidate step at extreme scale — the MMR stage is unchanged).
+    """
+    if not 0 <= lam10 <= 10:
+        raise ValueError("lam10 must be in [0, 10]")
+    if k > n_cand:
+        raise ValueError("k cannot exceed n_cand")
+    dim = embedding_dim(emb)
+    bf = brute_force_topk(emb, queries, k=n_cand, round_digits=round_digits)
+    cand = bf.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_e6"),
+    ).persist()
+    # pairwise sims among each query's candidates (nq·n_cand² bounded)
+    flat = _flat(emb, "vec_id", "d", dim)
+    cv = cand.select("query_id", "vec_id").join(flat, "vec_id")
+    a = cv.select(
+        "query_id",
+        F.col("vec_id").alias("va"),
+        F.col("nrm").alias("anrm"),
+        *[F.col(f"d{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    b = cv.select(
+        "query_id",
+        F.col("vec_id").alias("vb"),
+        F.col("nrm").alias("bnrm"),
+        *[F.col(f"d{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    pair_cos = F.round(
+        flat_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm")), round_digits
+    )
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(pair_cos * 1e6).cast("long").alias("sim_e6"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    sel = (
+        cand.withColumn("score", F.col("rel_e6"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "vec_id", "rel_e6", F.lit(1).cast("long").alias("mmr_rank")
+        )
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        pen = (
+            pairs.join(
+                sel.select("query_id", F.col("vec_id").alias("vb")),
+                ["query_id", "vb"],
+            )
+            .groupBy("query_id", "va")
+            .agg(F.max("sim_e6").alias("pen_e6"))
+        )
+        pick = (
+            cand.join(sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+            .join(
+                pen.select("query_id", F.col("va").alias("vec_id"), "pen_e6"),
+                ["query_id", "vec_id"],
+            )
+            .withColumn(
+                "score",
+                F.lit(lam10) * F.col("rel_e6")
+                - F.lit(10 - lam10) * F.col("pen_e6"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "rel_e6",
+                F.lit(step).cast("long").alias("mmr_rank"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    sel.count()  # materialize before releasing the inputs it reads
+    cand.unpersist()
+    pairs.unpersist()
+    return sel
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------

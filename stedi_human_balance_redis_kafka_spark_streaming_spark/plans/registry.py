@@ -1245,6 +1245,95 @@ def ann_range_search(
     )
 
 
+_MMR_K = 5
+_MMR_CAND = 20
+_MMR_LAM10 = 7
+
+
+def _sql_mmr(k: int, n_cand: int, lam10: int) -> str:
+    """Unrolled integer-exact MMR oracle: bounded candidate + pairwise
+    CTEs, then one MATERIALIZED greedy round per rank — mirrors
+    operators/similarity.py mmr_topk bit-for-bit (all comparisons on
+    exact 1e-6 integer similarities)."""
+    rounds = []
+    prev = "sel1"
+    for t in range(2, k + 1):
+        rounds.append(f"""pick{t} AS MATERIALIZED (
+      SELECT query_id, vec_id, rel_e6, CAST({t} AS BIGINT) AS mmr_rank FROM (
+        SELECT c.query_id, c.vec_id, c.rel_e6,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {lam10} * c.rel_e6 - {10 - lam10} * p.pen_e6 DESC,
+                          c.vec_id ASC) AS rn
+        FROM cand c
+        JOIN (SELECT pr.query_id, pr.va, MAX(pr.sim_e6) AS pen_e6
+              FROM pairs pr JOIN {prev} s
+                ON s.query_id = pr.query_id AND s.vec_id = pr.vb
+              GROUP BY pr.query_id, pr.va) p
+          ON p.query_id = c.query_id AND p.va = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)
+      ) WHERE rn = 1
+    ), sel{t} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+    )""")
+        prev = f"sel{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH e AS ({_SQL_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+    p AS (
+      SELECT q.query_id, e.vec_id,
+             {_SQL_COS.format(a="e.v", b="q.qv")} AS cos_sim
+      FROM e JOIN q ON e.vec_id != q.query_id
+    ), cand AS MATERIALIZED (
+      SELECT query_id, vec_id,
+             CAST(round(cos_sim * 1000000) AS BIGINT) AS rel_e6
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM p)
+      WHERE rank <= {n_cand}
+    ), pairs AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             CAST(round({_SQL_COS.format(a="ea.v", b="eb.v")} * 1000000)
+                  AS BIGINT) AS sim_e6
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    ), sel1 AS MATERIALIZED (
+      SELECT query_id, vec_id, rel_e6, CAST(1 AS BIGINT) AS mmr_rank FROM (
+        SELECT query_id, vec_id, rel_e6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_e6 DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    {chain}
+    SELECT query_id, vec_id, rel_e6, mmr_rank FROM {prev}
+    """
+
+
+@register("ann_mmr_topk", oracle=_sql_mmr(_MMR_K, _MMR_CAND, _MMR_LAM10))
+def ann_mmr_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = _MMR_K,
+    n_cand: int = _MMR_CAND,
+    lam10: int = _MMR_LAM10,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+) -> DataFrame:
+    """Diversified retrieval: maximal-marginal-relevance top-5 per query
+    from the exact top-20 candidates (λ=0.7), integer-scored so the
+    greedy selection is bit-reproducible (see operators/similarity.py
+    mmr_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    return similarity.mmr_topk(emb, q, k=k, n_cand=n_cand, lam10=lam10)
+
+
 _SQL_BF_TOPK = f"""
     WITH e AS ({{emb}}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
@@ -3026,6 +3115,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "orders_salted_join_revenue",
     "trade_graph_pagerank",
     "curation_sample_weighted",
+    "ann_mmr_topk",
 )
 
 

@@ -1149,3 +1149,32 @@ def test_sample_weighted_prefers_heavy_rows_and_is_exact_quota(spark):
         ).collect()
     }
     assert again == kept_ids
+
+
+def test_mmr_diversifies_away_from_redundant_runner_up(spark):
+    # corpus: a1/a2 nearly collinear (one topic), b1 orthogonal (another
+    # topic).  Pure relevance ranks a2 > a1 > b1; MMR at λ=0.7 must pick
+    # a2 then JUMP to b1 (a1's redundancy penalty 3·0.99e6 outweighs its
+    # relevance edge over b1).
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # a1
+            (2, [0.99, 0.14, 0.0, 0.0]), # a2: most relevant to q
+            (3, [0.0, 1.0, 0.0, 0.0]),   # b1: diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [0.8, 0.6, 0.0, 0.0])], "query_id long, qv array<double>"
+    )
+    out = {
+        r["mmr_rank"]: r["vec_id"]
+        for r in similarity.mmr_topk(emb, q, k=2, n_cand=3).collect()
+    }
+    assert out == {1: 2, 2: 3}  # a2 first, then the diverse b1 — not a1
+    # sanity: pure relevance top-2 WOULD have been (a2, a1)
+    bf = {
+        r["rank"]: r["vec_id"]
+        for r in similarity.brute_force_topk(emb, q, k=2).collect()
+    }
+    assert bf == {1: 2, 2: 1}
