@@ -931,3 +931,34 @@ def test_streaming_anomaly_flags_stream_static_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert got == {(201, 9999)}
+
+
+def test_streaming_chunk_sliding_matches_batch(spark, tmp_path):
+    """Sliding-window chunking is a stateless narrow map + explode —
+    streaming-safe AS-IS (the same operator runs at ingest time with no
+    watermark/state); stream rows == batch rows."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(10 + 3 * i)))
+            for i in range(5)]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "docs_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        text_ops.chunk_sliding(sdf, chunk_tokens=6, stride=4),
+        f"chunk_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = {(r.doc_id, r.chunk_id, r.chunk_text) for r in out.collect()}
+    expected = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in text_ops.chunk_sliding(
+            batch_df, chunk_tokens=6, stride=4
+        ).collect()
+    }
+    assert got == expected and len(got) > 5
