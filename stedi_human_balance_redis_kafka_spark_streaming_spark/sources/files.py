@@ -173,3 +173,50 @@ def write_bucketed(
     if path is not None:  # external table — data outside the warehouse dir
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "gzip",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as JSON-Lines — the lingua-franca interchange
+    format of training-data pipelines (one JSON object per line,
+    gzip-compressed by default so shards stay splittable-by-file).
+
+    Spark's json writer emits exactly one object per line (no array
+    wrapper), so the output is directly consumable by any JSONL reader.
+    Timestamps serialize as ISO-8601 strings; binary columns should be
+    hex/base64-encoded by the caller first (JSON has no binary type).
+
+    Scale: one file per task slice (× partition value when
+    ``partition_by`` is set); re-partition upstream to target shard
+    sizes (~256 MB compressed is the usual sweet spot).
+    """
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """Read a JSON-Lines corpus.
+
+    ALWAYS pass ``schema`` in production: schema inference scans the
+    whole input once before the real read (2× I/O at 100 TB) and
+    silently unions ragged shards into a wider schema than any one
+    producer wrote.  Corrupt lines land in ``_corrupt_record`` under
+    the default PERMISSIVE mode (add it to the schema to inspect them)
+    rather than failing the job mid-scan.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

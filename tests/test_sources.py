@@ -61,3 +61,40 @@ def test_unbucketed_join_does_shuffle(spark, no_broadcast):
         left.join(right, "k")._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" in plan
+
+
+def test_jsonl_roundtrip_preserves_rows_and_schema(spark, tmp_path):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, 'quote " and \\ backslash', "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_jsonl_partitioned_write_prunes(spark, tmp_path):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i % 2 else "de") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "part_jsonl")
+    write_jsonl(df, path, partition_by=("lang",))
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
+    assert back.filter("lang = 'en'").count() == 5
