@@ -3124,6 +3124,128 @@ def text_chunk_sliding(
     )
 
 
+_DUP_CHUNK_TOKENS = 16
+_DUP_CHUNK_STRIDE = 8
+
+
+@register(
+    "text_chunk_dups",
+    # Chunk-granular boilerplate: 16-token windows (stride 8) appearing
+    # in ≥2 distinct docs.  The oracle reuses the chunking construction
+    # and counts via the same two-level rollup (no COUNT(DISTINCT) —
+    # both engines aggregate (hash, doc) first, then roll up).
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks,
+                          chunk_id * {_DUP_CHUNK_STRIDE} + 1,
+                          chunk_id * {_DUP_CHUNK_STRIDE}
+                            + {_DUP_CHUNK_TOKENS}), ' ')) AS chunk_md5
+      FROM t, LATERAL (SELECT unnest(range(((n - 1) // {_DUP_CHUNK_STRIDE})
+                                           + 1)) AS chunk_id) g
+      WHERE n > 0
+    ), per_doc AS (
+      SELECT chunk_md5, doc_id, COUNT(*) AS cnt
+      FROM c GROUP BY chunk_md5, doc_id
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM per_doc
+    GROUP BY chunk_md5
+    HAVING COUNT(*) >= 2
+    """,
+)
+def text_chunk_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    chunk_tokens: int = _DUP_CHUNK_TOKENS,
+    stride: int = _DUP_CHUNK_STRIDE,
+) -> DataFrame:
+    """Chunk-level near-dup/boilerplate detection: sliding 16-token
+    windows shared across ≥2 documents — the chunk-granular complement
+    to whole-doc dedup (catches copied passages inside otherwise-unique
+    docs).
+
+    Scale shape: chunking is the shuffle-free map; then ONE hash-keyed
+    two-level rollup — (chunk, doc) partial-agg first (kills the
+    count-distinct expand rewrite), chunk rollup second.  Both aggs are
+    partial-aggregable; the md5 key is uniform so no skew.
+    """
+    chunks = text_ops.chunk_sliding(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=chunk_tokens,
+        stride=stride,
+    ).select(
+        "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5")
+    )
+    per_doc = chunks.groupBy("chunk_md5", "doc_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_doc.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cnt").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_SPLIT_PCT = (90, 5, 5)  # train / val / test
+
+
+@register(
+    "curation_split",
+    # Deterministic train/val/test assignment: the md5(doc_id) byte
+    # bucket (first 2 hex digits, 0..255) against exact integer
+    # thresholds floor(p·256/100) — reproducible, stratification-free by
+    # construction (hash is independent of lang/source), and mirrored
+    # digit-for-digit in SQL.
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CASE
+             WHEN bucket < {(_SPLIT_PCT[0] * 256) // 100} THEN 'train'
+             WHEN bucket < {((_SPLIT_PCT[0] + _SPLIT_PCT[1]) * 256) // 100}
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) AS bucket
+      FROM documents
+    )
+    """,
+)
+def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hash bucket — the
+    leakage-safe assignment every training pipeline needs (a pure
+    function of doc_id: re-runs, engine changes, and re-partitioning
+    can never move a document across splits).  Shuffle-free map."""
+    t_hi = (_SPLIT_PCT[0] * 256) // 100
+    v_hi = ((_SPLIT_PCT[0] + _SPLIT_PCT[1]) * 256) // 100
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 2), 16, 10)"
+        " as bigint)"
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 # Batch analytics + extras queries register themselves on import.
 from . import analytics  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
@@ -3224,6 +3346,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "trade_graph_pagerank",
     "curation_sample_weighted",
     "ann_mmr_topk",
+    "text_chunk_dups",
+    "curation_split",
 )
 
 
