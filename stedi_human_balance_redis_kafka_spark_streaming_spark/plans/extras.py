@@ -948,3 +948,84 @@ def trade_graph_pagerank(
         F.expr("node div 2").alias("entity_id"),
         "rank_e12",
     )
+
+
+_CUSUM_H = 10_000  # alarm threshold in exact cents (100.00 value units)
+
+
+@register(
+    "events_cusum_changepoints",
+    # CUSUM drift detection with the recursion CLOSED-FORM'd for SQL:
+    # s_i = max(0, s_{i-1} + d_i) has no window-function form, but
+    # equals P_i − min(0, min_{j≤i} P_j) over the deviation prefix sums
+    # P — two stacked windows on one partition order, all exact integer
+    # cents (per-user mean via `div` truncation), so both engines emit
+    # identical alarm sets.
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ), m AS (
+      SELECT *, SUM(v_cents) OVER w // COUNT(*) OVER w AS mu
+      FROM e WINDOW w AS (PARTITION BY user_id)
+    ), p AS (
+      SELECT *, SUM(v_cents - mu) OVER w2 AS pre
+      FROM m WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT *, pre - least(0, MIN(pre) OVER w2) AS cusum_c
+      FROM p WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, v_cents, CAST(cusum_c AS BIGINT) AS cusum_c
+    FROM s WHERE cusum_c > {_CUSUM_H}
+    """,
+)
+def events_cusum_changepoints(
+    spark: SparkSession, sf_dir: str, *, h_cents: int = _CUSUM_H
+) -> DataFrame:
+    """CUSUM upward-drift detection per user: alarm on events where the
+    cumulative positive deviation from the user's mean exceeds
+    ``h_cents`` — the sequential change-detection complement to the
+    point-outlier z-gate (events_anomaly_outliers): a run of small
+    upward deviations alarms here long before any single point trips a
+    z-score.
+
+    The CUSUM recursion s_i = max(0, s_{i-1} + d_i) is closed-formed as
+    P_i − min(0, min_{j≤i} P_j) (deviation prefix sum minus its running
+    minimum), so the whole detector is two stacked window passes over
+    ONE (user-keyed) shuffle — no recursion, no UDF, exact integers
+    end-to-end.
+
+    Scale shape: one exchange on user_id; both windows share its sort
+    (ts, event_id); partition sizes bounded by per-user history.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w_all = Window.partitionBy("user_id")
+    w_ord = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # integer mean via div (truncation — mirrored by DuckDB `//`)
+    m = (
+        e.withColumn("s_all", F.sum("v_cents").over(w_all))
+        .withColumn("n_all", F.count("*").over(w_all))
+        .withColumn("mu", F.expr("s_all div n_all"))
+    )
+    p = m.withColumn("pre", F.sum(F.col("v_cents") - F.col("mu")).over(w_ord))
+    s = p.withColumn(
+        "cusum_c",
+        F.col("pre") - F.least(F.lit(0).cast("long"), F.min("pre").over(w_ord)),
+    )
+    return s.filter(F.col("cusum_c") > h_cents).select(
+        "event_id", "user_id", "v_cents", "cusum_c"
+    )

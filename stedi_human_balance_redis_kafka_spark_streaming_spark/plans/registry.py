@@ -3348,6 +3348,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_mmr_topk",
     "text_chunk_dups",
     "curation_split",
+    "events_cusum_changepoints",
 )
 
 
