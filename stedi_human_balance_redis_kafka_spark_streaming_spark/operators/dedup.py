@@ -96,6 +96,26 @@ def ngram_jaccard_pairs(
     ultimately hold — see plans/registry.dedup_lsh_recall.
     """
     own: list[DataFrame] = [] if caches is None else caches
+    scored = _pair_intersections(docs, n, max_shingle_freq, own)
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    ret = scored.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def _pair_intersections(
+    docs: DataFrame,
+    n: int,
+    max_shingle_freq: int | None,
+    own: list[DataFrame],
+) -> DataFrame:
+    """Shared inverted-index self-join core of the set-overlap dedup
+    family: (doc_a, doc_b, inter, sz_a, sz_b) for every co-shingled pair
+    (doc_a < doc_b).  The persisted index is appended to ``own`` for
+    caller-scoped release."""
     # The inverted index is read three times (sizes + both join sides) —
     # persist it (MEMORY_AND_DISK) and materialize eagerly: AQE runs the
     # branches as concurrent query stages that would all miss a lazy
@@ -131,15 +151,37 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    )
-    ret = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_e6: int = 800_000,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set-overlap (containment) near-dup pairs: documents
+    where the smaller shingle set is mostly inside the larger one —
+    excerpt/quote/superset relations that symmetric Jaccard misses (a
+    100-token doc fully contained in a 10 000-token doc has Jaccard
+    ≈ 0.01 but containment 1.0).
+
+    containment_e6 = (|A∩B|·10⁶) div min(|A|,|B|) — exact integer, so
+    the threshold gate is bit-deterministic across engines.  Output:
+    (doc_a, doc_b, containment_e6), doc_a < doc_b, containment ≥
+    threshold.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` (same
+    inverted-index self-join core, same stop-shingle cap bounding the
+    f² blowup); only the final ratio differs.
+    """
+    own: list[DataFrame] = [] if caches is None else caches
+    scored = _pair_intersections(docs, n, max_shingle_freq, own)
+    cont = F.expr("(inter * 1000000L) div least(sz_a, sz_b)")
+    ret = scored.select(
+        "doc_a", "doc_b", cont.cast("long").alias("containment_e6")
+    ).filter(F.col("containment_e6") >= threshold_e6)
     return ret if caches is not None else scope_caches(ret, *own)
 
 

@@ -347,6 +347,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_E6 = 800_000
+
+
+@register(
+    "dedup_containment",
+    # Asymmetric overlap over the same shingle-index CTEs: containment
+    # (inter·1e6) div min(sz) is an exact integer — excerpt/superset
+    # pairs that symmetric Jaccard structurally misses.
+    oracle=f"""
+    WITH {_SQL_NGRAM_PAIR_CTES}
+    SELECT doc_a, doc_b,
+           CAST((i * 1000000) // least(sa.sz, sb.sz) AS BIGINT)
+             AS containment_e6
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE (i * 1000000) // least(sa.sz, sb.sz) >= {_CONTAIN_E6}
+    """,
+)
+def dedup_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold_e6: int = _CONTAIN_E6,
+) -> DataFrame:
+    """Containment (asymmetric Jaccard) near-dup pairs: the smaller
+    doc's trigram set ≥80% inside the larger's — catches excerpts and
+    quote-expansions whose symmetric Jaccard is tiny (see
+    operators/dedup.py ngram_containment_pairs)."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold_e6=threshold_e6,
+        n=3,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
+
+
 _MINHASH_N, _MINHASH_BANDS = 8, 4
 _MINHASH_R = _MINHASH_N // _MINHASH_BANDS
 
@@ -3349,6 +3386,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "text_chunk_dups",
     "curation_split",
     "events_cusum_changepoints",
+    "dedup_containment",
 )
 
 

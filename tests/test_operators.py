@@ -1178,3 +1178,25 @@ def test_mmr_diversifies_away_from_redundant_runner_up(spark):
         for r in similarity.brute_force_topk(emb, q, k=2).collect()
     }
     assert bf == {1: 2, 2: 1}
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark):
+    # doc 21 is a 4-token excerpt of the 40-token doc 20: containment of
+    # the smaller set is 1.0 while Jaccard is far below any dedup bar.
+    big_words = [f"u{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [
+            (20, " ".join(big_words)),
+            (21, " ".join(big_words[10:14])),  # pure excerpt
+            (22, "totally different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment_e6"]
+        for r in dedup.ngram_containment_pairs(df, threshold_e6=800_000).collect()
+    }
+    assert (20, 21) in pairs and pairs[(20, 21)] == 1_000_000
+    assert not any(22 in p for p in pairs)
+    jacc = dedup.ngram_jaccard_pairs(df, threshold=0.7).collect()
+    assert all((r["doc_a"], r["doc_b"]) != (20, 21) for r in jacc)
