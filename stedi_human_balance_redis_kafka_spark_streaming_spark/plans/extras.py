@@ -1029,3 +1029,52 @@ def events_cusum_changepoints(
     return s.filter(F.col("cusum_c") > h_cents).select(
         "event_id", "user_id", "v_cents", "cusum_c"
     )
+
+
+@register(
+    "events_value_deciles",
+    # Rank-family window coverage (ntile / percent_rank / cume_dist)
+    # under a TOTAL order (v_cents, event_id): every rank function is
+    # then row-unique, percent_rank == (rank-1)/(n-1) and cume_dist ==
+    # rank/n become exact integer ratios, and both engines perform the
+    # identical IEEE division — bit-stable despite the double outputs.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    )
+    SELECT event_id, event_type, v_cents,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM e WINDOW w AS (PARTITION BY event_type ORDER BY v_cents, event_id)
+    """,
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per event type: decile bucket (NTILE),
+    percentile rank, and cumulative distribution for every event's
+    value — the remaining rank-function family under one query, made
+    deterministic by a total order.
+
+    Scale shape: one exchange on event_type; all three rank functions
+    share the same window sort.  Heavy types are bounded by per-type
+    volume; a 100 TB deploy pre-buckets by (type, shard) exactly as the
+    pack_sequences note describes.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "v_cents",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

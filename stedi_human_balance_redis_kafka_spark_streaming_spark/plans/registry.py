@@ -3387,6 +3387,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "curation_split",
     "events_cusum_changepoints",
     "dedup_containment",
+    "events_value_deciles",
 )
 
 

@@ -98,3 +98,28 @@ def test_jsonl_partitioned_write_prunes(spark, tmp_path):
     ) == ["lang=de", "lang=en"]
     back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
     assert back.filter("lang = 'en'").count() == 5
+
+
+def test_curated_write_enables_partition_pruning(spark, tmp_path):
+    """The hive-partitioned curated layout must let Catalyst prune
+    partitions: a lang filter appears as a PartitionFilter on the scan
+    (zero data files of other partitions read), not a post-scan
+    Filter."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        write_curated,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i % 2 else "de") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "curated_prune")
+    write_curated(df, out)
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    pf = plan.split("PartitionFilters:", 1)
+    assert len(pf) == 2, plan
+    assert "lang" in pf[1].splitlines()[0]
+    assert back.count() == 10
