@@ -1078,3 +1078,53 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "events_latest_state",
+    # CDC compaction: latest event per user under the TOTAL order
+    # (ts, event_id).  The oracle uses the window/QUALIFY formulation;
+    # Spark uses partial-aggregable max_by — same rows, but the Spark
+    # plan never full-sorts a partition (the aggregate combines
+    # map-side), which is the shape that matters when compacting a
+    # 100 TB change stream.
+    oracle="""
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(round(value * 100) AS BIGINT) AS last_v_cents,
+           CAST(cnt AS BIGINT) AS n_events
+    FROM (
+      SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream compaction: each user's latest event (the
+    materialized current state a CDC consumer keeps) plus their event
+    count — via partial-aggregable ``max_by`` on the total order
+    (ts, event_id), ONE combine-capable shuffle and no window sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    best = F.max_by(
+        F.struct("event_id", "event_type", "v_cents"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(best.alias("last"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.v_cents").alias("last_v_cents"),
+            "n_events",
+        )
+    )

@@ -3388,6 +3388,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_cusum_changepoints",
     "dedup_containment",
     "events_value_deciles",
+    "events_latest_state",
 )
 
 

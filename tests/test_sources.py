@@ -123,3 +123,62 @@ def test_curated_write_enables_partition_pruning(spark, tmp_path):
     assert len(pf) == 2, plan
     assert "lang" in pf[1].splitlines()[0]
     assert back.count() == 10
+
+
+def test_zorder_key_interleaves_bits_exactly(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.functions.zorder import (
+        zorder_key,
+    )
+    import pyspark.sql.functions as F
+
+    # x=0b10, y=0b11 at 2 bits: positions (b*k + i) → x0@0, y0@1, x1@2,
+    # y1@3 → key 0b1110 = 14
+    df = spark.createDataFrame([(2, 3)], "x long, y long")
+    [row] = df.select(zorder_key(["x", "y"], bits=2).alias("z")).collect()
+    assert row["z"] == 14
+    # out-of-range high bits are masked, not smeared into neighbors
+    df2 = spark.createDataFrame([(6, 3)], "x long, y long")  # 6 = 0b110
+    [row2] = df2.select(zorder_key(["x", "y"], bits=2).alias("z")).collect()
+    assert row2["z"] == 14  # x's bit 2 dropped → same key as x=2
+
+
+def test_zorder_quadrants_form_contiguous_key_ranges(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.functions.zorder import (
+        zorder_key,
+    )
+
+    # 4×4 grid at 2 bits: Morton order visits each 2×2 quadrant as one
+    # contiguous key range — the property that makes min/max stats
+    # selective for BOTH dimensions.
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=2).alias("z")
+    ).collect()
+    keys = sorted(set(r["z"] for r in rows))
+    assert keys == list(range(16))  # bijective on the grid
+    quad = {
+        (r["x"] // 2, r["y"] // 2): [] for r in rows
+    }
+    for r in rows:
+        quad[(r["x"] // 2, r["y"] // 2)].append(r["z"])
+    for ks in quad.values():
+        ks.sort()
+        assert ks == list(range(ks[0], ks[0] + 4))  # contiguous range
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.functions.zorder import (
+        write_zordered,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11, i) for i in range(100)],
+        "a long, b long, payload long",
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, ["a", "b"], bits=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["a", "b", "payload"]  # helper dropped
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
