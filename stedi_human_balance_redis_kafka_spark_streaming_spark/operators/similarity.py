@@ -506,6 +506,36 @@ def ivf_range_search(
     )
 
 
+def brute_force_range(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact radius search: every (query, vector) pair with cosine ≥
+    ``threshold`` — the ground truth for :func:`ivf_range_search`'s
+    recall eval.  Same broadcast-queries shape as brute_force_topk but
+    with a map-side threshold filter instead of a ranking window (the
+    big side never shuffles at all).  Output: (query_id, vec_id)."""
+    dim = embedding_dim(emb)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = _flat(emb, "vec_id", "d", dim).repartition(par)
+    q = queries.select(
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    cos = F.round(
+        flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
+    )
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("query_id", "vec_id")
+    )
+
+
 def mmr_topk(
     emb: DataFrame,
     queries: DataFrame,

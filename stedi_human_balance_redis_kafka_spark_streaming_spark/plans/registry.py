@@ -1282,6 +1282,85 @@ def ann_range_search(
     )
 
 
+@register(
+    "ann_range_recall",
+    # Recall of the IVF radius search vs the exact threshold truth.  The
+    # IVF answer verifies true cosines before its filter, so it is a
+    # SUBSET of the truth — n_overlap == n_found is part of the checked
+    # contract, and recall = n_found / n_truth.
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+    truth AS (
+      SELECT q.query_id, e.vec_id
+      FROM e JOIN q ON e.vec_id != q.query_id
+      WHERE {_SQL_COS.format(a="e.v", b="q.qv")} >= {_RANGE_THRESHOLD}
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {_CENTROID_MODULUS} = 0),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC
+               ) AS arank
+        FROM e CROSS JOIN c
+      ) WHERE arank = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC, c.cid ASC
+               ) AS prank
+        FROM q CROSS JOIN c
+      ) WHERE prank <= 2
+    ), found AS (
+      SELECT probes.query_id, assign.vec_id
+      FROM assign JOIN probes ON assign.cid = probes.cid
+      WHERE assign.vec_id != probes.query_id
+        AND {_SQL_COS.format(a="assign.v", b="probes.qv")}
+              >= {_RANGE_THRESHOLD}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM truth t JOIN found f
+              ON t.query_id = f.query_id AND t.vec_id = f.vec_id)
+             AS n_overlap
+    """,
+)
+def ann_range_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _RANGE_THRESHOLD,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Radius-search recall eval: how many of the true cos ≥ 0.3 pairs
+    the nprobe-bounded IVF range search returns (one summary row;
+    n_overlap == n_found is part of the contract since the index
+    verifies true cosines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    truth = similarity.brute_force_range(emb, q, threshold=threshold)
+    found = similarity.ivf_range_search(
+        emb, q, threshold=threshold,
+        centroid_modulus=centroid_modulus, nprobe=nprobe,
+    ).select("query_id", "vec_id")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    n_overlap = (
+        truth.join(found, ["query_id", "vec_id"])
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return n_truth.crossJoin(n_found).crossJoin(n_overlap)
+
+
 _MMR_K = 5
 _MMR_CAND = 20
 _MMR_LAM10 = 7
@@ -3389,6 +3468,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "dedup_containment",
     "events_value_deciles",
     "events_latest_state",
+    "ann_range_recall",
 )
 
 
