@@ -659,3 +659,40 @@ def streaming_anomaly_flags(
         .filter(dev * dev > F.lit(tau2).cast(dec) * spread)
         .select("event_id", "user_id", "event_type", "v_cents", "grp_n")
     )
+
+
+def streaming_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: the per-user latest event as a
+    continuously-maintained aggregate — ``max_by`` over the total order
+    (ts, event_id), the streaming dual of the batch
+    ``events_latest_state`` query.
+
+    A plain streaming aggregation (no watermark: state is one row per
+    user — bounded by the KEY population, not by time, which is exactly
+    the contract of a current-state table).  Run in update mode against
+    a keyed sink (or complete mode for full-table sinks); each arriving
+    event can only advance its user's (ts, event_id) maximum, so late
+    data folds in correctly without event-time bookkeeping.
+    """
+    e = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    best = F.max_by(
+        F.struct("event_id", "event_type", "v_cents"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(best.alias("last"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.v_cents").alias("last_v_cents"),
+            "n_events",
+        )
+    )

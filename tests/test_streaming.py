@@ -962,3 +962,40 @@ def test_streaming_chunk_sliding_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 5
+
+
+def test_streaming_latest_state_matches_batch(spark, tmp_path):
+    """Streaming CDC compaction (complete-mode max_by aggregate): after
+    two micro-batches the maintained state equals the batch dual —
+    including a late row for user 1 that must NOT displace their newer
+    event."""
+    EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b0 = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.00),
+        (2, _ts("2024-01-01T11:00:00"), 1, "click", 2.00),
+        (3, _ts("2024-01-01T10:30:00"), 2, "view", 3.00),
+    ]
+    b1 = [
+        (4, _ts("2024-01-01T12:00:00"), 2, "purchase", 4.00),
+        (5, _ts("2024-01-01T10:15:00"), 1, "error", 9.00),  # late — loses
+    ]
+    ev_dir = _write_ordered_files(spark, tmp_path, "ev", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_latest_state(sdf),
+        f"latest_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    got = {tuple(r) for r in out.collect()}
+    batch_df = spark.createDataFrame(b0 + b1, EV_SCHEMA)
+    expected = {
+        tuple(r) for r in stateful.streaming_latest_state(batch_df).collect()
+    }
+    assert got == expected
+    assert (1, 2, "click", 200, 3) in got  # late event 5 counted, not latest
+    assert (2, 4, "purchase", 400, 2) in got
