@@ -1361,6 +1361,54 @@ def ann_range_recall(
     return n_truth.crossJoin(n_found).crossJoin(n_overlap)
 
 
+@register(
+    "embeddings_label_centroids",
+    # Element-wise mean per label in exact 1e-6 integer units: each
+    # component quantizes per-row (round(x·1e6) — float32-born doubles,
+    # identical in both engines), sums as int64 (partial-aggregable,
+    # partition-order-free) and derives the mean by `div` truncation.
+    oracle="""
+    SELECT label,
+           CAST(dim_idx AS INTEGER) AS dim_idx,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM (
+      SELECT label, i - 1 AS dim_idx,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS q
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    )
+    GROUP BY label, dim_idx
+    """,
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (long form: one row per (label, dim)) —
+    the class-prototype computation behind nearest-centroid classifiers
+    and embedding-drift monitors, exact in 1e-6 integer units so the
+    partial-aggregated distributed sum matches the oracle bit-for-bit.
+
+    Scale shape: posexplode to (label, dim, component) then ONE
+    partial-aggregable keyed sum — n·dim narrow rows, no wide
+    row-matrix shuffle, no window; group count is |labels|·dim
+    (bounded metadata, whatever the corpus size).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = emb.select(
+        "label",
+        F.posexplode("v").alias("dim_idx", "x"),
+    ).select(
+        "label",
+        "dim_idx",
+        F.round(F.col("x") * 1e6).cast("long").alias("q"),
+    )
+    return comp.groupBy("label", "dim_idx").agg(
+        F.expr("sum(q) div count(*)").alias("mean_e6"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 _MMR_K = 5
 _MMR_CAND = 20
 _MMR_LAM10 = 7
@@ -3469,6 +3517,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_value_deciles",
     "events_latest_state",
     "ann_range_recall",
+    "embeddings_label_centroids",
 )
 
 
