@@ -3410,6 +3410,88 @@ def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "curation_chunk_pipeline",
+    # The RAG/context-window prep flow as ONE query: exact dedup →
+    # hash-bucket train split → sliding-window chunking → chunk packing
+    # (256-token budget per lang).  Every stage's SQL is the fragment
+    # its standalone oracle uses, composed as CTEs.
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), train AS (
+      SELECT d.doc_id, d.lang, {_SQL_TOKENS} AS toks,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n
+      FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM keep)
+        AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
+                 AS BIGINT) < {(_SPLIT_PCT[0] * 256) // 100}
+    ), c AS (
+      SELECT doc_id, lang,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(least({_CHUNK_TOKENS}, n - chunk_id * {_CHUNK_STRIDE})
+                  AS BIGINT) AS chunk_len
+      FROM train, LATERAL (SELECT unnest(range(((n - 1) // {_CHUNK_STRIDE})
+                                               + 1)) AS chunk_id) g
+      WHERE n > 0
+    )
+    SELECT doc_id, lang, chunk_id, chunk_len,
+           CAST(floor(COALESCE(SUM(chunk_len) OVER (
+             PARTITION BY lang ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_CHUNK_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def curation_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end context-window prep: exact dedup → leakage-safe train
+    split (hash bucket) → 64/48 sliding-window chunking → 256-token
+    chunk packing per language — the composed flow a RAG/pretraining
+    chunk pipeline actually runs, each stage the registered standalone
+    operator.
+
+    Scale shape: one digest shuffle + semi-join (dedup); the split
+    filter fuses into the chunking map stage (both shuffle-free); the
+    pack running-sum windows per language stratum.  Two shuffles + one
+    window total, corpus touched once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    t_hi = (_SPLIT_PCT[0] * 256) // 100
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 2), 16, 10)"
+        " as bigint)"
+    )
+    train = docs.join(keep, "doc_id", "left_semi").filter(bucket < t_hi)
+    chunks = text_ops.chunk_sliding(
+        train, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("chunk_len").over(w), F.lit(0).cast("long"))
+    return chunks.select(
+        "doc_id",
+        "lang",
+        "chunk_id",
+        "chunk_len",
+        F.floor(cum_excl / F.lit(float(_CHUNK_PACK_BUDGET)))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
 # Batch analytics + extras queries register themselves on import.
 from . import analytics  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
@@ -3518,6 +3600,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_latest_state",
     "ann_range_recall",
     "embeddings_label_centroids",
+    "curation_chunk_pipeline",
 )
 
 
