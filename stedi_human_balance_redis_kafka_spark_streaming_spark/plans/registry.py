@@ -3543,13 +3543,19 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     "dedup_clusters_star": "dedup_clusters",
 }
 
-# Extended tier: capabilities ADDED beyond the 50-slot driver window (not
-# duals of an in-window query — there is no carrier).  They are fully
-# oracle-backed and re-verified by the local dtype-faithful parity suite
-# every round; they simply cannot fit the driver's check window, which is
-# reserved for the SURVEY-mandated set plus one representative per
-# operator family.
+# Extended tier: oracle-backed queries outside the 50-slot driver window.
+# The window is allocated by FAMILY NOVELTY: the SURVEY-mandated set plus
+# one representative per operator family claims its slots first, so
+# same-family variants (including three of the eleven TPC-H shapes —
+# q7/q12/q17, whose join+agg patterns q1/q3/q4/q5/q10/q19/q22/q11 still
+# represent in-window) yield their slots to operators that are the ONLY
+# window representative of their family (graph centrality, diversified
+# retrieval, anomaly gating — round 5).  Everything here is re-verified
+# by the local dtype-faithful parity suite every round.
 EXTENDED_QUERIES: tuple[str, ...] = (
+    "q7_nation_trade_volume",
+    "q12_priority_lines",
+    "q17_small_quantity_revenue",
     "q6_forecast_revenue",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
@@ -3585,13 +3591,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_ivfpq_recall",
     "curation_sample_quota",
     "text_chunk_sliding",
-    "events_anomaly_outliers",
     "ann_range_search",
     "multimodal_audio_energy",
     "orders_salted_join_revenue",
-    "trade_graph_pagerank",
     "curation_sample_weighted",
-    "ann_mmr_topk",
     "text_chunk_dups",
     "curation_split",
     "events_cusum_changepoints",
