@@ -195,7 +195,11 @@ def test_new_round4_queries_not_cartesian(spark, name):
 @pytest.mark.parametrize(
     "name", ["ann_ivfpq_recall", "text_bpe_segment", "curation_sample_quota",
              "ann_range_search", "ann_mmr_topk", "trade_graph_pagerank",
-             "orders_salted_join_revenue", "curation_sample_weighted"]
+             "orders_salted_join_revenue", "curation_sample_weighted",
+             "text_chunk_dups", "curation_split", "events_cusum_changepoints",
+             "dedup_containment", "events_value_deciles", "events_latest_state",
+             "ann_range_recall", "embeddings_label_centroids",
+             "curation_chunk_pipeline"]
 )
 def test_new_round5_queries_not_cartesian(spark, name):
     # round-5 additions: IVF-PQ's crossJoins are bounded broadcast sides
