@@ -44,6 +44,9 @@ QUERIES = [
     "events_anomaly_outliers",  # decimal(38,0) z-gate across partitionings
     "trade_graph_pagerank",     # iterative integer rounds, lineage-checkpointed
     "curation_sample_weighted", # weighted hash priorities + rank tie-breaks
+    "events_cusum_changepoints",  # ts-ordered prefix windows under tz change
+    "ann_mmr_topk",             # integer greedy selection, cached builds
+    "curation_chunk_pipeline",  # hash split + window carry composition
 ]
 
 
