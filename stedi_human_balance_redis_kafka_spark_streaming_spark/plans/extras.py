@@ -1128,3 +1128,63 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_sketch_reaggregate",
+    # The MERGEABLE-sketch contract: per-type DataSketches HLL sketches
+    # union into a global distinct estimate WITHOUT rescanning the fact
+    # table — the two-level re-aggregation a 100 TB rollup cube relies
+    # on.  Sketch bytes are engine-specific, so the checkable contract
+    # is the bounds assertion (±5% of exact) plus the exact per-type and
+    # global counts computed alongside.
+    oracle="""
+    WITH per AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(exact_users) AS BIGINT) AS sum_type_users,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_global,
+           TRUE AS approx_within_5pct
+    FROM per
+    """,
+)
+def events_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: build one DataSketches HLL per
+    event type, then ``hll_union_agg`` the per-type sketch BYTES into a
+    global distinct-user estimate — no second scan of the fact table
+    (the property that lets a 100 TB cube answer roll-ups at any
+    grouping level from pre-built leaf sketches).
+
+    The global estimate must land within ±5% of the exact distinct
+    count (computed alongside from a pre-deduped frame, same shape as
+    events_approx_distinct)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("event_type", "user_id").distinct().persist()
+    per_type = d.groupBy("event_type").agg(
+        F.count("*").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sketch"),
+    )
+    # second level: merge the BOUNDED per-type sketch rows — never the
+    # fact table again
+    merged = per_type.agg(
+        F.count("*").alias("n_types"),
+        F.sum("exact_users").alias("sum_type_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_global"),
+    )
+    exact_global = d.select("user_id").distinct().agg(
+        F.count("*").alias("exact_global")
+    )
+    out = merged.crossJoin(exact_global).select(
+        "n_types",
+        "sum_type_users",
+        "exact_global",
+        (
+            F.abs(F.col("est_global") - F.col("exact_global"))
+            <= 0.05 * F.col("exact_global")
+        ).alias("approx_within_5pct"),
+    )
+    from ..session import scope_caches
+
+    return scope_caches(out, d)

@@ -3604,6 +3604,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "ann_range_recall",
     "embeddings_label_centroids",
     "curation_chunk_pipeline",
+    "events_sketch_reaggregate",
 )
 
 
