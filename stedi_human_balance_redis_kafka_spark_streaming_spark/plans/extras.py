@@ -1188,3 +1188,101 @@ def events_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scope_caches
 
     return scope_caches(out, d)
+
+
+_HIST_LO_C = 0        # histogram domain in cents
+_HIST_W_C = 2_000     # 20.00-unit buckets
+_HIST_N = 30
+
+
+@register(
+    "events_value_histogram",
+    # Equi-width histogram in pure integer arithmetic: bucket =
+    # clamp((v - lo) div w, 0, n-1) on exact cents — no width_bucket
+    # builtin needed, so both engines share the same closed form.
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           CAST(least(greatest((v - {_HIST_LO_C}) // {_HIST_W_C}, 0),
+                      {_HIST_N - 1}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (30 × 20.00-unit
+    buckets, clamped tails) — the profiling primitive behind NDV/skew
+    diagnostics, computed as ONE partial-aggregable groupBy on a
+    closed-form integer bucket id (no second scan, no sort)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"(v - {_HIST_LO_C}) div {_HIST_W_C}"), F.lit(0).cast("long")
+        ),
+        F.lit(_HIST_N - 1).cast("long"),
+    )
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "lineitem_corr_components",
+    # Pearson correlation WITHOUT floats: emit the exact integer moment
+    # components (n, Σx, Σy, Σxy, Σx², Σy² as HUGEINT/decimal(38)) plus
+    # the covariance numerator n·Σxy − Σx·Σy — the consumer derives
+    # r = cov_num / sqrt(varx_num · vary_num) in one final division.
+    # Cross-engine exact where the textbook double-accumulating corr()
+    # is reassociation-sensitive.
+    oracle="""
+    WITH l AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(y) AS VARCHAR) AS cov_num,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                - SUM(CAST(x AS HUGEINT)) * SUM(x) AS VARCHAR) AS varx_num,
+           CAST(COUNT(*) * SUM(CAST(y AS HUGEINT) * y)
+                - SUM(CAST(y AS HUGEINT)) * SUM(y) AS VARCHAR) AS vary_num
+    FROM l
+    """,
+)
+def lineitem_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity↔price correlation as exact integer moment components
+    (decimal(38,0) widened, rendered as strings so the >int64 values
+    hash identically cross-engine): one partial-aggregable scan; the
+    final Pearson r is a single consumer-side division, keeping the
+    distributed part reassociation-proof."""
+    dec = "decimal(38,0)"
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    agg = l.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n, sx, sy = (F.col("n").cast(dec), F.col("sum_x").cast(dec), F.col("sum_y").cast(dec))
+    return agg.select(
+        "n",
+        "sum_x",
+        "sum_y",
+        (n * F.col("sxy") - sx * sy).cast("string").alias("cov_num"),
+        (n * F.col("sxx") - sx * sx).cast("string").alias("varx_num"),
+        (n * F.col("syy") - sy * sy).cast("string").alias("vary_num"),
+    )

@@ -3605,6 +3605,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "embeddings_label_centroids",
     "curation_chunk_pipeline",
     "events_sketch_reaggregate",
+    "events_value_histogram",
+    "lineitem_corr_components",
 )
 
 
