@@ -1286,3 +1286,69 @@ def lineitem_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("sxx") - sx * sx).cast("string").alias("varx_num"),
         (n * F.col("syy") - sy * sy).cast("string").alias("vary_num"),
     )
+
+
+@register(
+    "orders_kll_quantile_merge",
+    # Mergeable QUANTILE sketches (DataSketches KLL): per-status sketches
+    # merge into a global median estimate without rescanning orders.
+    # The estimate value is sketch/partition-order dependent, so the
+    # checkable contract is its EXACT rank: rank(est)/n must sit within
+    # ±5% of 0.5 (KLL k=200 guarantees ~±1.65% rank error at 99%
+    # confidence — 5% gives headroom), verified by one exact
+    # count-below pass.
+    oracle="""
+    SELECT (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+            FROM orders) AS n_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS median_rank_within_5pct
+    FROM orders
+    """,
+)
+def orders_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level quantile rollup: per-status KLL sketches of exact
+    cents merged (`kll_sketch_merge_bigint`) into one global median
+    estimate — the pre-aggregated-cube pattern for percentile
+    dashboards at 100 TB — validated by the exact rank of the estimate
+    (one counting pass), not by trusting the sketch."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).persist()
+    per = o.groupBy("o_orderstatus").agg(
+        F.expr("kll_sketch_agg_bigint(cents)").alias("sk")
+    )
+    # kll_sketch_merge_bigint is a PAIRWISE scalar — fold it over the
+    # bounded per-status sketch list (|statuses| rows) with a HOF
+    # aggregate; the fact table is never rescanned.
+    merged = per.agg(
+        F.count("*").alias("n_status"),
+        F.collect_list("sk").alias("sks"),
+    ).select(
+        "n_status",
+        F.expr(
+            "kll_sketch_get_quantile_bigint("
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_bigint(acc, x)), 0.5)"
+        ).alias("est_p50"),
+    )
+    ranked = o.crossJoin(F.broadcast(merged)).agg(
+        F.first("n_status").alias("n_status"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("cents") <= F.col("est_p50"), 1).otherwise(0)
+        ).alias("n_below"),
+    )
+    out = ranked.select(
+        "n_status",
+        "n_rows",
+        (
+            F.abs(
+                F.col("n_below").cast("double") / F.col("n_rows") - 0.5
+            )
+            <= 0.05
+        ).alias("median_rank_within_5pct"),
+    )
+    from ..session import scope_caches
+
+    return scope_caches(out, o)

@@ -3607,6 +3607,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_sketch_reaggregate",
     "events_value_histogram",
     "lineitem_corr_components",
+    "orders_kll_quantile_merge",
 )
 
 
