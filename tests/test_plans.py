@@ -199,7 +199,9 @@ def test_new_round4_queries_not_cartesian(spark, name):
              "text_chunk_dups", "curation_split", "events_cusum_changepoints",
              "dedup_containment", "events_value_deciles", "events_latest_state",
              "ann_range_recall", "embeddings_label_centroids",
-             "curation_chunk_pipeline"]
+             "curation_chunk_pipeline", "events_sketch_reaggregate",
+             "events_value_histogram", "lineitem_corr_components",
+             "orders_kll_quantile_merge"]
 )
 def test_new_round5_queries_not_cartesian(spark, name):
     # round-5 additions: IVF-PQ's crossJoins are bounded broadcast sides
