@@ -731,12 +731,13 @@ def chunk_sliding(
     context-window preparation step (RAG passage splitting, long-doc
     training-example windowing).
 
-    Each document is split into whitespace tokens and covered by windows
-    of ``chunk_tokens`` tokens starting every ``stride`` tokens; the
+    Each document is split into whitespace tokens and windowed with
+    ``chunk_tokens``-token chunks starting every ``stride`` tokens; the
     last window may be short (start positions run while ``start <
-    n_tokens``, so every token lands in ≥1 chunk, and consecutive
-    chunks overlap by ``chunk_tokens - stride`` tokens when ``stride <
-    chunk_tokens``).
+    n_tokens``).  With ``stride <= chunk_tokens`` (the usual setting)
+    every token lands in ≥1 chunk and consecutive chunks overlap by
+    ``chunk_tokens - stride`` tokens; a larger stride SAMPLES windows
+    instead (tokens between chunk ends and the next start are skipped).
 
     Output: (doc_id, chunk_id, start_tok, chunk_len, chunk_text).
 

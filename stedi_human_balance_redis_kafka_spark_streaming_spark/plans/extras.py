@@ -1269,13 +1269,16 @@ def lineitem_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
+    # widen BEFORE the multiply (mirroring the oracle's CAST(x AS
+    # HUGEINT) * y): an int64 y·y product overflows past |y| ~ 3·10⁹,
+    # which a cents-scaled money column can reach at warehouse scale.
     agg = l.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sum_x"),
         F.sum("y").alias("sum_y"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
     n, sx, sy = (F.col("n").cast(dec), F.col("sum_x").cast(dec), F.col("sum_y").cast(dec))
     return agg.select(
