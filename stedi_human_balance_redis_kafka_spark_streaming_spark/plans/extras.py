@@ -1355,3 +1355,47 @@ def orders_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scope_caches
 
     return scope_caches(out, o)
+
+
+@register(
+    "events_type_transitions",
+    # First-order behavioral transition matrix: per user, consecutive
+    # event-type pairs under the total order (ts, event_id), counted
+    # corpus-wide — the sequence-mining primitive behind session-flow
+    # and next-action models.  lag() under a total order is
+    # deterministic, counts are exact ints.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): how
+    often each event type follows each other within a user's timeline.
+
+    Scale shape: one user-keyed exchange for the lag window, then a
+    partial-aggregable rollup on the 25-cell (type × type) key — the
+    output is metadata-sized at any corpus volume.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -3608,6 +3608,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_value_histogram",
     "lineitem_corr_components",
     "orders_kll_quantile_merge",
+    "events_type_transitions",
 )
 
 
