@@ -1399,3 +1399,80 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "documents_lang_source_assoc",
+    # Chi-square contingency WITHOUT floats: per cell, the deviation
+    # (o·n − r·c)² and its scaled contribution ((o·n − r·c)²·1e6) div
+    # (r·c·n) are exact HUGEINT/decimal(38) integers — the χ² statistic
+    # is their sum in 1e-6 units, bit-identical cross-engine where the
+    # textbook double expected-count form is not.
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+      FROM documents GROUP BY lang, source
+    ), rows_ AS (
+      SELECT lang, CAST(SUM(o) AS HUGEINT) AS r FROM cells GROUP BY lang
+    ), cols_ AS (
+      SELECT source, CAST(SUM(o) AS HUGEINT) AS c FROM cells GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM((o * n - r * c) * (o * n - r * c) * 1000000
+                    // (r * c * n)) AS BIGINT) AS chi2_e6_scaled
+    FROM cells JOIN rows_ USING (lang) JOIN cols_ USING (source)
+    CROSS JOIN tot
+    """,
+)
+def documents_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source association: the χ² independence statistic over
+    the contingency table, computed entirely in integer arithmetic
+    (each cell's ((o·n − r·c)²·10⁶) div (r·c·n) summed — ÷n² of the
+    textbook χ²·10⁶, a fixed known scale) — the mixture-drift check a
+    corpus dashboard runs.
+
+    Scale shape: ONE fact-sized groupBy to the |langs|·|sources| cell
+    table; margins and the total derive from the bounded cells frame
+    (broadcast joins); every operand is decimal(38,0)-widened before
+    multiplication.
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+        .persist()
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    o, r, c, n = (
+        F.col("o").cast(dec),
+        F.col("r").cast(dec),
+        F.col("c").cast(dec),
+        F.col("n").cast(dec),
+    )
+    dev = o * n - r * c
+    contrib = F.expr(
+        "((o_d * n_d - r_d * c_d) * (o_d * n_d - r_d * c_d) * 1000000)"
+        " div (r_d * c_d * n_d)"
+    )
+    out = (
+        j.select(
+            o.alias("o_d"), r.alias("r_d"), c.alias("c_d"), n.alias("n_d")
+        )
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(contrib).cast("long").alias("chi2_e6_scaled"),
+        )
+    )
+    from ..session import scope_caches
+
+    return scope_caches(out, cells)

@@ -3609,6 +3609,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "lineitem_corr_components",
     "orders_kll_quantile_merge",
     "events_type_transitions",
+    "documents_lang_source_assoc",
 )
 
 
