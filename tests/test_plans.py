@@ -201,7 +201,8 @@ def test_new_round4_queries_not_cartesian(spark, name):
              "ann_range_recall", "embeddings_label_centroids",
              "curation_chunk_pipeline", "events_sketch_reaggregate",
              "events_value_histogram", "lineitem_corr_components",
-             "orders_kll_quantile_merge"]
+             "orders_kll_quantile_merge", "events_type_transitions",
+             "documents_lang_source_assoc"]
 )
 def test_new_round5_queries_not_cartesian(spark, name):
     # round-5 additions: IVF-PQ's crossJoins are bounded broadcast sides
