@@ -1476,3 +1476,75 @@ def documents_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scope_caches
 
     return scope_caches(out, cells)
+
+
+@register(
+    "orders_monthly_momentum",
+    # Month-over-month revenue trend in exact cents: monthly sums are
+    # partial-aggregable int64, the lag delta is integer subtraction,
+    # and the relative change is (delta·10⁶) div prev — exact both
+    # engines (div truncation matches on negatives too, verified).  The
+    # month key renders the normalized instant's UTC wall clock, so the
+    # grouping is session-timezone-independent.
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY month
+    )
+    SELECT month, rev_cents, n_orders, delta_cents,
+           CAST(delta_cents * 1000000 // prev AS BIGINT) AS mom_e6
+    FROM (
+      SELECT *, lag(rev_cents) OVER (ORDER BY month) AS prev,
+             rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents
+      FROM m
+    ) WHERE prev IS NOT NULL
+    """,
+)
+def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue momentum: monthly exact-cent totals with
+    the lag delta and relative change in 1e-6 integer units — the trend
+    dashboard primitive.
+
+    Scale shape: one partial-aggregable fact rollup to the BOUNDED
+    monthly table; the global-order lag window runs on that bounded
+    frame only (months, not orders), so the single-partition window is
+    metadata-sized at any corpus volume.  The month key goes through
+    the same UTC-wall-clock render as the as-of join (session-tz
+    independent).
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format(
+        F.expr(
+            "convert_timezone(current_timezone(), 'UTC',"
+            " CAST(o_orderdate AS TIMESTAMP_NTZ))"
+        ),
+        "yyyy-MM",
+    )
+    m = o.groupBy(month.alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    with_prev = m.select(
+        "month",
+        "rev_cents",
+        "n_orders",
+        F.lag("rev_cents").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    delta = F.col("rev_cents") - F.col("prev")
+    return with_prev.select(
+        "month",
+        "rev_cents",
+        "n_orders",
+        delta.alias("delta_cents"),
+        F.expr("cast((rev_cents - prev) * 1000000L div prev as bigint)").alias(
+            "mom_e6"
+        ),
+    )

@@ -3610,6 +3610,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "orders_kll_quantile_merge",
     "events_type_transitions",
     "documents_lang_source_assoc",
+    "orders_monthly_momentum",
 )
 
 
