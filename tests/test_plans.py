@@ -202,7 +202,7 @@ def test_new_round4_queries_not_cartesian(spark, name):
              "curation_chunk_pipeline", "events_sketch_reaggregate",
              "events_value_histogram", "lineitem_corr_components",
              "orders_kll_quantile_merge", "events_type_transitions",
-             "documents_lang_source_assoc"]
+             "documents_lang_source_assoc", "orders_monthly_momentum"]
 )
 def test_new_round5_queries_not_cartesian(spark, name):
     # round-5 additions: IVF-PQ's crossJoins are bounded broadcast sides
