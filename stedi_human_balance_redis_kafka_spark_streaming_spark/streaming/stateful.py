@@ -696,3 +696,51 @@ def streaming_latest_state(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    lo_cents: int = 0,
+    width_cents: int = 2_000,
+    n_buckets: int = 30,
+) -> DataFrame:
+    """Streaming dual of ``events_value_histogram``: per event-time
+    window × type × value-bucket counts under a watermark — the live
+    distribution monitor (drift alarms diff consecutive windows'
+    histograms downstream).
+
+    The bucket id is the same closed-form integer expression as the
+    batch query (clamp((v − lo) div w, 0, n−1) on exact cents), so a
+    closed window's rows equal the batch histogram of its slice.  State
+    = windows-in-delay × types × ≤n_buckets rows — bounded and evicted
+    by the watermark.
+    """
+    e = events.withWatermark("ts", watermark).select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"(v - {lo_cents}) div {width_cents}"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    return (
+        e.groupBy(
+            F.window("ts", win).alias("w"),
+            "event_type",
+            bucket.alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "bucket",
+            "n",
+        )
+    )

@@ -999,3 +999,42 @@ def test_streaming_latest_state_matches_batch(spark, tmp_path):
     assert got == expected
     assert (1, 2, "click", 200, 3) in got  # late event 5 counted, not latest
     assert (2, 4, "purchase", 400, 2) in got
+
+
+def test_windowed_value_histogram_matches_batch(spark, tmp_path):
+    """Streaming histogram (watermarked window × type × bucket): closed
+    windows' counts equal the batch dual on the same rows."""
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "click", 5.00),     # bucket 0
+        (2, _ts("2024-01-01T10:15:00"), "click", 25.00),    # bucket 1
+        (3, _ts("2024-01-01T10:25:00"), "view", 999.00),    # clamped tail
+    ]
+    b1 = [(4, _ts("2024-01-01T14:00:00"), "view", 1.00)]  # advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "evh", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_value_histogram(sdf),
+        f"hist_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = {
+        (r.win_start.isoformat(), r.event_type, r.bucket, r.n)
+        for r in out.collect()
+    }
+    # the 10:00 window closed (watermark passed 13:00) — its rows equal
+    # the batch histogram of that window's slice
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = {
+        (r.win_start.isoformat(), r.event_type, r.bucket, r.n)
+        for r in stateful.windowed_value_histogram(batch_df).collect()
+    }
+    assert expected <= got
+    assert ("2024-01-01T10:00:00", "click", 0, 1) in got
+    assert ("2024-01-01T10:00:00", "click", 1, 1) in got
+    assert ("2024-01-01T10:00:00", "view", 29, 1) in got  # clamped
