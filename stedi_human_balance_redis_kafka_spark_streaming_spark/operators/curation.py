@@ -135,17 +135,27 @@ def sample_weighted(
 
     Weights must be non-negative integers (e.g. ``quality_e6``); weight
     0 still competes via the +1 floor.  Ties break on (priority, id).
+    The precondition is ENFORCED row-side: a negative weight raises at
+    execution (``raise_error`` branch) instead of the silent failure
+    mode it would otherwise have (weight −1 → divide-by-zero → NULL
+    priority → NULLS FIRST would rank the invalid row ahead of every
+    valid one); the orderBy is additionally ``asc_nulls_last`` so no
+    NULL priority can ever win a quota slot.
 
     Scale shape: identical to sample_quota — one per-stratum window
     rank; pre-filter with an approximate priority threshold at extreme
     stratum sizes.  Output: input columns, ≤ quota rows per stratum.
     """
     pri = F.expr(
-        f"cast(conv(substr(md5(concat('{salt}', cast({id_col} as string))),"
-        f" 1, 15), 16, 10) as bigint) div ({weight_col} + 1L)"
+        f"CASE WHEN {weight_col} < 0 THEN raise_error(concat("
+        f"'sample_weighted: negative weight in {weight_col}: ',"
+        f" cast({weight_col} as string)))"
+        f" ELSE cast(conv(substr(md5(concat('{salt}',"
+        f" cast({id_col} as string))),"
+        f" 1, 15), 16, 10) as bigint) div ({weight_col} + 1L) END"
     )
     w = Window.partitionBy(stratum_col).orderBy(
-        pri.alias("__pri"), F.col(id_col)
+        pri.alias("__pri").asc_nulls_last(), F.col(id_col)
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -33,7 +33,9 @@ def pagerank(
 
     Every node must appear as a source at least once (no dangling
     nodes) — symmetrize the edge list first for undirected graphs,
-    which guarantees this.  Ranks start at 1e12 and update as
+    which guarantees this.  The precondition is VALIDATED (one cheap
+    anti-join, raises ``ValueError``), not assumed.  Ranks start at
+    1e12 and update as
 
         r'(v) = (100-d)% · 1e12  +  d% · Σ_{u→v} (r(u) div deg(u))
 
@@ -65,6 +67,27 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     deg.count()  # materialize both caches before the rounds read them
+    # Enforce the documented precondition instead of trusting it: a
+    # dst-only node would silently vanish from the output (nodes come
+    # from deg) and the mass sent to it would be discarded by the
+    # left join below — wrong ranks with no error.  The check is one
+    # anti-join of distinct dst keys against the (node-bounded, cached)
+    # degree table, short-circuited by LIMIT 1.
+    dangling = (
+        e.select(F.col("dst").alias("src"))
+        .distinct()
+        .join(deg, "src", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        e.unpersist()
+        deg.unpersist()
+        raise ValueError(
+            "pagerank: edge list has destination-only (dangling) nodes; "
+            "every node must appear as a source — symmetrize the edge "
+            "list or add self-loops for sinks"
+        )
     base = (RANK_QUANT * (100 - damping_pct)) // 100
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.withColumn("rank_e12", F.lit(RANK_QUANT).cast("long"))

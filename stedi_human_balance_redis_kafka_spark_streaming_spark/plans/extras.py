@@ -1421,7 +1421,8 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST(SUM((o * n - r * c) * (o * n - r * c) * 1000000
-                    // (r * c * n)) AS BIGINT) AS chi2_e6_scaled
+                    // (r * c * n)) AS BIGINT) AS chi2_e6_scaled,
+           CAST(0 AS BIGINT) AS overflow_cells
     FROM cells JOIN rows_ USING (lang) JOIN cols_ USING (source)
     CROSS JOIN tot
     """,
@@ -1437,6 +1438,18 @@ def documents_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; margins and the total derive from the bounded cells frame
     (broadcast joins); every operand is decimal(38,0)-widened before
     multiplication.
+
+    Validity bound (mirrors the z-gate note on events_anomaly_outliers):
+    the deviation |o·n − r·c| ≤ n², so the squared-and-scaled numerator
+    dev²·10⁶ stays inside decimal(38,0) while n⁴·10⁶ < 10³⁸, i.e. up to
+    n = 10⁸ documents — exact there, guaranteed.  Beyond the bound the
+    overflow is LOUD, not silent: under ANSI it throws; under non-ANSI
+    Spark each overflowed product is NULL, and those are counted into
+    ``overflow_cells`` (the oracle pins it to 0, and DuckDB HUGEINT
+    would error outright), so a dropped cell contribution can never
+    masquerade as a valid χ².  Past 10⁸ docs, pre-aggregate cells per
+    shard (the cell table is bounded) or drop the 10⁶ scale for a 10⁹·⁵
+    ceiling.
     """
     dec = "decimal(38,0)"
     cells = (
@@ -1459,7 +1472,6 @@ def documents_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast(dec),
         F.col("n").cast(dec),
     )
-    dev = o * n - r * c
     contrib = F.expr(
         "((o_d * n_d - r_d * c_d) * (o_d * n_d - r_d * c_d) * 1000000)"
         " div (r_d * c_d * n_d)"
@@ -1471,6 +1483,13 @@ def documents_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_cells"),
             F.sum(contrib).cast("long").alias("chi2_e6_scaled"),
+            # Inputs are non-null counts ≥ 1, so a NULL contribution can
+            # only mean non-ANSI decimal overflow — surface it.
+            F.sum(
+                F.when(contrib.isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("overflow_cells"),
         )
     )
     from ..session import scope_caches
@@ -1511,20 +1530,28 @@ def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregable fact rollup to the BOUNDED
     monthly table; the global-order lag window runs on that bounded
     frame only (months, not orders), so the single-partition window is
-    metadata-sized at any corpus volume.  The month key goes through
-    the same UTC-wall-clock render as the as-of join (session-tz
-    independent).
+    metadata-sized at any corpus volume.  The month key is rendered
+    dtype-aware (NTZ formats its wall clock directly; a true instant
+    goes through the UTC render), so it is session-tz independent for
+    both arrival types.
     """
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    month = F.date_format(
-        F.expr(
+    # TZ hygiene (mirrors events_asof_last_order): o_orderdate arrives
+    # TIMESTAMP_NTZ from parquet (isAdjustedToUTC=false), and date_format
+    # over an NTZ renders the wall clock directly — tz-free.  Routing an
+    # NTZ through convert_timezone(current_timezone(), 'UTC', ...) would
+    # instead SHIFT midnight-on-the-1st into the previous month under any
+    # east-of-UTC session zone.  Only a true instant needs the UTC render.
+    if dict(o.dtypes).get("o_orderdate") == "timestamp":
+        month_src = F.expr(
             "convert_timezone(current_timezone(), 'UTC',"
             " CAST(o_orderdate AS TIMESTAMP_NTZ))"
-        ),
-        "yyyy-MM",
-    )
+        )
+    else:
+        month_src = F.col("o_orderdate")
+    month = F.date_format(month_src, "yyyy-MM")
     m = o.groupBy(month.alias("month")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "rev_cents"

@@ -47,6 +47,7 @@ QUERIES = [
     "events_cusum_changepoints",  # ts-ordered prefix windows under tz change
     "ann_mmr_topk",             # integer greedy selection, cached builds
     "curation_chunk_pipeline",  # hash split + window carry composition
+    "orders_monthly_momentum",  # NTZ month render must not shift months
 ]
 
 
@@ -68,6 +69,27 @@ def test_results_invariant_to_timezone_and_partitions(spark, name):
     fn = registry.queries()[name]
     base = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
     with _perturbed(spark):
+        perturbed = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
+    assert perturbed == base
+
+
+# East-of-UTC is the direction that shifts a midnight-NTZ 1st-of-month
+# into the PREVIOUS month if it is wrongly routed through an
+# instant-style convert_timezone render — exercise it explicitly for
+# the calendar-keyed queries (America/New_York only covers the west
+# direction).
+EAST_TZ_QUERIES = [
+    "orders_monthly_momentum",
+    "events_asof_last_order",
+    "stedi_risk_events",
+]
+
+
+@pytest.mark.parametrize("name", EAST_TZ_QUERIES)
+def test_results_invariant_under_east_of_utc_zone(spark, name):
+    fn = registry.queries()[name]
+    base = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
+    with _perturbed(spark, tz="Asia/Tokyo"):
         perturbed = sorted(map(tuple, fn(spark, ORACLE_SF).collect()))
     assert perturbed == base
 

@@ -1125,6 +1125,21 @@ def test_pagerank_rejects_bad_params(spark):
         graph.pagerank(edges, damping_pct=101)
 
 
+def test_pagerank_rejects_dangling_destination_only_nodes(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    # node 2 never appears as a source: its inbound mass would be
+    # silently discarded and it would vanish from the output — the
+    # precondition check must raise instead.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        graph.pagerank(edges, iters=1)
+
+
 def test_sample_weighted_prefers_heavy_rows_and_is_exact_quota(spark):
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
         curation,
@@ -1149,6 +1164,26 @@ def test_sample_weighted_prefers_heavy_rows_and_is_exact_quota(spark):
         ).collect()
     }
     assert again == kept_ids
+
+
+def test_sample_weighted_raises_on_negative_weight(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        curation,
+    )
+
+    # weight -1 would divide by zero → NULL priority → under default
+    # NULLS FIRST the invalid row would silently win a quota slot; the
+    # operator must raise at execution instead.
+    rows = [(0, "en", 5), (1, "en", -1), (2, "en", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+        curation.sample_weighted(
+            df, 2, weight_col="w", stratum_col="lang"
+        ).collect()
+    assert "negative weight" in str(exc.value)
 
 
 def test_mmr_diversifies_away_from_redundant_runner_up(spark):
