@@ -155,7 +155,7 @@ def sample_weighted(
         f" 1, 15), 16, 10) as bigint) div ({weight_col} + 1L) END"
     )
     w = Window.partitionBy(stratum_col).orderBy(
-        pri.alias("__pri").asc_nulls_last(), F.col(id_col)
+        pri.asc_nulls_last(), F.col(id_col)
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -539,4 +539,64 @@ def upsample_by_factor(
             ).alias("copy_id"),
         )
         .drop("__n")
+    )
+
+
+def quality_linear_score(
+    stats: DataFrame,
+    repetition: DataFrame,
+    lm: DataFrame,
+    *,
+    w_quality: int = 50,
+    w_nonrep: int = 30,
+    w_lm: int = 20,
+    lm_sat: int = 10,
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """Document-quality LINEAR scorer: the weighted blend of the three
+    per-document quality signals the engine already computes —
+    ``text_stats.quality_e6`` (length/diversity/stopword),
+    ``repetition_stats.rep_bigram_e6`` (within-doc boilerplate, used
+    inverted), and ``lm_score.lm_score_e6`` (corpus-bigram fluency,
+    saturated at ``lm_sat×`` so its small typical magnitudes occupy the
+    same [0, 1e6] range) — plus the threshold gate that decides which
+    documents survive into the training mixture.
+
+        score_e6 = (w_q·quality_e6 + w_nr·(1e6 − rep_e6)
+                    + w_lm·least(lm_e6·lm_sat, 1e6)) div 100
+
+    All-integer (weights are /100 percentages summing to 100, ``div``
+    truncation, no doubles), so the score and the keep verdict are
+    bit-identical cross-engine.  The combiner touches NO corpus text:
+    it is pure arithmetic over the three (doc_id-keyed, narrow) feature
+    frames, so it adds zero corpus passes beyond the features a
+    curation pipeline has already materialized.
+
+    Output: (doc_id, quality_e6, rep_bigram_e6, lm_score_e6, score_e6,
+    keep).
+
+    Scale shape: two doc_id-keyed equi-joins of narrow feature frames
+    (co-partitioned if the features were written bucketed by doc_id —
+    zero-shuffle then) + a codegen'd projection.  No aggregation, no
+    corpus scan.
+    """
+    if w_quality + w_nonrep + w_lm != 100:
+        raise ValueError("quality_linear_score: weights must sum to 100")
+    f = (
+        stats.select("doc_id", "quality_e6")
+        .join(repetition.select("doc_id", "rep_bigram_e6"), "doc_id")
+        .join(lm.select("doc_id", "lm_score_e6"), "doc_id")
+    )
+    score = F.expr(
+        f"({w_quality} * quality_e6"
+        f" + {w_nonrep} * (1000000L - rep_bigram_e6)"
+        f" + {w_lm} * least(lm_score_e6 * {lm_sat}L, 1000000L)) div 100"
+    )
+    return f.select(
+        "doc_id",
+        "quality_e6",
+        "rep_bigram_e6",
+        "lm_score_e6",
+        score.alias("score_e6"),
+        (score >= F.lit(threshold_e6)).alias("keep"),
     )

@@ -28,16 +28,14 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping_pct: int = 85,
+    dangling: str = "error",
+    validate: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
-    Every node must appear as a source at least once (no dangling
-    nodes) — symmetrize the edge list first for undirected graphs,
-    which guarantees this.  The precondition is VALIDATED (one cheap
-    anti-join, raises ``ValueError``), not assumed.  Ranks start at
-    1e12 and update as
+    Ranks start at 1e12 and update as
 
-        r'(v) = (100-d)% · 1e12  +  d% · Σ_{u→v} (r(u) div deg(u))
+        r'(v) = (100-d)% · 1e12  +  d% · (Σ_{u→v} (r(u) div deg(u)) + S)
 
     entirely in integer arithmetic: per-node messages are ``div``
     truncations, the inbox sum widens to decimal(38,0) (a mega-hub can
@@ -46,20 +44,41 @@ def pagerank(
     an int64 ≤ total mass.  Deterministic and partition-order-invariant,
     hence exactly SQL-mirrorable with unrolled rounds.
 
-    Output: (node, rank_e12) — Σ rank_e12 ≈ n·1e12 (truncation leaks
-    ≤ 1 unit per node per round).
+    Dangling (destination-only) nodes, per ``dangling``:
+
+    - ``"error"`` (default): every node must appear as a source —
+      symmetrize the edge list first for undirected graphs, which
+      guarantees this.  The precondition is VALIDATED (one cheap
+      anti-join, raises ``ValueError``), not assumed; S = 0.  Callers
+      that construct provably-sink-free edges (e.g. symmetrized) may
+      pass ``validate=False`` to skip the check's extra Spark job on
+      hot repeated paths.
+    - ``"redistribute"``: the standard sink-mass correction — each
+      round, the total rank held by out-degree-0 nodes is redistributed
+      uniformly: S = (Σ_{u: deg(u)=0} r(u)) div N over the full node
+      set N = src ∪ dst.  One extra BOUNDED aggregate per round (the
+      dangling-mass sum, partial-aggregable), still integer-exact
+      (truncation leaks ≤ 1 unit per node per round).
+
+    Output: (node, rank_e12) — Σ rank_e12 ≈ n·1e12.
 
     Scale shape: per round, ONE join shuffle keyed by ``src`` (edges ⨝
     ranks; the degree table rides the same key) and one partial-
     aggregable sum keyed by ``dst`` — linear in |edges| with no
     all-pairs anywhere; ``localCheckpoint`` truncates lineage so the
     plan stays O(1) deep across rounds.  Skewed hubs: the inbox sum is
-    partial-aggregable, so a hot destination combines map-side.
+    partial-aggregable, so a hot destination combines map-side.  In
+    redistribute mode the sink scalar is a 1-row broadcast, never a
+    shuffle.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    if dangling not in ("error", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'error' or 'redistribute', got {dangling!r}"
+        )
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -67,30 +86,44 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     deg.count()  # materialize both caches before the rounds read them
-    # Enforce the documented precondition instead of trusting it: a
-    # dst-only node would silently vanish from the output (nodes come
-    # from deg) and the mass sent to it would be discarded by the
-    # left join below — wrong ranks with no error.  The check is one
-    # anti-join of distinct dst keys against the (node-bounded, cached)
-    # degree table, short-circuited by LIMIT 1.
-    dangling = (
-        e.select(F.col("dst").alias("src"))
-        .distinct()
-        .join(deg, "src", "left_anti")
-        .limit(1)
-        .count()
-    )
-    if dangling:
-        e.unpersist()
-        deg.unpersist()
-        raise ValueError(
-            "pagerank: edge list has destination-only (dangling) nodes; "
-            "every node must appear as a source — symmetrize the edge "
-            "list or add self-loops for sinks"
+    if dangling == "error":
+        if validate:
+            # Enforce the documented precondition instead of trusting
+            # it: a dst-only node would silently vanish from the output
+            # (nodes come from deg) and the mass sent to it would be
+            # discarded by the left join below — wrong ranks with no
+            # error.  The check is one anti-join of distinct dst keys
+            # against the (node-bounded, cached) degree table,
+            # short-circuited by LIMIT 1.
+            n_dangling = (
+                e.select(F.col("dst").alias("src"))
+                .distinct()
+                .join(deg, "src", "left_anti")
+                .limit(1)
+                .count()
+            )
+            if n_dangling:
+                e.unpersist()
+                deg.unpersist()
+                raise ValueError(
+                    "pagerank: edge list has destination-only (dangling) "
+                    "nodes; every node must appear as a source — "
+                    "symmetrize the edge list, add self-loops for sinks, "
+                    "or use dangling='redistribute'"
+                )
+        nodes = deg.select(F.col("src").alias("node"))
+        n_nodes = None
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
         )
+        n_nodes = nodes.count()  # one-time bounded build scalar
     base = (RANK_QUANT * (100 - damping_pct)) // 100
-    nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.withColumn("rank_e12", F.lit(RANK_QUANT).cast("long"))
+    zero_dec = "cast(0 as decimal(38,0))"
     for _ in range(iters):
         inbox = (
             e.join(deg, "src")
@@ -102,19 +135,38 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("msg").cast("decimal(38,0)")).alias("m"))
         )
-        ranks = (
-            nodes.join(inbox, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(m, cast(0 as "
-                        f"decimal(38,0)))) div 100"
-                    )
+        updated = nodes.join(inbox, "node", "left")
+        if dangling == "redistribute":
+            # Sink mass this round: ranks of nodes with no out-edges,
+            # split evenly (div-truncated) across ALL nodes.  A 1-row
+            # aggregate broadcast — no extra shuffle on the rank frame.
+            sink_share = (
+                ranks.join(
+                    deg.select(F.col("src").alias("node")),
+                    "node",
+                    "left_anti",
                 )
-                .cast("long")
-                .alias("rank_e12"),
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank_e12").cast("decimal(38,0)")),
+                        F.expr(zero_dec),
+                    ).alias("dmass")
+                )
+                .select(F.expr(f"dmass div {n_nodes}L").alias("share"))
+            )
+            updated = updated.crossJoin(F.broadcast(sink_share))
+            damped = F.expr(
+                f"({damping_pct} * (coalesce(m, {zero_dec})"
+                f" + cast(share as decimal(38,0)))) div 100"
+            )
+        else:
+            damped = F.expr(
+                f"({damping_pct} * coalesce(m, {zero_dec})) div 100"
+            )
+        ranks = (
+            updated.select(
+                "node",
+                (F.lit(base) + damped).cast("long").alias("rank_e12"),
             )
             .localCheckpoint(eager=False)
         )
@@ -122,4 +174,6 @@ def pagerank(
     ranks.count()
     e.unpersist()
     deg.unpersist()
+    if n_nodes is not None:
+        nodes.unpersist()
     return ranks

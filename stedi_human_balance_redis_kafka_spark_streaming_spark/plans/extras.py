@@ -940,7 +940,107 @@ def trade_graph_pagerank(
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    ranks = graph.pagerank(edges, iters=iters)
+    # The union above symmetrizes, so every dst is also a src by
+    # construction — skip the dangling-node check's extra Spark job on
+    # this hot (benchmarked) path; the precondition cannot fail here.
+    ranks = graph.pagerank(edges, iters=iters, validate=False)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        "rank_e12",
+    )
+
+
+def _sql_pagerank_dangling(iters: int) -> str:
+    """Unrolled oracle for the dangling='redistribute' PageRank mode
+    over the DIRECTED (unsymmetrized) customer→supplier purchase graph:
+    suppliers never appear as sources, so EVERY supplier is a sink and
+    each round redistributes the full supplier-held mass uniformly —
+    `//` floor == `div` truncation on all-positive operands, HUGEINT
+    sums == the decimal(38,0) widening, mirroring operators/graph.py
+    bit-for-bit."""
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""r{t} AS MATERIALIZED (
+      SELECT n.node,
+             CAST({_PR_BASE} + (85 * (COALESCE(s.m, 0) + sk.share)) // 100
+               AS BIGINT) AS rank_e12
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_e12 // d.deg) AS m
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank_e12), 0) // (SELECT n FROM nn) AS share
+        FROM {prev} r LEFT JOIN deg d ON d.src = r.node
+        WHERE d.src IS NULL
+      ) sk
+    )""")
+        prev = f"r{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS rank_e12 FROM nodes
+    ),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           rank_e12
+    FROM {prev}
+    """
+
+
+@register("graph_pagerank_dangling", oracle=_sql_pagerank_dangling(_PR_ITERS))
+def graph_pagerank_dangling(
+    spark: SparkSession, sf_dir: str, *, iters: int = _PR_ITERS
+) -> DataFrame:
+    """PageRank with sink-mass redistribution over the DIRECTED
+    customer→supplier purchase graph — the ``dangling='redistribute'``
+    mode of operators/graph.py under the full oracle gate: suppliers
+    have no out-edges (every supplier is a sink), so each round the
+    supplier-held mass is split uniformly (div-truncated) across the
+    whole node set instead of being discarded or raising.
+
+    Scale shape: identical per-round cost to trade_graph_pagerank (one
+    src-keyed join shuffle + one dst-keyed partial-agg sum) plus one
+    BOUNDED extra aggregate per round — the sink-mass sum, a 1-row
+    broadcast, never a shuffle on the rank frame.  Integer-exact
+    (1e12 rank units, /100 damping rational, decimal(38,0) widening),
+    so the unrolled SQL oracle matches bit-for-bit.
+    """
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = graph.pagerank(edges, iters=iters, dangling="redistribute")
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
@@ -1484,9 +1584,15 @@ def documents_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_cells"),
             F.sum(contrib).cast("long").alias("chi2_e6_scaled"),
             # Inputs are non-null counts ≥ 1, so a NULL contribution can
-            # only mean non-ANSI decimal overflow — surface it.
-            F.sum(
-                F.when(contrib.isNull(), F.lit(1)).otherwise(F.lit(0))
+            # only mean non-ANSI decimal overflow — surface it.  On an
+            # EMPTY cell table the sum itself is NULL; coalesce to 0 so
+            # "no cells" reads as "no overflow" (the oracle pins the
+            # column to a constant 0, which SUM-over-zero-rows is not).
+            F.coalesce(
+                F.sum(
+                    F.when(contrib.isNull(), F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("overflow_cells"),
@@ -1544,7 +1650,15 @@ def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTZ through convert_timezone(current_timezone(), 'UTC', ...) would
     # instead SHIFT midnight-on-the-1st into the previous month under any
     # east-of-UTC session zone.  Only a true instant needs the UTC render.
-    if dict(o.dtypes).get("o_orderdate") == "timestamp":
+    dt = dict(o.dtypes).get("o_orderdate")
+    if dt not in ("timestamp", "timestamp_ntz", "date"):
+        # Schema drift must surface as an explicit error, not a silent
+        # (possibly tz-dependent) fall-through into the direct render.
+        raise TypeError(
+            f"orders_monthly_momentum: o_orderdate has unexpected dtype "
+            f"{dt!r}; expected timestamp, timestamp_ntz, or date"
+        )
+    if dt == "timestamp":
         month_src = F.expr(
             "convert_timezone(current_timezone(), 'UTC',"
             " CAST(o_orderdate AS TIMESTAMP_NTZ))"

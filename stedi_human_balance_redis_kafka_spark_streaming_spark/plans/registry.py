@@ -1120,6 +1120,29 @@ def ann_brute_force_topk(
 
 
 
+def _cached_pair_truth(
+    spark: SparkSession,
+    ckey: tuple,
+    build_fn,
+) -> DataFrame:
+    """Shared cache plumbing for the (query_id, vec_id) ground-truth
+    builders: look up ``ckey`` in the ingest-time build cache, else run
+    ``build_fn()`` (which returns the exact distributed truth plan),
+    LIMIT-gate the collect, store, and return the cached frame.  An
+    over-cap truth set degrades to the live distributed plan instead of
+    an unbounded driver materialization."""
+    hit = buildcache.lookup(ckey)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema="query_id long, vec_id long")
+    bf = build_fn().select("query_id", "vec_id")
+    rows = bf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return bf
+    data = [(int(r["query_id"]), int(r["vec_id"])) for r in rows]
+    buildcache.store(ckey, data)
+    return spark.createDataFrame(data, schema="query_id long, vec_id long")
+
+
 def _ann_truth(
     spark: SparkSession,
     sf_dir: str,
@@ -1144,18 +1167,13 @@ def _ann_truth(
     """
     fp = table_fingerprint(sf_dir, "embeddings")
     ckey = ("ann_truth", fp, k, query_modulus)
-    hit = buildcache.lookup(ckey)
-    if hit is not None:
-        return spark.createDataFrame(hit, schema="query_id long, vec_id long")
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_topk(emb, q, k=k).select("query_id", "vec_id")
-    rows = bf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
-    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
-        return bf
-    data = [(int(r["query_id"]), int(r["vec_id"])) for r in rows]
-    buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema="query_id long, vec_id long")
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = similarity.queries_by_modulus(emb, query_modulus)
+        return similarity.brute_force_topk(emb, q, k=k)
+
+    return _cached_pair_truth(spark, ckey, build)
 
 
 def _ann_range_truth(
@@ -1173,20 +1191,13 @@ def _ann_range_truth(
     Output: (query_id, vec_id)."""
     fp = table_fingerprint(sf_dir, "embeddings")
     ckey = ("ann_range_truth", fp, int(round(threshold * 1e6)), query_modulus)
-    hit = buildcache.lookup(ckey)
-    if hit is not None:
-        return spark.createDataFrame(hit, schema="query_id long, vec_id long")
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = similarity.queries_by_modulus(emb, query_modulus)
-    bf = similarity.brute_force_range(emb, q, threshold=threshold).select(
-        "query_id", "vec_id"
-    )
-    rows = bf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
-    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
-        return bf
-    data = [(int(r["query_id"]), int(r["vec_id"])) for r in rows]
-    buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema="query_id long, vec_id long")
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = similarity.queries_by_modulus(emb, query_modulus)
+        return similarity.brute_force_range(emb, q, threshold=threshold)
+
+    return _cached_pair_truth(spark, ckey, build)
 
 
 @register(
@@ -2678,6 +2689,77 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(ret, *caches)
 
 
+@register(
+    "curation_quality_score",
+    # The linear document-quality scorer (operators/curation.py
+    # quality_linear_score): 50/30/20 blend of the three existing
+    # quality signals + the ≥0.5 keep gate, all-integer — the oracle
+    # recomputes the three feature CTEs (text_stats quality_e6,
+    # repetition rep_bigram_e6, bigram-LM lm_score_e6 — same CTE text
+    # as their standalone oracles, sharing ONE bigram set since both
+    # derivations enumerate the identical i ∈ [1, len(t)) positions)
+    # and applies the identical // blend.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    q AS (
+      SELECT doc_id, CAST({_SQL_QE6} AS BIGINT) AS quality_e6 FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS bg
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+    ),
+    per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    rep AS (
+      SELECT doc_id, SUM(c) AS nb,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS rp
+      FROM per_bg GROUP BY doc_id
+    ),
+    bc AS (SELECT w1, bg, COUNT(*) AS c12 FROM bg GROUP BY w1, bg),
+    pc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    st AS (
+      SELECT bc.bg, (c12 * 1000000) // c1 AS p_e6
+      FROM bc JOIN pc USING (w1)
+    ),
+    lmper AS (
+      SELECT b.doc_id, COUNT(*) AS nb, SUM(p_e6) AS s
+      FROM bg b JOIN st USING (bg) GROUP BY b.doc_id
+    ),
+    f AS (
+      SELECT q.doc_id, q.quality_e6,
+             CAST(COALESCE((r.rp * 1000000) // r.nb, 0) AS BIGINT)
+               AS rep_bigram_e6,
+             CAST(COALESCE(l.s // l.nb, 0) AS BIGINT) AS lm_score_e6
+      FROM q
+      LEFT JOIN rep r USING (doc_id)
+      LEFT JOIN lmper l USING (doc_id)
+    )
+    SELECT doc_id, quality_e6, rep_bigram_e6, lm_score_e6,
+           CAST((50 * quality_e6 + 30 * (1000000 - rep_bigram_e6)
+                 + 20 * least(lm_score_e6 * 10, 1000000)) // 100
+                AS BIGINT) AS score_e6,
+           ((50 * quality_e6 + 30 * (1000000 - rep_bigram_e6)
+             + 20 * least(lm_score_e6 * 10, 1000000)) // 100)
+             >= 500000 AS keep
+    FROM f
+    """,
+)
+def curation_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear document-quality score + keep gate over the three existing
+    per-document quality signals (length/diversity/stopword blend,
+    within-doc repetition inverted, corpus-bigram fluency saturated) —
+    the single number a curation pipeline thresholds on.  The combiner
+    itself touches no corpus text: pure integer arithmetic over the
+    doc_id-keyed feature frames (zero new corpus passes beyond the
+    features).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.quality_linear_score(
+        text_ops.text_stats(docs).select("doc_id", "quality_e6"),
+        text_ops.repetition_stats(docs).select("doc_id", "rep_bigram_e6"),
+        text_ops.lm_score(docs).select("doc_id", "lm_score_e6"),
+    )
+
+
 def _bpe_rounds(n_merges: int, batch: int) -> list[int]:
     """Per-round merge counts: full ``batch`` rounds plus a remainder."""
     out, done = [], 0
@@ -3569,30 +3651,36 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     "ann_brute_force_topk": "ann_ivf_recall",
     # same Arrow-batched mapInPandas plumbing + numpy index math over the
     # deterministic fake decode; frame_sample is the stronger multi-row
-    # claim (metadata + byte_features + frame_sample stay in-window)
+    # claim and stays in-window
     "multimodal_resize": "multimodal_frame_sample",
-    # identical cluster assignment + identical oracle; star contraction
-    # is the long-chain-graph engine, propagation the in-window carrier
-    "dedup_clusters_star": "dedup_clusters",
+    # identical cluster assignment + identical oracle; r07 swaps the
+    # carrier direction of the r06 pair: min-label propagation was
+    # driver-verified r04-r06, so the star-contraction engine (never
+    # driver-hashed) takes the window slot and propagation rides behind
+    "dedup_clusters": "dedup_clusters_star",
 }
 
 # Extended tier: oracle-backed queries outside the 50-slot driver window.
 # The window is allocated by FAMILY NOVELTY: the SURVEY-mandated set plus
 # one representative per operator family claims its slots first, so
 # same-family variants yield their slots to operators that are the ONLY
-# window representative of their family.  Round 6 additionally ROTATES
-# the window: ten never-driver-hashed round-5 additions (sketch re-agg,
-# KLL merge, CUSUM, transitions, chi-square, momentum, latest-state,
-# containment, range recall, chunk pipeline) swap in for ten veterans
-# that passed the driver check in BOTH r04 and r05 and keep an in-window
-# family sibling (three TPC-H shapes behind q1/q3/q5/q10/q11; pivot
-# behind cube; three text variants behind stats/tokens/lang-id/corpus;
-# byte_features behind metadata+frame_sample; lsh_recall behind
-# minhash_lsh+embedding_recall; customer_order_stats behind the TPC-H
-# join+agg set).  Everything here is re-verified by the local
-# dtype-faithful parity suite every round.
+# window representative of their family.  The window also ROTATES each
+# round (r06 proved the mechanism: 10/10 first-try green): queries that
+# passed the driver check in the TWO most recent rounds and keep an
+# in-window family sibling yield their slots to never-driver-hashed
+# queries.  Round 7 swaps twelve r05+r06 veterans out (mmr behind
+# ivf_topk + the incoming pq/ivfpq recalls; q5/q11 behind
+# q1/q3/q10 + the incoming q7; repetition+corpus_report behind
+# stats/tokens/lang-id/chunk-pipeline; metadata behind frame_sample;
+# order_price_quantiles behind the in-window KLL merge + incoming
+# deciles; anomaly_outliers behind the in-window CUSUM + incoming
+# histogram; sample_stratified + pack_sequences behind keep_best /
+# quality_score / pipeline / chunk_pipeline; dedup_exact behind the
+# five other dedup reps; clusters behind the incoming star form) for
+# ten never-verified promotions plus the two new round-7 operators
+# (graph_pagerank_dangling, curation_quality_score).  Everything here
+# is re-verified by the local dtype-faithful parity suite every round.
 EXTENDED_QUERIES: tuple[str, ...] = (
-    "q7_nation_trade_volume",
     "q12_priority_lines",
     "q17_small_quantity_revenue",
     "q6_forecast_revenue",
@@ -3610,24 +3698,20 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "lineitem_quality_checks",
     "order_price_quantiles_approx",
     "ann_ivf_spill_recall",
-    "ann_pq_recall",
     "ann_label_purity",
     "text_shared_spans",
     "curation_rebalance",
-    "dedup_multi_signal",
     "ann_pq_trained_recall",
     "text_pii_scrub",
     "text_lm_score",
     "events_funnel",
     "events_gapfill_rollup",
-    "curation_keep_best",
     "events_retention_cohorts",
     "lineitem_bloom_prune_revenue",
     "events_gapfill_locf",
     "curation_upsample",
     "text_bpe_merges",
     "text_bpe_segment",
-    "ann_ivfpq_recall",
     "curation_sample_quota",
     "text_chunk_sliding",
     "ann_range_search",
@@ -3636,10 +3720,6 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "curation_sample_weighted",
     "text_chunk_dups",
     "curation_split",
-    "events_value_deciles",
-    "embeddings_label_centroids",
-    "events_value_histogram",
-    "lineitem_corr_components",
     # --- round-6 rotation: r04+r05 veterans with in-window siblings ---
     "q4_priority_semi",
     "q19_disjunctive_revenue",
@@ -3651,6 +3731,18 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "multimodal_byte_features",
     "dedup_lsh_recall",
     "customer_order_stats",
+    # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
+    "ann_mmr_topk",
+    "q11_supplier_concentration",
+    "q5_local_supplier_volume",
+    "text_repetition_stats",
+    "corpus_report",
+    "multimodal_metadata",
+    "order_price_quantiles",
+    "events_anomaly_outliers",
+    "curation_sample_stratified",
+    "dedup_exact",
+    "curation_pack_sequences",
 )
 
 

@@ -48,6 +48,8 @@ QUERIES = [
     "ann_mmr_topk",             # integer greedy selection, cached builds
     "curation_chunk_pipeline",  # hash split + window carry composition
     "orders_monthly_momentum",  # NTZ month render must not shift months
+    "graph_pagerank_dangling",  # sink-mass share must be partition-invariant
+    "curation_quality_score",   # integer blend across partitionings
 ]
 
 

@@ -1138,6 +1138,86 @@ def test_pagerank_rejects_dangling_destination_only_nodes(spark):
     )
     with pytest.raises(ValueError, match="dangling"):
         graph.pagerank(edges, iters=1)
+    with pytest.raises(ValueError, match="dangling"):
+        graph.pagerank(edges, iters=1, dangling="bogus")
+    # validate=False is the trusted-caller escape hatch: no check job,
+    # no raise — output covers source nodes only (documented contract).
+    r = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(edges, iters=1, validate=False).collect()
+    }
+    assert set(r) == {0, 1}
+
+
+def test_pagerank_redistribute_sink_mass_hand_computed(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    # 0 → {1, 2}; nodes 1 and 2 are pure sinks.  N = 3, r0 = 1e12 each.
+    edges = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    r = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(
+            edges, iters=1, dangling="redistribute"
+        ).collect()
+    }
+    base = 150_000_000_000
+    share = (2 * 10**12) // 3  # both sinks' full mass, split 3 ways
+    msg = 10**12 // 2  # node 0's rank over out-degree 2
+    assert set(r) == {0, 1, 2}
+    assert r[0] == base + (85 * share) // 100
+    assert r[1] == base + (85 * (msg + share)) // 100
+    assert r[2] == r[1]
+
+
+def test_pagerank_redistribute_matches_error_mode_when_no_sinks(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    # With zero dangling nodes the sink share is 0 every round, so the
+    # two modes must agree bit-for-bit.
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(edges, iters=3).collect()
+    }
+    b = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(
+            edges, iters=3, dangling="redistribute"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_quality_linear_score_blend_and_gate(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        curation,
+    )
+
+    stats = spark.createDataFrame(
+        [(1, 900_000), (2, 100_000)], "doc_id long, quality_e6 long"
+    )
+    rep = spark.createDataFrame(
+        [(1, 0), (2, 800_000)], "doc_id long, rep_bigram_e6 long"
+    )
+    lm = spark.createDataFrame(
+        [(1, 200_000), (2, 1_000)], "doc_id long, lm_score_e6 long"
+    )
+    out = {
+        r["doc_id"]: (r["score_e6"], r["keep"])
+        for r in curation.quality_linear_score(stats, rep, lm).collect()
+    }
+    # doc 1: (50·9e5 + 30·1e6 + 20·min(2e6, 1e6)) div 100 = 950000
+    assert out[1] == (950_000, True)
+    # doc 2: (50·1e5 + 30·2e5 + 20·1e4) div 100 = 112000
+    assert out[2] == ((50 * 100_000 + 30 * 200_000 + 20 * 10_000) // 100,
+                      False)
+    with pytest.raises(ValueError, match="sum to 100"):
+        curation.quality_linear_score(stats, rep, lm, w_quality=90)
 
 
 def test_sample_weighted_prefers_heavy_rows_and_is_exact_quota(spark):

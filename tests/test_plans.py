@@ -211,6 +211,15 @@ def test_new_round5_queries_not_cartesian(spark, name):
     assert "CartesianProduct" not in _plan(spark, name)
 
 
+@pytest.mark.parametrize(
+    "name", ["graph_pagerank_dangling", "curation_quality_score"]
+)
+def test_new_round7_queries_not_cartesian(spark, name):
+    # pagerank's sink-share crossJoin is a 1-row broadcast aggregate
+    # (BroadcastNestedLoopJoin); the quality scorer is doc_id equi-joins
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
 def test_ivfpq_candidate_restriction_is_broadcast(spark):
     # the probed-bucket restriction and the ADC LUT join must both be
     # broadcast-side bounded — the full code table never sort-merges
