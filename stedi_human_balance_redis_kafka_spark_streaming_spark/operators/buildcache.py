@@ -1,5 +1,6 @@
 """Ingest-time index-build cache (shared by trained k-means centroids,
-PQ codebooks, and the verified near-dup pair graph).
+PQ codebooks, BPE merge tables, the verified near-dup pair graph, and
+the ANN ground-truth sets).
 
 Index TRAINING / pair-graph VERIFICATION is an ingest-time build step,
 not a per-query cost: a production system builds these artifacts once
@@ -13,47 +14,169 @@ redundant rebuild is skipped.  Entries are plain Python rows (kilobytes
 table_fingerprint`` — so a regenerated corpus at the same path can
 never be served a stale artifact) plus every build parameter.
 
-The cache is LRU-bounded (``MAX_ENTRIES``): a long-lived session
-training over many corpora evicts its oldest builds instead of growing
-without bound.  ``invalidate()`` clears it explicitly (tests, corpus
-rewrites within one process when a fingerprint is not practical).
+Two tiers:
+
+* **Memory** — an LRU-bounded ``OrderedDict`` (``MAX_ENTRIES``): a
+  long-lived session training over many corpora evicts its oldest
+  builds instead of growing without bound.
+* **Disk** — each entry is also written as a small Parquet file under
+  the Spark-conventional warehouse location
+  ``$PWD/spark-warehouse/buildcache/`` (override with
+  ``$SPARK_GRAFT_BUILDCACHE_DIR``; set it to the empty string to
+  disable the tier).  This is the production contract: ingest builds
+  once, every later JOB — not just every later query in one process —
+  reads the built artifact.  A cold session's first lookup loads the
+  Parquet entry back into the memory LRU instead of retraining.
+  Filenames are the sha256 of the full key; the exact key repr is
+  stored in the Parquet schema metadata and verified on read, so a
+  hash collision or a regenerated corpus (different fingerprint ⇒
+  different key ⇒ different file) can never serve a wrong artifact.
+  Writes are atomic (tmp + rename) and best-effort: an unwritable
+  warehouse degrades to memory-only, never to an error.
+
+``invalidate()`` clears both tiers (tests, corpus rewrites within one
+process when a fingerprint is not practical).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections import OrderedDict
 
 MAX_ENTRIES = 32
 
 INDEX_BUILD_CACHE: "OrderedDict[tuple, list[tuple]]" = OrderedDict()
 
+_KEY_META = b"buildcache_key"
+_CORPUS_META = b"buildcache_corpus"
+
+
+def _disk_dir() -> str | None:
+    """Disk-tier directory, or None when the tier is disabled (env set
+    to the empty string).  Defaults to the Spark-conventional warehouse
+    path under the current working directory — the same resolution rule
+    as Spark's own ``spark.sql.warehouse.dir`` default."""
+    d = os.environ.get("SPARK_GRAFT_BUILDCACHE_DIR")
+    if d is not None:
+        return d or None
+    return os.path.join(os.getcwd(), "spark-warehouse", "buildcache")
+
+
+def _path(d: str, key: tuple) -> str:
+    h = hashlib.sha256(repr(key).encode()).hexdigest()[:40]
+    return os.path.join(d, f"{h}.parquet")
+
+
+def _rows_to_disk(d: str, key: tuple, rows: list[tuple]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows)) if rows else []
+    table = pa.table(
+        {f"c{i}": pa.array(list(c)) for i, c in enumerate(cols)}
+    )
+    table = table.replace_schema_metadata(
+        {
+            _KEY_META: repr(key).encode(),
+            _CORPUS_META: repr(key[1]).encode() if len(key) > 1 else b"",
+        }
+    )
+    os.makedirs(d, exist_ok=True)
+    tmp = _path(d, key) + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, _path(d, key))
+
+
+def _rows_from_disk(d: str, key: tuple) -> list[tuple] | None:
+    import pyarrow.parquet as pq
+
+    path = _path(d, key)
+    if not os.path.exists(path):
+        return None
+    table = pq.read_table(path)
+    meta = table.schema.metadata or {}
+    if meta.get(_KEY_META) != repr(key).encode():
+        return None  # collision / corruption guard — treat as a miss
+    cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+    if not cols:
+        return []
+    return [tuple(vals) for vals in zip(*cols)]
+
 
 def lookup(key: tuple) -> list[tuple] | None:
     """Return the cached rows for ``key`` (refreshing its LRU position),
-    or None on a miss."""
+    consulting memory first, then the Parquet warehouse tier (a disk
+    hit is promoted into the memory LRU); None on a full miss."""
     rows = INDEX_BUILD_CACHE.get(key)
     if rows is not None:
         INDEX_BUILD_CACHE.move_to_end(key)
+        return rows
+    d = _disk_dir()
+    if d is None:
+        return None
+    try:
+        rows = _rows_from_disk(d, key)
+    except Exception:
+        return None  # unreadable entry == miss; the build recreates it
+    if rows is not None:
+        _store_memory(key, rows)
     return rows
 
 
-def store(key: tuple, rows: list[tuple]) -> None:
-    """Insert ``rows`` under ``key``, evicting least-recently-used
-    entries beyond ``MAX_ENTRIES``."""
+def _store_memory(key: tuple, rows: list[tuple]) -> None:
     INDEX_BUILD_CACHE[key] = rows
     INDEX_BUILD_CACHE.move_to_end(key)
     while len(INDEX_BUILD_CACHE) > MAX_ENTRIES:
         INDEX_BUILD_CACHE.popitem(last=False)
 
 
+def store(key: tuple, rows: list[tuple]) -> None:
+    """Insert ``rows`` under ``key`` in the memory LRU (evicting beyond
+    ``MAX_ENTRIES``) and persist them to the warehouse tier
+    (best-effort atomic Parquet write)."""
+    _store_memory(key, rows)
+    d = _disk_dir()
+    if d is None:
+        return
+    try:
+        _rows_to_disk(d, key, rows)
+    except Exception:
+        pass  # memory tier still holds the entry; disk is an optimization
+
+
 def invalidate(prefix: str | None = None) -> int:
     """Drop every entry (or only those whose corpus key — element [1] of
-    the tuple — equals ``prefix``).  Returns the number evicted."""
+    the key tuple — equals ``prefix``) from BOTH tiers.  Returns the
+    number of distinct keys evicted."""
+    evicted: set[bytes] = set()
     if prefix is None:
-        n = len(INDEX_BUILD_CACHE)
-        INDEX_BUILD_CACHE.clear()
-        return n
-    victims = [k for k in INDEX_BUILD_CACHE if len(k) > 1 and k[1] == prefix]
-    for k in victims:
+        mem_victims = list(INDEX_BUILD_CACHE)
+    else:
+        mem_victims = [
+            k for k in INDEX_BUILD_CACHE if len(k) > 1 and k[1] == prefix
+        ]
+    for k in mem_victims:
+        evicted.add(repr(k).encode())
         del INDEX_BUILD_CACHE[k]
-    return len(victims)
+    d = _disk_dir()
+    if d is not None and os.path.isdir(d):
+        import pyarrow.parquet as pq
+
+        want = None if prefix is None else repr(prefix).encode()
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(d, fn)
+            try:
+                meta = pq.read_schema(path).metadata or {}
+            except Exception:
+                continue
+            if want is not None and meta.get(_CORPUS_META) != want:
+                continue
+            try:
+                os.remove(path)
+            except OSError:
+                continue
+            evicted.add(meta.get(_KEY_META, fn.encode()))
+    return len(evicted)

@@ -726,13 +726,15 @@ def test_index_build_cache_bit_identical_and_scoped(vec_corpus):
     assert len(keys) == 2 and other is not None
 
 
-def test_index_build_cache_lru_eviction():
-    """The build cache is LRU-bounded: overfilling past MAX_ENTRIES
-    evicts the least-recently-used key; touching a key refreshes it."""
+def test_index_build_cache_lru_eviction(monkeypatch):
+    """The MEMORY tier is LRU-bounded: overfilling past MAX_ENTRIES
+    evicts the least-recently-used key; touching a key refreshes it.
+    (Disk tier disabled so eviction is observable as a miss.)"""
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
         buildcache,
     )
 
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", "")
     saved = dict(buildcache.INDEX_BUILD_CACHE)
     buildcache.INDEX_BUILD_CACHE.clear()
     try:
@@ -748,6 +750,68 @@ def test_index_build_cache_lru_eviction():
         assert buildcache.lookup(("t", "corpus-0")) == [(0,)]
         assert buildcache.invalidate("corpus-0") == 1
         assert buildcache.lookup(("t", "corpus-0")) is None
+    finally:
+        buildcache.INDEX_BUILD_CACHE.clear()
+        buildcache.INDEX_BUILD_CACHE.update(saved)
+
+
+def test_build_cache_disk_tier_survives_cold_session(tmp_path, monkeypatch):
+    """The warehouse Parquet tier is the cross-JOB contract: a cold
+    process (empty memory LRU) must serve the ingest-built artifact from
+    disk, bit-identical, instead of retraining."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        buildcache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", str(tmp_path))
+    saved = dict(buildcache.INDEX_BUILD_CACHE)
+    buildcache.INDEX_BUILD_CACHE.clear()
+    try:
+        rows = [(1, "lo w", 0.75), (2, "hi", -3.0)]
+        buildcache.store(("pq", "fp-abc", 8, 2), rows)
+        # simulate a cold session: memory gone, disk remains
+        buildcache.INDEX_BUILD_CACHE.clear()
+        assert buildcache.lookup(("pq", "fp-abc", 8, 2)) == rows
+        # the disk hit was promoted back into the memory LRU
+        assert ("pq", "fp-abc", 8, 2) in buildcache.INDEX_BUILD_CACHE
+        # a different key (regenerated-corpus fingerprint) is a miss
+        assert buildcache.lookup(("pq", "fp-XYZ", 8, 2)) is None
+        # empty row lists round-trip too (e.g. a no-duplicates corpus)
+        buildcache.store(("dup_pairs", "fp-abc"), [])
+        buildcache.INDEX_BUILD_CACHE.clear()
+        assert buildcache.lookup(("dup_pairs", "fp-abc")) == []
+    finally:
+        buildcache.INDEX_BUILD_CACHE.clear()
+        buildcache.INDEX_BUILD_CACHE.update(saved)
+
+
+def test_build_cache_disk_tier_fingerprint_invalidation(tmp_path, monkeypatch):
+    """invalidate(prefix) removes matching entries from BOTH tiers and
+    leaves other corpora's artifacts in place; corrupt files read as
+    misses, never as errors or wrong artifacts."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        buildcache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", str(tmp_path))
+    saved = dict(buildcache.INDEX_BUILD_CACHE)
+    buildcache.INDEX_BUILD_CACHE.clear()
+    try:
+        buildcache.store(("ann_truth", "fp-A", 10), [(1, 2)])
+        buildcache.store(("dup_pairs", "fp-A"), [(3, 4, 0.9)])
+        buildcache.store(("ann_truth", "fp-B", 10), [(5, 6)])
+        assert buildcache.invalidate("fp-A") == 2
+        buildcache.INDEX_BUILD_CACHE.clear()  # prove disk removal too
+        assert buildcache.lookup(("ann_truth", "fp-A", 10)) is None
+        assert buildcache.lookup(("dup_pairs", "fp-A")) is None
+        assert buildcache.lookup(("ann_truth", "fp-B", 10)) == [(5, 6)]
+        # corrupt entry == miss
+        key = ("ann_truth", "fp-B", 10)
+        path = buildcache._path(str(tmp_path), key)
+        with open(path, "wb") as f:
+            f.write(b"not a parquet file")
+        buildcache.INDEX_BUILD_CACHE.clear()
+        assert buildcache.lookup(key) is None
     finally:
         buildcache.INDEX_BUILD_CACHE.clear()
         buildcache.INDEX_BUILD_CACHE.update(saved)
