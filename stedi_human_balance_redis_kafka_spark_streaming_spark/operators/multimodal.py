@@ -223,27 +223,41 @@ OUT_W = OUT_H = 4
 RESIZE_SCHEMA = "doc_id long, n_bytes long, grid_h long, resized_hex string"
 
 
-def resize_fake(blobs: DataFrame) -> DataFrame:
-    """Deterministic fake image resize — the image-modality plumbing.
+def resize_box(blobs: DataFrame) -> DataFrame:
+    """Byte-level integer BOX-FILTER (area) downsample — real
+    resampling math over the image-modality plumbing, no codec needed.
 
     Interprets each blob as a ``GRID_W``-wide byte grid (height =
-    ceil(n_bytes / GRID_W)) and nearest-neighbor downsamples it to
-    ``OUT_H×OUT_W``: output pixel (r, c) reads the byte at row
-    ``r·H div OUT_H``, column ``c·GRID_W div OUT_W`` (clamped to the
-    last byte for the ragged final row).  A real pipeline would call the
-    codec + PIL/opencv exactly here (see :func:`decode_media`);
-    the index arithmetic, Arrow batching, and schema contract are what
-    this exercises.  Output: (doc_id, n_bytes, grid_h, resized_hex) —
-    the 16 sampled bytes hex-concatenated, SQL-reproducible from
-    hex(blob).  Empty blobs emit no row (nothing to sample).
+    ceil(n_bytes / GRID_W), last row ragged) and area-downsamples it to
+    ``OUT_H×OUT_W``: output pixel (r, c) is the truncated integer MEAN
+    of its source box — rows ``[r·H div OUT_H, max((r+1)·H div OUT_H,
+    r·H div OUT_H + 1))`` (the ``max`` keeps short grids, H < OUT_H,
+    sampling at least one row), columns ``[c·GRID_W div OUT_W,
+    (c+1)·GRID_W div OUT_W)`` — counting only bytes that exist; a box
+    that falls entirely past the ragged end degrades to the last byte
+    (clamp convention).  A real pipeline would decode via the codec +
+    PIL/opencv right before this arithmetic (see :func:`decode_media`);
+    the box-mean math, Arrow batching, and schema contract are real and
+    exercised.
+
+    Output: (doc_id, n_bytes, grid_h, resized_hex) — the 16 pixel bytes
+    hex-concatenated, integer-exact hence SQL-reproducible from
+    hex(blob).  Empty blobs emit no row.
+
+    Scale shape: whole-batch numpy — per Arrow batch, blobs pad into
+    one (m, H_max, GRID_W) value/mask pair whose 2-D prefix sums
+    (integral images) answer all m·16 box sums and counts with a few
+    fancy-indexed gathers; no per-box Python loop.  Batches are
+    size-bounded by Arrow, so H_max is the batch's largest blob — fine
+    for thumbnails/metadata blobs; shard oversized media first.
     """
 
     def _resize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        rr = np.arange(OUT_H).repeat(OUT_W)  # 0 0 0 0 1 1 1 1 ...
-        cc = np.tile(np.arange(OUT_W), OUT_H)
-        col_off = (cc * GRID_W) // OUT_W  # constant per output col
+        r_ids = np.arange(OUT_H)
+        c0 = (np.arange(OUT_W) * GRID_W) // OUT_W
+        c1 = ((np.arange(OUT_W) + 1) * GRID_W) // OUT_W
 
         for pdf in pdf_iter:
             if not len(pdf):
@@ -255,16 +269,41 @@ def resize_fake(blobs: DataFrame) -> DataFrame:
             ]
             if not keep:
                 continue
+            m = len(keep)
             ids = np.array([k[0] for k in keep], dtype="int64")
             lens = np.array([len(k[1]) for k in keep], dtype="int64")
             h = -(-lens // GRID_W)  # ceil
-            # m×16 sample offsets, clamped to the blob's last byte
-            off = ((rr[None, :] * h[:, None]) // OUT_H) * GRID_W + col_off[None, :]
-            off = np.minimum(off, (lens - 1)[:, None])
-            sigs = [
-                bytes(blob[o] for o in off[i]).hex()
-                for i, (_, blob) in enumerate(keep)
-            ]
+            hmax = int(h.max())
+            vals = np.zeros((m, hmax * GRID_W), dtype="int64")
+            mask = np.zeros((m, hmax * GRID_W), dtype="int64")
+            for i, (_, blob) in enumerate(keep):
+                vals[i, : lens[i]] = np.frombuffer(blob, dtype=np.uint8)
+                mask[i, : lens[i]] = 1
+            # integral images with a zero border: S[i, r, c] = sum of
+            # grid[:r, :c] — each box sum is 4 gathered corners
+            def integral(x):
+                s = np.zeros((m, hmax + 1, GRID_W + 1), dtype="int64")
+                s[:, 1:, 1:] = x.reshape(m, hmax, GRID_W).cumsum(1).cumsum(2)
+                return s
+            sv, sm = integral(vals), integral(mask)
+            r0s = (r_ids[None, :] * h[:, None]) // OUT_H  # (m, OUT_H)
+            r1s = np.maximum(
+                ((r_ids[None, :] + 1) * h[:, None]) // OUT_H, r0s + 1
+            )
+            rows_m = np.arange(m)[:, None]
+            def box(s):
+                hi = s[rows_m, r1s, :]  # (m, OUT_H, GRID_W+1)
+                lo = s[rows_m, r0s, :]
+                return (
+                    (hi[:, :, c1] - hi[:, :, c0])
+                    - (lo[:, :, c1] - lo[:, :, c0])
+                )  # (m, OUT_H, OUT_W)
+            sums, cnts = box(sv), box(sm)
+            last = vals[rows_m[:, 0], lens - 1][:, None, None]
+            pix = np.where(
+                cnts > 0, sums // np.maximum(cnts, 1), last
+            ).reshape(m, OUT_H * OUT_W)
+            sigs = [bytes(pix[i].tolist()).hex() for i in range(m)]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -3184,10 +3184,12 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_resize",
-    # Nearest-neighbor index math over the byte grid, mirrored from
-    # hex(blob): output pixel (r,c) reads byte (r*H div 4)*16 + (c*16
-    # div 4), clamped — pure integer ops, bit-exact both engines.
+    "multimodal_resize_box",
+    # Integer box-filter (area) downsample mirrored from hex(blob):
+    # pixel (r,c) = truncated mean of its source box (rows r·H div 4 ..
+    # max((r+1)·H div 4, r0+1)−1, cols 4c..4c+3), existing bytes only,
+    # last-byte clamp for past-the-end boxes — pure integer ops, so the
+    # resampled bytes are bit-exact on both engines.
     oracle="""
     WITH h AS (
       SELECT doc_id,
@@ -3197,23 +3199,50 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE octet_length(encode(text)) > 0
     ), g AS (
       SELECT doc_id, hx, n_bytes, (n_bytes + 15) // 16 AS grid_h FROM h
+    ), px AS (
+      SELECT doc_id, hx, n_bytes, grid_h, i, i // 4 AS r, i % 4 AS c
+      FROM g, LATERAL (SELECT unnest(range(0, 16)) AS i) q
+    ), b AS (
+      SELECT *,
+             (r * grid_h) // 4 AS r0,
+             greatest(((r + 1) * grid_h) // 4, (r * grid_h) // 4 + 1) AS r1
+      FROM px
+    ), v AS (
+      SELECT doc_id, hx, n_bytes, grid_h, i,
+             list_filter(
+               [(r0 + k // 4) * 16 + 4 * c + (k % 4)
+                for k in generate_series(0, (r1 - r0) * 4 - 1)],
+               x -> x < n_bytes) AS idxs
+      FROM b
+    ), pix AS (
+      SELECT doc_id, n_bytes, grid_h, i,
+             CASE WHEN len(idxs) > 0 THEN
+               list_sum(list_transform(idxs, x ->
+                 (strpos('0123456789ABCDEF', substr(hx, 2*x + 1, 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx, 2*x + 2, 1)) - 1))
+               // len(idxs)
+             ELSE
+               (strpos('0123456789ABCDEF',
+                       substr(hx, 2*(n_bytes - 1) + 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF',
+                        substr(hx, 2*(n_bytes - 1) + 2, 1)) - 1
+             END AS p
+      FROM v
     )
     SELECT doc_id, n_bytes, grid_h,
-           lower(array_to_string(
-             [substr(hx,
-                     CAST(2 * least(((i // 4) * grid_h) // 4 * 16
-                                    + ((i % 4) * 16) // 4,
-                                    n_bytes - 1) + 1 AS INT),
-                     2)
-              for i in generate_series(0, 15)], '')) AS resized_hex
-    FROM g
+           array_to_string(
+             list(format('{:02x}', CAST(p AS BIGINT)) ORDER BY i), '')
+             AS resized_hex
+    FROM pix
+    GROUP BY doc_id, n_bytes, grid_h
     """,
 )
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-modality plumbing: deterministic nearest-neighbor fake
-    resize of the byte grid via Arrow-batched mapInPandas."""
+def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality resampling: integer box-filter (area) downsample
+    of the byte grid via whole-batch integral images in Arrow-batched
+    mapInPandas — real resampling arithmetic, codec-free."""
     blobs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
-    return multimodal.resize_fake(blobs)
+    return multimodal.resize_box(blobs)
 
 
 @register(
@@ -3649,10 +3678,11 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     # inside one query, so the eval is the stronger in-window claim
     "dedup_embedding_bucketed": "dedup_embedding_recall",
     "ann_brute_force_topk": "ann_ivf_recall",
-    # same Arrow-batched mapInPandas plumbing + numpy index math over the
-    # deterministic fake decode; frame_sample is the stronger multi-row
-    # claim and stays in-window
-    "multimodal_resize": "multimodal_frame_sample",
+    # same Arrow-batched mapInPandas plumbing over the codec-free byte
+    # grid; frame_sample is the stronger multi-row claim and stays
+    # in-window (the box-filter math itself is oracle-verified in the
+    # parity suite + hand-computed pytest cases)
+    "multimodal_resize_box": "multimodal_frame_sample",
     # identical cluster assignment + identical oracle; r07 swaps the
     # carrier direction of the r06 pair: min-label propagation was
     # driver-verified r04-r06, so the star-contraction engine (never

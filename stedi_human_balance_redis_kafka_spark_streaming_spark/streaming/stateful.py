@@ -744,3 +744,47 @@ def windowed_value_histogram(
             "n",
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming HLL distinct-users monitor — sketch mergeability in the
+    streaming plane (the live counterpart of the batch two-level
+    ``events_sketch_reaggregate``): per event-time window × type, emit
+    the DataSketches HLL sketch BYTES alongside its estimate and the
+    window's row count.
+
+    Emitting the sketch, not just the number, is the point: closed
+    windows' sketches union downstream (``hll_union_agg``) into
+    per-day / per-type-group / global distinct counts WITHOUT
+    re-reading the stream — the same leaf-sketch contract the batch
+    rollup cube relies on, now produced incrementally at ingest.
+
+    State: windows-in-delay × types × one HLL sketch (≤ 2^lgk
+    registers, KBs at lgk=12) — bounded, watermark-evicted, and
+    independent of per-window event volume (the property that makes
+    the monitor viable on an unbounded stream where a distinct-set
+    state would grow with cardinality).
+    """
+    e = events.withWatermark("ts", watermark).select(
+        "ts", "event_type", "user_id"
+    )
+    return (
+        e.groupBy(F.window("ts", win).alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sketch"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("approx_users"),
+            "sketch",
+            "n_events",
+        )
+    )

@@ -477,22 +477,36 @@ def test_write_curated_partitioned_roundtrip(spark, tmp_path):
     }
 
 
-def test_resize_fake_grid_sampling(spark):
-    # 32 bytes → 2 grid rows; output row index r maps to grid row
-    # r*2 div 4 = {0,0,0,0... r<2} ∪ {1 for r>=2}; cols sample 0,4,8,12.
+def test_resize_box_filter_means(spark):
+    # 32 bytes → 2 grid rows.  Output rows 0,1 both cover grid row 0
+    # (short grid: at-least-one-row rule), rows 2,3 cover grid row 1;
+    # each column box is 4 consecutive bytes → pixel = mean of 4 bytes.
     data = bytes(range(32))
     df = spark.createDataFrame([(1, data), (2, b""), (3, b"Q")],
                                "doc_id long, blob binary")
-    rows = {r.doc_id: r for r in multimodal.resize_fake(df).collect()}
+    rows = {r.doc_id: r for r in multimodal.resize_box(df).collect()}
     assert 2 not in rows  # empty blob emits nothing
     r1 = rows[1]
     assert (r1.n_bytes, r1.grid_h) == (32, 2)
+    # row 0: means of (0..3),(4..7),(8..11),(12..15) = 1,5,9,13
     expect = bytes(
-        [0, 4, 8, 12] * 2 + [16, 20, 24, 28] * 2
+        [1, 5, 9, 13] * 2 + [17, 21, 25, 29] * 2
     ).hex()
     assert r1.resized_hex == expect
-    # single byte: every sample clamps to offset 0
+    # single byte: box (0,0) averages the one real byte; boxes past the
+    # ragged end clamp to the last byte — all pixels 'Q'
     assert rows[3].resized_hex == (b"Q" * 16).hex()
+
+
+def test_resize_box_ragged_last_row(spark):
+    # 20 bytes → grid 2 rows, second row ragged (bytes 16..19 only).
+    data = bytes(range(20))
+    df = spark.createDataFrame([(1, data)], "doc_id long, blob binary")
+    r = multimodal.resize_box(df).collect()[0]
+    assert (r.n_bytes, r.grid_h) == (20, 2)
+    px = bytes.fromhex(r.resized_hex)
+    # row-1 boxes: cols 0-3 exist (mean 17); cols 4+ past the end → clamp 19
+    assert list(px) == [1, 5, 9, 13] * 2 + [17, 19, 19, 19] * 2
 
 
 # ---------------------------------------------------------------------------

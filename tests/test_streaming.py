@@ -1038,3 +1038,59 @@ def test_windowed_value_histogram_matches_batch(spark, tmp_path):
     assert ("2024-01-01T10:00:00", "click", 0, 1) in got
     assert ("2024-01-01T10:00:00", "click", 1, 1) in got
     assert ("2024-01-01T10:00:00", "view", 29, 1) in got  # clamped
+
+
+def test_windowed_distinct_users_sketches_match_batch_and_merge(
+    spark, tmp_path
+):
+    """Streaming HLL monitor: closed windows' estimates equal the batch
+    dual on the same rows, and the emitted sketch BYTES are live — a
+    downstream hll_union_agg over the closed window's per-type sketches
+    reproduces the batch global distinct estimate without re-reading
+    the stream."""
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, user_id long"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "click", 7),
+        (2, _ts("2024-01-01T10:10:00"), "click", 7),   # dup user
+        (3, _ts("2024-01-01T10:15:00"), "click", 8),
+        (4, _ts("2024-01-01T10:20:00"), "view", 8),    # same user, new type
+        (5, _ts("2024-01-01T10:25:00"), "view", 9),
+    ]
+    b1 = [(6, _ts("2024-01-01T14:00:00"), "view", 1)]  # advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "evu", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_distinct_users(sdf),
+        f"hllu_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    rows = out.collect()
+    got = {
+        (r.win_start.isoformat(), r.event_type): (r.approx_users, r.n_events)
+        for r in rows
+    }
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = {
+        (r.win_start.isoformat(), r.event_type): (r.approx_users, r.n_events)
+        for r in stateful.windowed_distinct_users(batch_df).collect()
+    }
+    # the 10:00 window closed — streaming estimates equal the batch dual
+    for k, v in expected.items():
+        assert got[k] == v
+    # HLL is exact at these cardinalities: 2 distinct clickers, 2 viewers
+    assert got[("2024-01-01T10:00:00", "click")] == (2, 3)
+    assert got[("2024-01-01T10:00:00", "view")] == (2, 2)
+    # MERGE the closed window's emitted sketch bytes downstream: the
+    # union estimate equals the batch global distinct over that slice
+    closed = spark.createDataFrame(
+        [r for r in rows if r.win_start.isoformat() == "2024-01-01T10:00:00"]
+    )
+    merged = closed.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("global_users")
+    ).collect()[0]
+    assert merged.global_users == 3  # users {7, 8, 9}
