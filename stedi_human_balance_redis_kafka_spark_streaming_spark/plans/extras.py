@@ -1290,6 +1290,63 @@ def events_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, d)
 
 
+@register(
+    "events_hll_window_monitor",
+    # Batch dual of streaming/stateful.windowed_distinct_users: per
+    # (hour window × type) HLL estimate next to the exact count.  The
+    # sketch estimate is engine-specific bytes, so the checkable
+    # contract (as in events_sketch_reaggregate) is the exact counts
+    # plus the ±5% bounds flag the oracle pins TRUE.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+)
+def events_hll_window_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming HLL distinct-users monitor under the
+    full oracle gate: the SAME operator body
+    (``windowed_distinct_users`` — 1-hour event-time windows × type,
+    ``hll_sketch_agg`` at lgk=12) run on the bounded table, its
+    estimate checked against the exact distinct count.  One fact-keyed
+    aggregate for the sketches + one for the exact counts, joined on
+    the bounded (windows × types) frame — the ±5% flag must be TRUE
+    everywhere (HLL is exact at these per-cell cardinalities).
+    """
+    from ..streaming import stateful
+
+    e = load_table(spark, sf_dir, "events")
+    mon = stateful.windowed_distinct_users(e).select(
+        "win_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("approx_users")).cast("long").alias("approx_l"),
+    )
+    exact = (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "exact_users"
+        )
+    )
+    return mon.join(exact, ["win_start", "event_type"]).select(
+        "win_start",
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_l") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
 _HIST_LO_C = 0        # histogram domain in cents
 _HIST_W_C = 2_000     # 20.00-unit buckets
 _HIST_N = 30

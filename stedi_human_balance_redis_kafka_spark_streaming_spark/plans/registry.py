@@ -3761,6 +3761,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "multimodal_byte_features",
     "dedup_lsh_recall",
     "customer_order_stats",
+    # batch dual of the streaming HLL monitor (window full; the sketch
+    # contract is driver-checked via events_sketch_reaggregate)
+    "events_hll_window_monitor",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",
