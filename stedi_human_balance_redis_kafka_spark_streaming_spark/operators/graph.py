@@ -121,6 +121,17 @@ def pagerank(
             .persist()
         )
         n_nodes = nodes.count()  # one-time bounded build scalar
+        if n_nodes == 0:
+            # Empty graph: short-circuit before the per-round sink-share
+            # expression (dmass div 0 would raise under ANSI even with
+            # zero rows upstream of the aggregate's single output row).
+            e.unpersist()
+            deg.unpersist()
+            empty = nodes.withColumn(
+                "rank_e12", F.lit(RANK_QUANT).cast("long")
+            )
+            nodes.unpersist()
+            return empty
     base = (RANK_QUANT * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("rank_e12", F.lit(RANK_QUANT).cast("long"))
     zero_dec = "cast(0 as decimal(38,0))"

@@ -138,6 +138,26 @@ from .buildcache import INDEX_BUILD_CACHE as _INDEX_BUILD_CACHE  # noqa: E402
 from .buildcache import lookup as _cache_lookup  # noqa: E402
 from .buildcache import store as _cache_store  # noqa: E402
 
+_BUILD_CACHE_MAX_ROWS = 250_000
+
+
+def _cached_build(df: DataFrame, ckey: tuple) -> DataFrame:
+    """Route a bounded deterministic ingest-time build frame through the
+    build cache: serve cached rows under ``df``'s own schema on a hit;
+    on a miss, LIMIT-gate the collect (an over-cap build — huge corpus —
+    degrades to the live distributed plan instead of an unbounded driver
+    materialization), store, and serve the local rows."""
+    spark = df.sparkSession
+    hit = _cache_lookup(ckey)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema=df.schema)
+    rows = df.limit(_BUILD_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _BUILD_CACHE_MAX_ROWS:
+        return df
+    data = [tuple(r) for r in rows]
+    _cache_store(ckey, data)
+    return spark.createDataFrame(data, schema=df.schema)
+
 
 def kmeans_centroids(
     e: DataFrame,
@@ -392,6 +412,18 @@ def ivf_topk(
         assigned = assign_spill_centroids(e, cents, dim, spill, round_digits)
     else:
         assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    if cache_key is not None:
+        # The corpus->bucket map is an ingest-time build (production
+        # stores the index partitioned by cid): cache the narrow
+        # (vec_id, cid) rows and re-attach the full-width vectors with
+        # one vec_id-keyed join; seed vs trained quantizers (and spill
+        # replication) key apart via the build params.
+        bucket_map = _cached_build(
+            assigned.select("vec_id", "cid"),
+            ("ivf_assign", cache_key, centroid_modulus, train_iters,
+             spill, round_digits),
+        )
+        assigned = e.join(bucket_map, "vec_id")
 
     q = queries.select(
         "query_id",
@@ -819,6 +851,7 @@ def pq_topk(
     seed_modulus: int = 50,
     rerank: int = 50,
     round_digits: int = 6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-ranking.
 
@@ -846,6 +879,14 @@ def pq_topk(
     e = _flat(emb, "vec_id", "d", dim)
     cb = pq_codebooks(e, dim, n_sub, seed_modulus)
     enc = pq_encode(e, cb, dim, n_sub, round_digits)
+    if cache_key is not None:
+        # Corpus PQ ENCODING is an ingest-time build (n·n_sub small
+        # rows): cache it like the codebooks — ivfpq_topk at equal
+        # params shares the identical entry.
+        enc = _cached_build(
+            enc, ("pq_enc", cache_key, dim, n_sub, seed_modulus,
+                  round_digits)
+        )
 
     q = queries.select(
         "query_id",
@@ -900,6 +941,7 @@ def ivfpq_topk(
     seed_modulus: int = 50,
     rerank: int = 50,
     round_digits: int = 6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout — PQ codes stored WITHIN IVF
     buckets.  A query probes its ``nprobe`` nearest coarse centroids,
@@ -948,9 +990,24 @@ def ivfpq_topk(
     else:
         assigned = assign_nearest_centroid(e, cents, dim, round_digits)
     buckets = assigned.select("vec_id", "cid")
+    if cache_key is not None:
+        # shares the seed-quantizer bucket-map entry with ivf_topk at
+        # equal (centroid_modulus, spill) — one assignment per ingest
+        buckets = _cached_build(
+            buckets,
+            ("ivf_assign", cache_key, centroid_modulus, 0, spill,
+             round_digits),
+        )
 
     cb = pq_codebooks(e, dim, n_sub, seed_modulus)
     enc = pq_encode(e, cb, dim, n_sub, round_digits)
+    if cache_key is not None:
+        # same ingest-time entry as pq_topk at equal params — one
+        # corpus encoding serves both index layouts
+        enc = _cached_build(
+            enc, ("pq_enc", cache_key, dim, n_sub, seed_modulus,
+                  round_digits)
+        )
     enc_b = enc.join(buckets, "vec_id")
 
     q = queries.select(
@@ -1174,6 +1231,13 @@ def pq_topk_trained(
         .groupBy("vec_id", "m")
         .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
     )
+    if cache_key is not None:
+        # corpus encoding against the TRAINED codebook is its own
+        # ingest-time entry (distinct from the seed-codebook encode)
+        enc = _cached_build(
+            enc, ("pq_enc_trained", cache_key, dim, n_sub, seed_modulus,
+                  train_iters, quant)
+        )
 
     q = queries.select(
         "query_id",

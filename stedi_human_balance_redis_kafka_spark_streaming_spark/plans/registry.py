@@ -1257,7 +1257,8 @@ def ann_ivf_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
     return similarity.ivf_topk(
-        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
     )
 
 
@@ -1730,7 +1731,8 @@ def ann_ivf_recall(
     q = similarity.queries_by_modulus(emb, query_modulus)
     bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     ivf = similarity.ivf_topk(
-        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select("query_id", "vec_id")
     return (
         bf.join(ivf, ["query_id", "vec_id"])
@@ -1805,7 +1807,8 @@ def ann_ivf_spill_recall(
     q = similarity.queries_by_modulus(emb, query_modulus)
     bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
     ivf = similarity.ivf_topk(
-        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe, spill=spill
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
+        spill=spill, cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select("query_id", "vec_id")
     return (
         bf.join(ivf, ["query_id", "vec_id"])
@@ -1938,6 +1941,7 @@ def ann_pq_recall(
     pq = similarity.pq_topk(
         emb, q, k=10, n_sub=_PQ_NSUB, seed_modulus=seed_modulus,
         rerank=_PQ_RERANK,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select("query_id", "vec_id")
     return (
         bf.join(pq, ["query_id", "vec_id"])
@@ -2069,6 +2073,7 @@ def ann_ivfpq_recall(
         emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
         spill=spill, n_sub=_PQ_NSUB, seed_modulus=centroid_modulus,
         rerank=_PQ_RERANK,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select("query_id", "vec_id")
     return (
         bf.join(ivfpq, ["query_id", "vec_id"])

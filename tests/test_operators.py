@@ -1249,6 +1249,17 @@ def test_pagerank_redistribute_sink_mass_hand_computed(spark):
     assert r[2] == r[1]
 
 
+def test_pagerank_redistribute_empty_edges(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(
+        empty, iters=2, dangling="redistribute"
+    ).collect() == []
+
+
 def test_pagerank_redistribute_matches_error_mode_when_no_sinks(spark):
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
         graph,
