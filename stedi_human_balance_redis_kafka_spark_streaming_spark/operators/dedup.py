@@ -515,6 +515,17 @@ def embedding_bucketed_pairs(
         assigned = assign_spill_centroids(e, cents, dim, spill, round_digits)
     else:
         assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    if cache_key is not None:
+        # ingest-time bucket map (same entry family as similarity's
+        # ivf_assign — the trained/spill params key this one apart)
+        from .similarity import _cached_build
+
+        bucket_map = _cached_build(
+            assigned.select("vec_id", "cid"),
+            ("ivf_assign", cache_key, centroid_modulus, train_iters,
+             spill, round_digits),
+        )
+        assigned = e.join(bucket_map, "vec_id")
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
         flat_dot("a.d", "b.d", dim) / (F.col("a.nrm") * F.col("b.nrm")),

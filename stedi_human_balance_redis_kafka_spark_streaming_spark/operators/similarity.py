@@ -475,6 +475,7 @@ def ivf_range_search(
     centroid_modulus: int = 50,
     nprobe: int = 2,
     round_digits: int = 6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-bucketed radius search: ALL corpus vectors within cosine
     distance of each query (``cos_sim >= threshold``), restricted to the
@@ -503,6 +504,15 @@ def ivf_range_search(
         *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
     )
     assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    if cache_key is not None:
+        # same ingest-time bucket-map entry as ivf_topk at equal
+        # (centroid_modulus, spill=1) — the radius path reuses it
+        bucket_map = _cached_build(
+            assigned.select("vec_id", "cid"),
+            ("ivf_assign", cache_key, centroid_modulus, 0, 1,
+             round_digits),
+        )
+        assigned = e.join(bucket_map, "vec_id")
     q = queries.select(
         "query_id",
         norm_unrolled(F.col("qv"), dim).alias("qnrm"),

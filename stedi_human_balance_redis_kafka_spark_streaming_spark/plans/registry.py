@@ -1322,6 +1322,7 @@ def ann_range_search(
         threshold=threshold,
         centroid_modulus=centroid_modulus,
         nprobe=nprobe,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
     )
 
 
@@ -1396,6 +1397,7 @@ def ann_range_recall(
     found = similarity.ivf_range_search(
         emb, q, threshold=threshold,
         centroid_modulus=centroid_modulus, nprobe=nprobe,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
     ).select("query_id", "vec_id")
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_found = found.agg(F.count("*").alias("n_found"))
