@@ -788,3 +788,96 @@ def windowed_distinct_users(
             "n_events",
         )
     )
+
+
+def streaming_quality_flags(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    w_quality: int = 60,
+    w_nonrep: int = 40,
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """Ingest-time document-quality gate — the streaming composition of
+    the linear quality scorer (operators/curation.quality_linear_score):
+    each arriving document is scored and flagged STATELESSLY, so
+    low-quality text is gated before it ever lands in the corpus.
+
+    Two of the scorer's three signals survive the stateless constraint
+    as pure per-row expressions:
+
+    - ``quality_e6`` — the same narrow text_stats map (already per-row).
+    - ``rep_bigram_e6`` — within-doc repetition via a per-row HOF over
+      the bigram list (quadratic per document — the streaming-safe dual
+      of the batch plan's linear explode+groupBy, the same trade the
+      decontaminate shingler makes; per-row equality with the batch
+      repetition_stats operator is pytest-asserted).
+
+    The corpus-LM signal inherently needs corpus-level bigram
+    statistics and stays a batch refinement — the streaming blend
+    reweights to ``w_quality``/``w_nonrep`` (must sum to 100) over the
+    two live signals, with the same integer ``div`` arithmetic as the
+    batch scorer.
+
+    Output: (doc_id, quality_e6, rep_bigram_e6, score_e6, keep).
+    Scale shape: one codegen'd map, zero shuffle, zero state — the gate
+    runs at any ingest rate; the HOF cost is O(tokens²) per doc, so cap
+    document length upstream (chunk first) for adversarial inputs.
+    """
+    from ..functions.hashing import tokens
+    from ..operators.text import text_stats
+
+    if w_quality + w_nonrep != 100:
+        raise ValueError("streaming_quality_flags: weights must sum to 100")
+    s = text_stats(
+        docs.select("doc_id", text_col), text_col=text_col, carry=(text_col,)
+    )
+    t = tokens(text_col)
+    bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Materialize the bigram list into a named column FIRST so the
+    # counting HOF below folds over a column reference, not a nested
+    # re-derivation of the list per element (the HOF re-evaluation trap
+    # — see functions/hashing.py).
+    based = s.select("doc_id", "quality_e6", bg.alias("__bg"))
+    bgc = F.col("__bg")
+    # bigram instances whose bigram occurs >= 2 times in this document
+    rep_cnt = F.aggregate(
+        bgc,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(bgc, lambda y: y == x)) >= 2, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    with_rep = based.select(
+        "doc_id",
+        "quality_e6",
+        F.size(bgc).cast("long").alias("__nbg"),
+        rep_cnt.cast("long").alias("__rep"),
+    ).select(
+        "doc_id",
+        "quality_e6",
+        F.when(
+            F.col("__nbg") > 0,
+            F.expr("(__rep * 1000000L) div __nbg"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rep_bigram_e6"),
+    )
+    score = F.expr(
+        f"({w_quality} * quality_e6"
+        f" + {w_nonrep} * (1000000L - rep_bigram_e6)) div 100"
+    )
+    return with_rep.select(
+        "doc_id",
+        "quality_e6",
+        "rep_bigram_e6",
+        score.alias("score_e6"),
+        (score >= F.lit(threshold_e6)).alias("keep"),
+    )

@@ -1094,3 +1094,64 @@ def test_windowed_distinct_users_sketches_match_batch_and_merge(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("global_users")
     ).collect()[0]
     assert merged.global_users == 3  # users {7, 8, 9}
+
+
+def test_streaming_quality_flags_matches_batch_signals(spark, tmp_path):
+    """Stateless ingest quality gate: streaming output equals the batch
+    run of the same operator, the HOF repetition signal equals the
+    batch explode+groupBy repetition_stats per row, and the blend/gate
+    match the quality_linear_score arithmetic."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        text as text_ops,
+    )
+
+    DOC_SCHEMA = "doc_id long, text string"
+    rows = [
+        (1, "the the the the the the"),           # pure repetition
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"),  # diverse
+        (3, "x"),                                  # single token, no bigrams
+        (4, "go go stop go go stop"),              # mixed repetition
+    ]
+    doc_dir = _write_ordered_files(
+        spark, tmp_path, "qflags", DOC_SCHEMA, [rows]
+    )
+    sdf = spark.readStream.schema(DOC_SCHEMA).parquet(doc_dir)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_quality_flags(sdf),
+        f"qf_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    batch_df = spark.createDataFrame(rows, DOC_SCHEMA)
+    # stream == batch on the identical operator body
+    batch = {
+        r.doc_id: r
+        for r in stateful.streaming_quality_flags(batch_df).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in batch.items()
+    }
+    # the per-row HOF repetition equals the batch explode+groupBy form
+    rep_batch = {
+        r.doc_id: r.rep_bigram_e6
+        for r in text_ops.repetition_stats(batch_df).collect()
+    }
+    for d in got:
+        assert got[d].rep_bigram_e6 == rep_batch[d], d
+    # gate semantics: all-repeated text scores low, diverse text keeps
+    assert got[1].rep_bigram_e6 == 1_000_000 and not got[1].keep
+    assert got[2].rep_bigram_e6 == 0 and got[2].keep
+    assert got[3].rep_bigram_e6 == 0  # no bigrams -> zero, not NULL
+    # blend arithmetic mirrors quality_linear_score's div form
+    for d, r in got.items():
+        assert r.score_e6 == (
+            60 * r.quality_e6 + 40 * (1_000_000 - r.rep_bigram_e6)
+        ) // 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 100"):
+        stateful.streaming_quality_flags(batch_df, w_quality=70, w_nonrep=40)
