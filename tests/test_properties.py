@@ -391,3 +391,100 @@ def test_upsample_copy_counts_and_partition_invariance(spark, ids, factor, parts
     assert sorted((r.doc_id, r.copy_id) for r in again) == sorted(
         (r.doc_id, r.copy_id) for r in out
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_redistribute_mass_conservation(spark, edges, iters):
+    """Sink-mass redistribution must (almost) conserve total rank: the
+    only losses are div truncations — < 1 unit per message, per-node
+    share, and per-node damp per round — so the total stays within
+    iters·(|edges| + 2N) of N·1e12, and never exceeds it."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    e = [(a, b) for a, b in edges if a != b]
+    if not e:
+        return
+    df = spark.createDataFrame(e, "src long, dst long")
+    ranks = graph.pagerank(df, iters=iters, dangling="redistribute").collect()
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    n = len(nodes)
+    assert {r["node"] for r in ranks} == nodes
+    total = sum(r["rank_e12"] for r in ranks)
+    n_edges = len(set(e))
+    assert total <= n * 10**12
+    assert n * 10**12 - total <= iters * (n_edges + 2 * n)
+
+
+@settings(**_SETTINGS)
+@given(
+    blob=st.binary(min_size=1, max_size=120),
+)
+def test_resize_box_pixels_bounded_by_blob_bytes(spark, blob):
+    """Box means (and the past-the-end clamp) can never leave the range
+    of the blob's actual byte values; constant blobs resize to the
+    constant."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        multimodal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, blob), (2, bytes([blob[0]]) * 40)], "doc_id long, blob binary"
+    )
+    rows = {r.doc_id: r for r in multimodal.resize_box(df).collect()}
+    px = bytes.fromhex(rows[1].resized_hex)
+    assert len(px) == 16
+    assert min(blob) <= min(px) and max(px) <= max(blob)
+    # constant 40-byte blob -> every box mean is the constant
+    assert bytes.fromhex(rows[2].resized_hex) == bytes([blob[0]]) * 16
+
+
+@settings(**_SETTINGS)
+@given(
+    feats=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000_000),  # quality_e6
+            st.integers(min_value=0, max_value=1_000_000),  # rep_e6
+            st.integers(min_value=0, max_value=1_000_000),  # lm_e6
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quality_linear_score_bounded_and_monotone(spark, feats):
+    """The blend stays inside [0, 1e6] for in-range signals, and the
+    keep gate is exactly score >= threshold."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        curation,
+    )
+
+    ids = list(range(len(feats)))
+    stats = spark.createDataFrame(
+        [(i, q) for i, (q, _, _) in zip(ids, feats)],
+        "doc_id long, quality_e6 long",
+    )
+    rep = spark.createDataFrame(
+        [(i, r) for i, (_, r, _) in zip(ids, feats)],
+        "doc_id long, rep_bigram_e6 long",
+    )
+    lm = spark.createDataFrame(
+        [(i, l) for i, (_, _, l) in zip(ids, feats)],
+        "doc_id long, lm_score_e6 long",
+    )
+    out = curation.quality_linear_score(stats, rep, lm).collect()
+    assert len(out) == len(feats)
+    for r in out:
+        assert 0 <= r.score_e6 <= 1_000_000
+        assert r.keep == (r.score_e6 >= 500_000)
