@@ -30,6 +30,7 @@ def pagerank(
     damping_pct: int = 85,
     dangling: str = "error",
     validate: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -43,6 +44,16 @@ def pagerank(
     ~9·10⁶ average-mass nodes), and the damped result truncates back to
     an int64 ≤ total mass.  Deterministic and partition-order-invariant,
     hence exactly SQL-mirrorable with unrolled rounds.
+
+    WEIGHTED mode (``weight`` names a positive-integer edge column):
+    parallel edges collapse by summing weights, the out-degree becomes
+    the out-WEIGHT sum, and each message carries the edge's weight
+    share — msg(u→v) = (r(u)·w(u→v)) div wdeg(u), the rank·weight
+    product widened to decimal(38,0) BEFORE the division (rank ≤ total
+    mass times a large weight overflows int64 where the unweighted
+    message cannot).  Weights must be ≥ 1; ``validate=True`` enforces
+    it with a LIMIT-1 scan and raises on violation (a zero/negative
+    weight would silently corrupt the wdeg normalization).
 
     Dangling (destination-only) nodes, per ``dangling``:
 
@@ -79,12 +90,35 @@ def pagerank(
         raise ValueError(
             f"dangling must be 'error' or 'redistribute', got {dangling!r}"
         )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
-    )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .persist()
+        )
+        deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+        msg_expr = "rank_e12 div deg"
+    else:
+        # multigraph collapse: parallel edges sum their weights
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
+        if validate:
+            bad = e.filter(F.col("w") <= 0).limit(1).count()
+            if bad:
+                e.unpersist()
+                raise ValueError(
+                    "pagerank: edge weights must be positive integers"
+                )
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg")).persist()
+        msg_expr = "(cast(rank_e12 as decimal(38,0)) * w) div deg"
     deg.count()  # materialize both caches before the rounds read them
     if dangling == "error":
         if validate:
@@ -141,7 +175,7 @@ def pagerank(
             .join(ranks, F.col("src") == F.col("node"))
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_e12 div deg").alias("msg"),
+                F.expr(msg_expr).alias("msg"),
             )
             .groupBy("node")
             .agg(F.sum(F.col("msg").cast("decimal(38,0)")).alias("m"))

@@ -953,6 +953,104 @@ def trade_graph_pagerank(
     )
 
 
+def _sql_pagerank_weighted(iters: int) -> str:
+    """Unrolled oracle for WEIGHTED PageRank over the symmetrized
+    customer↔supplier graph, edge weight = number of lineitem rows
+    linking the pair (trade volume): messages carry the weight share
+    (r·w) // wdeg with the product widened to HUGEINT, mirroring the
+    decimal(38,0) widening in operators/graph.py bit-for-bit."""
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""r{t} AS MATERIALIZED (
+      SELECT d.src AS node,
+             CAST({_PR_BASE} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT)
+               AS rank_e12
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM((CAST(r.rank_e12 AS HUGEINT) * e.w) // dg.deg) AS m
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.src
+    )""")
+        prev = f"r{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY a, b
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst, w FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM pairs
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank_e12 FROM deg
+    ),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           rank_e12
+    FROM {prev}
+    """
+
+
+@register("graph_pagerank_weighted", oracle=_sql_pagerank_weighted(_PR_ITERS))
+def graph_pagerank_weighted(
+    spark: SparkSession, sf_dir: str, *, iters: int = _PR_ITERS
+) -> DataFrame:
+    """WEIGHTED PageRank over the customer↔supplier trade graph: each
+    undirected relationship carries its lineitem count (trade volume)
+    as an integer edge weight, so a customer's rank flows
+    proportionally to how much it actually trades with each supplier —
+    the volume-aware hub score next to trade_graph_pagerank's
+    unweighted relationship count.
+
+    Scale shape: identical per-round cost to the unweighted form (one
+    src-keyed join shuffle + one dst-keyed partial-agg sum); the only
+    new arithmetic is the (rank·weight) product, widened to
+    decimal(38,0) before the div so a mega-weight edge cannot overflow
+    int64.  Integer-exact throughout — unrolled SQL oracle matches
+    bit-for-bit.
+    """
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    # symmetrized by construction — skip the weight/dangling check jobs
+    ranks = graph.pagerank(edges, iters=iters, weight="w", validate=False)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        "rank_e12",
+    )
+
+
 def _sql_pagerank_dangling(iters: int) -> str:
     """Unrolled oracle for the dangling='redistribute' PageRank mode
     over the DIRECTED (unsymmetrized) customer→supplier purchase graph:

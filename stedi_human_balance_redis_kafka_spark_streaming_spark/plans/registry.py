@@ -3771,6 +3771,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # batch dual of the streaming HLL monitor (window full; the sketch
     # contract is driver-checked via events_sketch_reaggregate)
     "events_hll_window_monitor",
+    # weighted variant behind the two in-window pagerank forms
+    "graph_pagerank_weighted",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",

@@ -1249,6 +1249,59 @@ def test_pagerank_redistribute_sink_mass_hand_computed(spark):
     assert r[2] == r[1]
 
 
+def test_pagerank_weighted_hand_computed_and_w1_equivalence(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    # star: 0-1 (w=3), 0-2 (w=1), symmetrized.  wdeg(0)=4, wdeg(1)=3,
+    # wdeg(2)=1.
+    pairs = [(0, 1, 3), (0, 2, 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a, w) for a, b, w in pairs], "src long, dst long, w long"
+    )
+    r = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(edges, iters=1, weight="w").collect()
+    }
+    base = 150_000_000_000
+    q = 10**12
+    # msg(1->0) = (1e12*3) div 3; msg(2->0) = (1e12*1) div 1
+    assert r[0] == base + (85 * (q + q)) // 100
+    assert r[1] == base + (85 * ((q * 3) // 4)) // 100
+    assert r[2] == base + (85 * ((q * 1) // 4)) // 100
+    # all-ones weights must equal the unweighted form bit-for-bit
+    ones = edges.withColumn("w", F.lit(1).cast("long"))
+    a = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(ones, iters=3, weight="w").collect()
+    }
+    b = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(
+            ones.drop("w"), iters=3, validate=False
+        ).collect()
+    }
+    assert a == b
+    # parallel edges collapse by summing: duplicating every edge row at
+    # half weight... (3 = 2+1) must equal the single-row form
+    split = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 1), (0, 2, 1), (1, 0, 2), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long",
+    )
+    c = {
+        x["node"]: x["rank_e12"]
+        for x in graph.pagerank(split, iters=1, weight="w").collect()
+    }
+    assert c == r
+    # non-positive weights are rejected
+    bad = spark.createDataFrame(
+        [(0, 1, 0), (1, 0, 1)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        graph.pagerank(bad, iters=1, weight="w")
+
+
 def test_pagerank_redistribute_empty_edges(spark):
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
         graph,
