@@ -266,13 +266,23 @@ def minhash_lsh_pairs(
     )
     cand.count()
     own.append(cand)
-    # Exact-Jaccard verification, candidate-bounded: semi-join the
-    # exploded index down to docs that appear in ANY candidate pair
-    # BEFORE collect_set, so the expensive set materialization (and every
-    # downstream join input) scales with |candidates|, not |corpus|.
-    # No broadcast hints anywhere: AQE broadcasts the (small) candidate
-    # side at runtime when it fits, and degrades to a shuffle join when
-    # it doesn't — the shape that survives 100×.
+    ret = _verify_jaccard(e, cand, threshold)
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def _verify_jaccard(
+    e: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set, candidate-
+    bounded: semi-join the exploded index down to docs that appear in
+    ANY candidate pair BEFORE collect_set, so the expensive set
+    materialization (and every downstream join input) scales with
+    |candidates|, not |corpus|.  No broadcast hints anywhere: AQE
+    broadcasts the (small) candidate side at runtime when it fits, and
+    degrades to a shuffle join when it doesn't — the shape that
+    survives 100×.  Shared by the MinHash-LSH and prefix-filter
+    candidate generators.  Output: (doc_a, doc_b, jaccard ≥ threshold).
+    """
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -295,12 +305,86 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
-    ret = (
+    return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING —
+    the third candidate generator next to the full inverted-index
+    self-join (quadratic in stop-shingle df) and MinHash-LSH
+    (probabilistic recall): provably COMPLETE like the full join, but
+    joining only each document's size-dependent prefix.
+
+    Prefix principle: order the vocabulary globally by (document
+    frequency ASC, term ASC) and sort each doc's terms by that order.
+    If Jaccard(A, B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the first
+    p_A = |A| − ⌈t·|A|⌉ + 1 terms of A must contain at least one
+    intersection member — any pair sharing NO prefix term is safely
+    pruned.  Rare-first ordering makes prefixes collide rarely, which
+    is exactly why the candidate count collapses.  ⌈t·sz⌉ is computed
+    in exact integer arithmetic ((t_e6·sz + 1e6−1) div 1e6), so the
+    prefix boundary is bit-deterministic.
+
+    Candidates are then verified with exact Jaccard over the FULL term
+    sets (shared :func:`_verify_jaccard` stage), so the output equals
+    the uncapped inverted-index join's output exactly — the oracle IS
+    the plain all-pairs-over-shared-terms query (and a pytest asserts
+    equality against :func:`ngram_jaccard_pairs`).
+
+    Scale shape: one df rollup (partial-aggregable), one per-doc window
+    rank over the (doc-sized) term lists, a self-join that touches ONLY
+    prefix rows — Θ(Σ prefix-df²) ≪ Θ(Σ df²) at high thresholds — and
+    the candidate-bounded verify.  Higher threshold ⇒ shorter prefixes
+    ⇒ fewer candidates, with zero recall loss (vs LSH, whose recall
+    follows the S-curve).  Output: (doc_a, doc_b, jaccard ≥ threshold),
+    doc_a < doc_b.
+    """
+    own: list[DataFrame] = [] if caches is None else caches
+    e = _exploded_terms(docs, n).persist()
+    e.count()
+    own.append(e)
+    t_e6 = int(round(threshold * 1e6))
+    df_tbl = e.groupBy("term").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
+    ranked = (
+        e.join(df_tbl, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.row_number().over(w_doc).alias("rn"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.expr(f"sz - (({t_e6} * sz + 999999L) div 1000000L) + 1")
+    ).select("doc_id", "term")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    own.append(cand)
+    ret = _verify_jaccard(e, cand, threshold)
     return ret if caches is not None else scope_caches(ret, *own)
 
 

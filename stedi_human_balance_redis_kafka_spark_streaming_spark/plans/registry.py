@@ -347,6 +347,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_prefix",
+    # Prefix filtering is COMPLETE (any pair with J >= t shares a
+    # prefix term under the global rare-first order), and candidates
+    # verify with exact Jaccard — so the oracle is simply the UNCAPPED
+    # all-shared-terms pair query: no prefix logic needs mirroring.
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    """,
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via PPJoin-style prefix filtering —
+    the provably-complete scale path for exact set-similarity joins:
+    candidates come from each document's (sz − ⌈t·sz⌉ + 1)-term
+    rare-first prefix instead of the full inverted index (Θ(Σ
+    prefix-df²) ≪ Θ(Σ df²) at t = 0.7), then verify with exact
+    Jaccard.  Same answer as the uncapped inverted-index join — that
+    IS the oracle."""
+    return dedup.ngram_jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7, n=3
+    )
+
+
 _CONTAIN_E6 = 800_000
 
 
@@ -3773,6 +3812,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_hll_window_monitor",
     # weighted variant behind the two in-window pagerank forms
     "graph_pagerank_weighted",
+    # complete prefix-filter candidate path behind the in-window
+    # inverted-index + LSH Jaccard representatives
+    "dedup_ngram_prefix",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",

@@ -488,3 +488,40 @@ def test_quality_linear_score_bounded_and_monotone(spark, feats):
     for r in out:
         assert 0 <= r.score_e6 <= 1_000_000
         assert r.keep == (r.score_e6 >= 500_000)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_prefix_filter_equals_full_inverted_index(spark, texts, t):
+    """Prefix filtering is COMPLETE: the PPJoin-style candidate path
+    must return exactly the uncapped inverted-index join's pair set at
+    any threshold."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    full = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(df, threshold=t, n=3).collect()
+    )
+    pre = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_prefix_pairs(
+            df, threshold=t, n=3
+        ).collect()
+    )
+    assert pre == full
