@@ -353,24 +353,34 @@ def ngram_jaccard_prefix_pairs(
     e = _exploded_terms(docs, n).persist()
     e.count()
     own.append(e)
+    cand = prefix_candidates(e, threshold).persist()
+    cand.count()
+    own.append(cand)
+    ret = _verify_jaccard(e, cand, threshold)
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def prefix_candidates(e: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter candidate pair generation over an exploded
+    (doc_id, term) index — the PPJoin core shared by the pair operator
+    and its pruning eval.  Output: distinct (doc_a, doc_b), doc_a <
+    doc_b, sharing at least one rare-first-prefix term.  The prefix
+    boundary ⌈t·sz⌉ is exact integer arithmetic."""
     t_e6 = int(round(threshold * 1e6))
     df_tbl = e.groupBy("term").agg(F.count("*").alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
-    ranked = (
-        e.join(df_tbl, "term")
-        .select(
-            "doc_id",
-            "term",
-            F.row_number().over(w_doc).alias("rn"),
-            F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
-        )
+    ranked = e.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        F.row_number().over(w_doc).alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
     )
     prefix = ranked.filter(
         F.col("rn")
         <= F.expr(f"sz - (({t_e6} * sz + 999999L) div 1000000L) + 1")
     ).select("doc_id", "term")
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
@@ -380,12 +390,7 @@ def ngram_jaccard_prefix_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()
     )
-    cand.count()
-    own.append(cand)
-    ret = _verify_jaccard(e, cand, threshold)
-    return ret if caches is not None else scope_caches(ret, *own)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -386,6 +386,113 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_prefix_prune_eval",
+    # Quantifies what prefix filtering buys: candidate pairs vs ALL
+    # co-shingled pairs, with completeness pinned (every true J >= 0.7
+    # pair must be a candidate — the theorem, checked as data).  The
+    # oracle mirrors the prefix logic exactly: same rare-first
+    # (df ASC, term ASC) order, same integer ceil boundary.
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM e GROUP BY term
+    ), ranked AS (
+      SELECT e.doc_id, e.term,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY dfq.df ASC, e.term ASC) AS rn,
+             count(*) OVER (PARTITION BY e.doc_id) AS sz
+      FROM e JOIN dfq USING (term)
+    ), prefix AS (
+      SELECT doc_id, term FROM ranked
+      WHERE rn <= sz - ((700000 * sz + 999999) // 1000000) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+    ), co AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+    ), sz_t AS (
+      SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) iv
+      JOIN sz_t sa ON iv.doc_a = sa.doc_id
+      JOIN sz_t sb ON iv.doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_coshingled,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT count(*) FROM truth) =
+             (SELECT count(*) FROM truth SEMI JOIN cand
+              ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b)
+             AS candidates_complete
+    """,
+)
+def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning eval for the prefix-filter candidate path: how many of
+    the all-co-shingled pairs the rare-first prefix join eliminates at
+    t = 0.7, with the completeness theorem checked as data (every true
+    pair is a candidate).  One summary row — the dedup counterpart of
+    the ANN recall evals: the approximation knob's effect is a
+    MONITORED number, not a hope.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    e = dedup._exploded_terms(docs, 3).persist()
+    e.count()
+    caches.append(e)
+    a, b = e.alias("a"), e.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand = dedup.prefix_candidates(e, 0.7).persist()
+    cand.count()
+    caches.append(cand)
+    truth = dedup._verify_jaccard(e, cand, 0.7).select("doc_a", "doc_b")
+    # completeness: |truth ∩ cand| == |truth| — truth is derived FROM
+    # cand here, so equality holds iff verify lost nothing; the oracle
+    # computes truth independently from the FULL join, making the
+    # comparison a real two-sided check.
+    n_co = co.agg(F.count("*").alias("n_coshingled"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    tr = truth.persist()
+    caches.append(tr)
+    n_true = tr.agg(F.count("*").alias("n_true"))
+    n_hit = (
+        tr.join(cand, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").alias("__h"))
+    )
+    out = (
+        n_co.crossJoin(n_cand)
+        .crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            "n_coshingled",
+            "n_candidates",
+            "n_true",
+            (F.col("n_true") == F.col("__h")).alias("candidates_complete"),
+        )
+    )
+    return scope_caches(out, *caches)
+
+
 _CONTAIN_E6 = 800_000
 
 
@@ -3815,6 +3922,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # complete prefix-filter candidate path behind the in-window
     # inverted-index + LSH Jaccard representatives
     "dedup_ngram_prefix",
+    "dedup_prefix_prune_eval",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",
