@@ -1,0 +1,101 @@
+"""Table profiling: the per-column data-quality summary every ingest
+pipeline runs before trusting a new drop — row/null/distinct counts,
+an approximate-distinct cross-check, and value bounds.
+
+One operator, one scan (all per-column aggregates fold into a single
+``agg``), long-form output so downstream dashboards and drift diffs
+join on ``col_name``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# dtypes whose min/max render identically as strings in Spark and
+# DuckDB (integral + string + date); floating/timestamp formatting is
+# engine-specific, so bounds for those surface as NULL by policy.
+_BOUND_RENDER_DTYPES = ("tinyint", "smallint", "int", "bigint", "string",
+                       "date")
+
+PROFILE_SCHEMA = (
+    "col_name string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
+    "approx_ok boolean, min_s string, max_s string"
+)
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column profile of ``df``: (col_name, n_rows, n_nulls,
+    n_distinct, approx_ok, min_s, max_s).
+
+    - ``n_distinct`` is EXACT (NULL excluded, SQL semantics); an
+      HLL++-based estimate is computed alongside and surfaces as its
+      ±5% cross-check flag (``approx_ok``) — the estimate itself is
+      engine-specific so only the bound is emitted, the same
+      estimate-next-to-exact contract as events_approx_distinct.  At
+      100 TB the profile keeps the (partial-aggregable, expand-free)
+      estimate and drops the exact count; the flag tells you the
+      accuracy cost before you switch.
+    - ``min_s``/``max_s`` render only for dtypes whose string form is
+      engine-stable (integral, string, date); floating/timestamp
+      bounds are NULL by policy (their rendering differs across
+      engines, and FP bounds belong in quantized-integer queries).
+
+    Scale shape: ONE scan — every aggregate folds into a single
+    ``agg`` producing a 1-row frame that unpivots plan-side (explode
+    over a literal struct array) to the |columns|-row result.  The
+    exact count-distincts expand the aggregate (Spark's Expand: one
+    duplicated stream per distinct column); at extreme scale drop them
+    and keep the HLL estimate (partial-aggregable, no expand).
+    """
+    dtypes = dict(df.dtypes)
+    missing = [c for c in columns if c not in dtypes]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        # rsd=0.01 (like events_approx_distinct): the default 0.05
+        # relative error routinely exceeds the ±5% flag bound itself
+        aggs.append(
+            F.approx_count_distinct(F.col(c), 0.01).alias(f"__ad_{c}")
+        )
+        if dtypes[c] in _BOUND_RENDER_DTYPES:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    per_col = []
+    for c in columns:
+        bounds = (
+            (F.col(f"__mn_{c}"), F.col(f"__mx_{c}"))
+            if dtypes[c] in _BOUND_RENDER_DTYPES
+            else (F.lit(None).cast("string"), F.lit(None).cast("string"))
+        )
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (
+                    F.abs(F.col(f"__ad_{c}") - F.col(f"__nd_{c}")) * 20
+                    <= F.col(f"__nd_{c}")
+                ).alias("approx_ok"),
+                bounds[0].alias("min_s"),
+                bounds[1].alias("max_s"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .select(
+            "col_name",
+            F.col("n_rows").cast("long"),
+            F.col("n_nulls").cast("long"),
+            F.col("n_distinct").cast("long"),
+            "approx_ok",
+            "min_s",
+            "max_s",
+        )
+    )

@@ -1388,6 +1388,49 @@ def events_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, d)
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+
+
+def _sql_profile_col(c: str, bounds: bool) -> str:
+    mn = f"CAST(MIN({c}) AS VARCHAR)" if bounds else "CAST(NULL AS VARCHAR)"
+    mx = f"CAST(MAX({c}) AS VARCHAR)" if bounds else "CAST(NULL AS VARCHAR)"
+    return f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           TRUE AS approx_ok,
+           {mn} AS min_s,
+           {mx} AS max_s
+    FROM orders"""
+
+
+@register(
+    "orders_profile",
+    # Per-column profile of the orders table (operators/profiling.py):
+    # exact row/null/distinct counts; the HLL++ estimate surfaces only
+    # as its ±5% flag (engine-specific bytes, same contract as
+    # events_approx_distinct); bounds render only for engine-stable
+    # dtypes (bigint/string here — the double column's bounds are NULL
+    # by policy).
+    oracle=" UNION ALL ".join(
+        _sql_profile_col(c, bounds=c != "o_totalprice")
+        for c in _PROFILE_COLS
+    ),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data-quality profile of ``orders`` — the per-column
+    summary (rows, nulls, exact distincts with an approx cross-check,
+    engine-stable value bounds) a pipeline runs before trusting a new
+    drop.  One scan; see operators/profiling.py for the 100 TB shape.
+    """
+    from ..operators.profiling import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"), list(_PROFILE_COLS)
+    )
+
+
 @register(
     "events_hll_window_monitor",
     # Batch dual of streaming/stateful.windowed_distinct_users: per

@@ -3923,6 +3923,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # inverted-index + LSH Jaccard representatives
     "dedup_ngram_prefix",
     "dedup_prefix_prune_eval",
+    # data-quality profile (window full; the distinct-estimate contract
+    # is driver-checked via events_approx_distinct)
+    "orders_profile",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",

@@ -1457,3 +1457,27 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark):
     assert not any(22 in p for p in pairs)
     jacc = dedup.ngram_jaccard_pairs(df, threshold=0.7).collect()
     assert all((r["doc_a"], r["doc_b"]) != (20, 21) for r in jacc)
+
+
+def test_profile_table_nulls_bounds_and_validation(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        profiling,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, None), (2, "b", 1.0), (None, "a", 1.0)],
+        "k long, s string, v double",
+    )
+    out = {r.col_name: r for r in
+           profiling.profile_table(df, ["k", "s", "v"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 1
+    assert out["k"].n_distinct == 2  # SQL distinct excludes NULL
+    assert (out["k"].min_s, out["k"].max_s) == ("1", "2")
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert (out["s"].min_s, out["s"].max_s) == ("a", "b")
+    # floating bounds are NULL by policy; counts still exact
+    assert out["v"].n_distinct == 2
+    assert out["v"].min_s is None and out["v"].max_s is None
+    assert all(r.approx_ok for r in out.values())
+    with pytest.raises(ValueError, match="unknown columns"):
+        profiling.profile_table(df, ["nope"])
