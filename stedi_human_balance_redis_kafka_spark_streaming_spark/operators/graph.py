@@ -222,3 +222,80 @@ def pagerank(
     if n_nodes is not None:
         nodes.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count via degree-ordered orientation (the
+    compact-forward / node-iterator++ scheme) — the third classic graph
+    primitive next to PageRank (centrality) and connected components
+    (membership): triangle density measures cluster coherence in
+    trade/link/co-occurrence graphs.
+
+    The input is canonicalized to a simple undirected graph (self-loops
+    dropped, parallel/reverse duplicates collapsed).  Each edge is then
+    ORIENTED from its lower endpoint to its higher under the total
+    order (degree ASC, node ASC); every triangle has exactly one vertex
+    whose two incident edges both point away from it, so joining
+    oriented wedges (u→v, v→w) against oriented closing edges (u→w)
+    counts each triangle EXACTLY once — no /3 or /6 correction, no
+    double counting, fully deterministic.
+
+    Output: one row (n_nodes, n_edges, n_triangles).
+
+    Scale shape: degree-ordering is THE scale trick — every oriented
+    out-degree is bounded by O(√m) on any graph (a node of degree d
+    only points to ≥-degree nodes, of which there are ≤ 2m/d), so the
+    wedge join produces Σ outdeg² = O(m^1.5) rows worst-case instead
+    of the Σ deg² blowup a hub would cause unoriented.  Two shuffle
+    equi-joins (wedge build keyed on the middle vertex, closure keyed
+    on (u, w)); counts are partial-aggregable.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = F.expr(
+        "deg_u < deg_v OR (deg_u = deg_v AND u < v)"
+    )
+    o = (
+        und.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    o.count()
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s"))
+            & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    from ..session import scope_caches
+
+    out = n_nodes.crossJoin(n_edges).crossJoin(tri)
+    return scope_caches(out, und, o)

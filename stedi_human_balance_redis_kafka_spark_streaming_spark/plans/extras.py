@@ -1388,6 +1388,81 @@ def events_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, d)
 
 
+@register(
+    "graph_triangle_count",
+    # Degree-ordered (compact-forward) triangle counting over the
+    # nation co-trade graph, mirrored exactly: same canonical simple
+    # graph, same (deg ASC, node ASC) orientation, same once-per-
+    # triangle wedge closure — so the counts are bit-identical.
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ), und AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a != b
+    ), deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ), o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+                  THEN v ELSE u END AS t
+      FROM und
+      JOIN deg da ON da.node = und.u
+      JOIN deg db ON db.node = und.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM o e1
+            JOIN o e2 ON e2.s = e1.t
+            JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the nation co-trade graph (an edge links the
+    supplier's and customer's nations of any lineitem) — cluster-
+    coherence analytics via the degree-ordered triangle counter
+    (operators/graph.py triangle_count), the third graph primitive
+    next to PageRank and connected components.
+
+    Scale shape: the edge build is the q7-style 4-way dim join
+    collapsed by DISTINCT to a bounded nation-pair set; the counter's
+    wedge join is O(m^1.5) worst-case by orientation.  One summary row.
+    """
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    edges = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.triangle_count(edges)
+
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
 
 

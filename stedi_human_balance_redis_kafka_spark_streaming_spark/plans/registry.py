@@ -3926,6 +3926,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # data-quality profile (window full; the distinct-estimate contract
     # is driver-checked via events_approx_distinct)
     "orders_profile",
+    # third graph primitive behind the in-window pagerank + CC reps
+    "graph_triangle_count",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",

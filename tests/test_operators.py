@@ -1481,3 +1481,22 @@ def test_profile_table_nulls_bounds_and_validation(spark):
     assert all(r.approx_ok for r in out.values())
     with pytest.raises(ValueError, match="unknown columns"):
         profiling.profile_table(df, ["nope"])
+
+
+def test_triangle_count_known_graphs(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return tuple(graph.triangle_count(df).collect()[0])
+
+    # K4: 4 triangles — input deliberately messy (self-loop, reverse
+    # duplicates) to exercise canonicalization
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0)]
+    assert tc(k4) == (4, 6, 4)
+    # triangle + pendant edge
+    assert tc([(0, 1), (1, 2), (2, 0), (2, 3)]) == (4, 4, 1)
+    # path: no triangles
+    assert tc([(0, 1), (1, 2), (2, 3)]) == (4, 3, 0)

@@ -525,3 +525,37 @@ def test_prefix_filter_equals_full_inverted_index(spark, texts, t):
         ).collect()
     )
     assert pre == full
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nodes = {x for e in und for x in e}
+    expected = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (b, c), (a, c)} <= und
+    )
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    row = graph.triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        len(nodes), len(und), expected,
+    )
