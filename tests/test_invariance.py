@@ -50,6 +50,9 @@ QUERIES = [
     "orders_monthly_momentum",  # NTZ month render must not shift months
     "graph_pagerank_dangling",  # sink-mass share must be partition-invariant
     "curation_quality_score",   # integer blend across partitionings
+    "graph_pagerank_weighted",  # decimal-widened weight shares
+    "dedup_ngram_prefix",       # prefix boundary + rank ties across parts
+    "graph_triangle_count",     # orientation ties across partitionings
 ]
 
 
