@@ -212,11 +212,16 @@ def test_new_round5_queries_not_cartesian(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["graph_pagerank_dangling", "curation_quality_score"]
+    "name", ["graph_pagerank_dangling", "curation_quality_score",
+             "graph_pagerank_weighted", "graph_triangle_count",
+             "dedup_ngram_prefix", "dedup_prefix_prune_eval",
+             "orders_profile", "events_hll_window_monitor",
+             "multimodal_resize_box"]
 )
 def test_new_round7_queries_not_cartesian(spark, name):
-    # pagerank's sink-share crossJoin is a 1-row broadcast aggregate
-    # (BroadcastNestedLoopJoin); the quality scorer is doc_id equi-joins
+    # pagerank's sink-share and the summary-row assemblies crossJoin
+    # only 1-row aggregates (BroadcastNestedLoopJoin); everything else
+    # is equi-joins — never CartesianProduct
     assert "CartesianProduct" not in _plan(spark, name)
 
 
