@@ -57,7 +57,14 @@ def _fresh_session():
     # whichever query happens to be running.
     spark = get_spark(
         app_name="stedi-bench",
-        extra_conf={"spark.cleaner.periodicGC.interval": "30min"},
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "30min",
+            # The console progress bar writes carriage-return frames to
+            # stderr that glue themselves onto the per-query "# name:"
+            # lines (r07: 27 of 126 lines lost their line start in the
+            # captured log) — keep the timing log greppable.
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     # JVM/codegen warmup on a trivial action so the first timed query
     # doesn't absorb session startup.
