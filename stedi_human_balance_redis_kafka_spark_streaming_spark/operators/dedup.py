@@ -639,3 +639,80 @@ def embedding_bucketed_pairs(
         # on all three is exact)
         pairs = pairs.distinct()
     return pairs
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    window: int = 3,
+    key_chars: int = 24,
+    text_col: str = "text",
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup pairs — the fourth classic
+    blocking strategy next to the inverted-index join (exact,
+    stop-shingle-bounded), MinHash-LSH (probabilistic), and the prefix
+    filter (exact, threshold-pruned): sort the corpus by a cheap
+    blocking key and compare each document only with its ``window``
+    successors in that order.
+
+    The blocking key is the first ``key_chars`` characters of the
+    normalized (trimmed, lowercased, whitespace-collapsed) text, with
+    doc_id as the deterministic tie-break — duplicates and
+    shared-prefix boilerplate sort adjacent, so a tiny window catches
+    them at O(N·window) candidate cost, zero joins in candidate
+    generation (``lead`` over the sorted order).  Like LSH, recall is
+    partial by design (near-dups whose edits fall inside the key
+    prefix sort apart); the identical key/order/window runs in the
+    oracle, so results are exactly reproducible.  Candidates verify
+    with the shared exact-Jaccard stage.
+
+    Output: (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b.
+
+    Scale shape: ONE global sort of (key, doc_id) pairs — the narrow
+    2-column frame, not the corpus — then ``lead`` produces the
+    candidate list with no self-join at all; the verify stage is
+    candidate-bounded as everywhere else.  At 100 TB the single-
+    partition global window becomes range-partitioned sort +
+    per-partition lead with a ``window``-row boundary overlap (the
+    standard SNM sharding); multiple passes with different keys
+    (multi-pass SNM) raise recall linearly in passes.
+    """
+    own: list[DataFrame] = [] if caches is None else caches
+    key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+        1,
+        key_chars,
+    )
+    keyed = docs.select("doc_id", key.alias("bkey"))
+    w = Window.orderBy("bkey", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(w).alias(f"__n{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    cand = (
+        leads.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col(f"__n{k}") for k in range(1, window + 1)])
+            ).alias("other"),
+        )
+        .filter(F.col("other").isNotNull())
+        .select(
+            F.least("doc_id", "other").alias("doc_a"),
+            F.greatest("doc_id", "other").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    own.append(cand)
+    e = _exploded_terms(docs, n, text_col).persist()
+    e.count()
+    own.append(e)
+    ret = _verify_jaccard(e, cand, threshold)
+    return ret if caches is not None else scope_caches(ret, *own)

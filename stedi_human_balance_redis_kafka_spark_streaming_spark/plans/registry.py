@@ -493,6 +493,65 @@ def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, *caches)
 
 
+@register(
+    "dedup_snm",
+    # Sorted-neighborhood blocking mirrored exactly: same normalized
+    # 24-char blocking key, same (bkey, doc_id) order, same 3-successor
+    # window, same exact-Jaccard verify — so the (partial-recall-by-
+    # design) pair set is bit-identical cross-engine.
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                    1, 24) AS bkey
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id,
+             lead(doc_id, 1) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2,
+             lead(doc_id, 3) OVER w AS n3
+      FROM keyed WINDOW w AS (ORDER BY bkey, doc_id)
+    ), cand AS (
+      SELECT DISTINCT least(doc_id, o) AS doc_a, greatest(doc_id, o) AS doc_b
+      FROM ordered, LATERAL (SELECT unnest([n1, n2, n3]) AS o) u
+      WHERE o IS NOT NULL
+    ), e AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+    ), iv AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN e ea ON ea.doc_id = c.doc_a
+      JOIN e eb ON eb.doc_id = c.doc_b AND eb.term = ea.term
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM iv
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    """,
+)
+def dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup pairs: sort by a cheap
+    normalized-prefix blocking key, compare each doc with its 3
+    successors, verify exact Jaccard — the O(N·w) zero-join blocking
+    strategy (partial recall by design, like LSH; the same key/order/
+    window runs in the oracle).
+    """
+    return dedup.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.7,
+        n=3,
+        window=3,
+        key_chars=24,
+    )
+
+
 _CONTAIN_E6 = 800_000
 
 
@@ -3928,6 +3987,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "orders_profile",
     # third graph primitive behind the in-window pagerank + CC reps
     "graph_triangle_count",
+    # fourth blocking strategy behind the in-window dedup reps
+    "dedup_snm",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",

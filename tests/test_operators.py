@@ -1500,3 +1500,40 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(0, 1), (1, 2), (2, 0), (2, 3)]) == (4, 4, 1)
     # path: no triangles
     assert tc([(0, 1), (1, 2), (2, 3)]) == (4, 3, 0)
+
+
+def test_sorted_neighborhood_pairs_window_and_verify(spark):
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    # Docs 1/2 are near-identical (adjacent under the prefix key and
+    # J >= 0.7); doc 3 shares the prefix but diverges (candidate, fails
+    # verify); doc 4 sorts far away (never a candidate even though it
+    # near-matches doc 5 textually... both DO sort adjacent and match).
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma x y z q r s t u v w"),
+        (4, "zulu yankee xray whiskey victor uniform"),
+        (5, "zulu yankee xray whiskey victor tango"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.sorted_neighborhood_pairs(
+            df, threshold=0.5, n=3, window=2
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert (4, 5) in got
+    assert all(p != (1, 3) and p != (2, 3) for p in got)  # verify rejects
+    # window=0-distance sanity: identical duplicate always caught
+    df2 = spark.createDataFrame(
+        [(1, "same same same text"), (2, "same same same text")],
+        "doc_id long, text string",
+    )
+    out = dedup.sorted_neighborhood_pairs(df2, threshold=0.9, n=3, window=1)
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()] == [
+        (1, 2, 1.0)
+    ]
