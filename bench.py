@@ -31,12 +31,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 RUNS_PER_QUERY = 2
 
-# min-of-3 for queries measured as session-position-sensitive: the two
-# text queries land late in their recycled session and showed a roaming
-# 1.5-2x driver-vs-isolated wobble in r05/r06 artifacts (cleanup I/O +
-# GC from the preceding heavy ANN/dedup block).  One extra run bounds
-# the min against a single unlucky draw without re-timing all 120.
-EXTRA_RUN_QUERIES = {"text_shared_spans", "text_stats"}
+# If the two samples of a query disagree by more than this ratio, run it
+# once more and keep the min.  Replaces a hard-coded name set (r07
+# nit): session-position wobble (cleanup I/O + GC from a preceding
+# heavy query) roams between queries as the registry evolves, so the
+# trigger must be the observed spread, not a frozen list.
+WOBBLE_RATIO = 1.5
 
 # Recycle the SparkSession every N queries.  A single 90+-query session
 # accrues a uniform ~1.4× slowdown on its later queries (measured
@@ -98,8 +98,10 @@ def main() -> None:
         # lands on whichever query is running — observed as a roaming
         # 20-80 s spike that moves between runs.  The min is the query's
         # actual plan cost.
-        runs = RUNS_PER_QUERY + (1 if name in EXTRA_RUN_QUERIES else 0)
-        timings[name] = round(min(run_once(fn) for _ in range(runs)), 3)
+        samples = [run_once(fn) for _ in range(RUNS_PER_QUERY)]
+        if max(samples) > WOBBLE_RATIO * min(samples):
+            samples.append(run_once(fn))
+        timings[name] = round(min(samples), 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
@@ -116,13 +118,14 @@ def main() -> None:
         flush=True,
     )
     # Truncation-proof per-query record: one short line per query, all
-    # near the tail of stdout, so a bounded tail capture keeps every
-    # timing even when the big map line above loses its head.  Sorted by
-    # DESCENDING sec so the heaviest queries — the ones a perf review
-    # actually needs — lead the per-query block and survive any capture
-    # that keeps its start (twice-flagged: the r05/r06 artifacts buried
-    # the ann/dedup timings mid-block under alphabetical order).
-    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+    # near the tail of stdout.  Sorted by ASCENDING sec so the heaviest
+    # queries — the ones a perf review actually needs — sit LAST,
+    # immediately before the final summary line.  The r07 artifact
+    # settled how the driver captures stdout: it keeps the TAIL, so
+    # heaviest-last is the only ordering that survives truncation
+    # (r05/r06 lost heavy timings to alphabetical order; r07 lost them
+    # again to descending-first).
+    for name in sorted(timings, key=lambda n: (timings[n], n)):
         print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
     # Short self-contained summary LAST so the official artifact always
     # ends with a parseable total whatever the capture window.
