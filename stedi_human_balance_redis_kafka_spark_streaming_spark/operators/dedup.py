@@ -641,6 +641,154 @@ def embedding_bucketed_pairs(
     return pairs
 
 
+def _snm_key(text_col: str, key_chars: int, token_sorted: bool = False):
+    """SNM blocking-key expression: first ``key_chars`` chars of the
+    normalized (trimmed, lowercased, whitespace-collapsed) text.  With
+    ``token_sorted`` the normalized tokens are sorted before the prefix
+    is taken — a SECOND, order-insensitive key for multi-pass SNM that
+    blocks together docs whose edits fall inside the raw prefix."""
+    nrm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    if token_sorted:
+        nrm = F.array_join(F.array_sort(F.split(nrm, " ")), " ")
+    return F.substring(nrm, 1, key_chars)
+
+
+def _snm_candidates_global(keyed: DataFrame, window: int) -> DataFrame:
+    """SNM candidate stream via ONE global window — exact but funnels
+    every (bkey, doc_id) row through a single task.  Retained only as
+    the reference form the sharded path is property-tested against
+    (tests/test_properties.py); production callers use
+    :func:`_snm_candidates_sharded`.  Output: (doc_id, other) rows,
+    un-normalized and possibly duplicated — callers least/greatest +
+    distinct."""
+    w = Window.orderBy("bkey", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(w).alias(f"__n{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    return leads.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"__n{k}") for k in range(1, window + 1)])
+        ).alias("other"),
+    ).filter(F.col("other").isNotNull())
+
+
+def _snm_candidates_sharded(
+    keyed: DataFrame,
+    window: int,
+    shards: int | None,
+    own: list[DataFrame],
+) -> DataFrame:
+    """Range-partitioned SNM candidate stream — the 100 TB form of the
+    global-window path, exactly equal to it (property-tested):
+
+    1. ``repartitionByRange`` on (bkey, doc_id) gives contiguous sorted
+       shards; ``lead`` over a per-shard window emits every
+       same-shard neighbor pair with NO single-task bottleneck.
+    2. Shard-local row_number + broadcast cumulative shard offsets
+       reconstruct each row's exact GLOBAL rank (the standard
+       zip-with-index shape: the only global window runs over the
+       ``shards``-row count frame).
+    3. Cross-shard pairs come from the boundary frame — the first and
+       last ``window`` rows of every shard, ≤ 2·window·shards rows
+       total, bounded by CLUSTER size not data size — ordered globally
+       and filtered on TRUE global-rank distance ≤ ``window``, so a
+       huge shard's head never pairs with its own tail through the
+       subsequence.  Any pair spanning shards has all its intermediate
+       rows inside the boundary frame (each is within ``window`` of a
+       shard edge), so boundary-frame lead distance equals global
+       distance: no pair is missed, no false pair survives the rank
+       filter.  Same-shard duplicates fall to the caller's distinct.
+
+    The shard-local frame is persisted (appended to ``own``) before
+    reuse: ``repartitionByRange`` samples boundaries, so the pinned
+    copy guarantees the offset/lead/boundary reads all see ONE
+    partitioning.
+    """
+    spark = keyed.sparkSession
+    if shards is None:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wp = Window.partitionBy("__pid").orderBy("bkey", "doc_id")
+    local = (
+        keyed.repartitionByRange(shards, "bkey", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(wp))
+        .persist()
+    )
+    local.count()
+    own.append(local)
+    in_leads = local.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(wp).alias(f"__n{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    in_pairs = in_leads.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"__n{k}") for k in range(1, window + 1)])
+        ).alias("other"),
+    ).filter(F.col("other").isNotNull())
+    sizes = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        "__cnt",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+    )
+    bset = (
+        local.join(F.broadcast(offsets), "__pid")
+        .filter(
+            (F.col("__lrn") <= window)
+            | (F.col("__lrn") > F.col("__cnt") - window)
+        )
+        .select(
+            "bkey", "doc_id", (F.col("__off") + F.col("__lrn")).alias("__grn")
+        )
+    )
+    wb = Window.orderBy("bkey", "doc_id")  # ≤ 2·window·shards rows
+    b_leads = bset.select(
+        "doc_id",
+        "__grn",
+        *[
+            F.lead("doc_id", k).over(wb).alias(f"__bd{k}")
+            for k in range(1, window + 1)
+        ],
+        *[
+            F.lead("__grn", k).over(wb).alias(f"__bg{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    b_pairs = (
+        b_leads.select(
+            "doc_id",
+            "__grn",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"__bd{k}").alias("other"),
+                            F.col(f"__bg{k}").alias("ogrn"),
+                        )
+                        for k in range(1, window + 1)
+                    ]
+                )
+            ).alias("nb"),
+        )
+        .filter(
+            F.col("nb.other").isNotNull()
+            & (F.col("nb.ogrn") - F.col("__grn") <= window)
+        )
+        .select("doc_id", F.col("nb.other").alias("other"))
+    )
+    return in_pairs.unionByName(b_pairs)
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -648,6 +796,8 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     key_chars: int = 24,
     text_col: str = "text",
+    shards: int | None = None,
+    sharded: bool = True,
     caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-dup pairs — the fourth classic
@@ -670,39 +820,78 @@ def sorted_neighborhood_pairs(
 
     Output: (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b.
 
-    Scale shape: ONE global sort of (key, doc_id) pairs — the narrow
-    2-column frame, not the corpus — then ``lead`` produces the
-    candidate list with no self-join at all; the verify stage is
-    candidate-bounded as everywhere else.  At 100 TB the single-
-    partition global window becomes range-partitioned sort +
-    per-partition lead with a ``window``-row boundary overlap (the
-    standard SNM sharding); multiple passes with different keys
-    (multi-pass SNM) raise recall linearly in passes.
+    Scale shape: candidate generation is range-partitioned by default
+    (:func:`_snm_candidates_sharded` — per-shard ``lead`` plus a
+    cluster-bounded boundary-overlap frame; no single-task global
+    sort).  ``sharded=False`` selects the one-global-window form,
+    retained for the shard-equality property test.  Multi-pass SNM
+    (:func:`sorted_neighborhood_multipass_pairs`) raises recall with a
+    second, token-sorted key.
     """
     own: list[DataFrame] = [] if caches is None else caches
-    key = F.substring(
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
-        1,
-        key_chars,
+    keyed = docs.select(
+        "doc_id", _snm_key(text_col, key_chars).alias("bkey")
     )
-    keyed = docs.select("doc_id", key.alias("bkey"))
-    w = Window.orderBy("bkey", "doc_id")
-    leads = keyed.select(
-        "doc_id",
-        *[
-            F.lead("doc_id", k).over(w).alias(f"__n{k}")
-            for k in range(1, window + 1)
-        ],
+    raw = (
+        _snm_candidates_sharded(keyed, window, shards, own)
+        if sharded
+        else _snm_candidates_global(keyed, window)
     )
     cand = (
-        leads.select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.col(f"__n{k}") for k in range(1, window + 1)])
-            ).alias("other"),
+        raw.select(
+            F.least("doc_id", "other").alias("doc_a"),
+            F.greatest("doc_id", "other").alias("doc_b"),
         )
-        .filter(F.col("other").isNotNull())
-        .select(
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    own.append(cand)
+    e = _exploded_terms(docs, n, text_col).persist()
+    e.count()
+    own.append(e)
+    ret = _verify_jaccard(e, cand, threshold)
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def sorted_neighborhood_multipass_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    window: int = 3,
+    key_chars: int = 24,
+    text_col: str = "text",
+    shards: int | None = None,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Multi-pass SNM: run the sorted-neighborhood candidate stage
+    TWICE with independent blocking keys — the raw normalized prefix
+    (pass 1, same key as :func:`sorted_neighborhood_pairs`) and the
+    token-SORTED prefix (pass 2, order-insensitive: docs that differ
+    only by early-token edits or reordering block apart under the raw
+    key but together under the sorted one) — union the candidate
+    pairs, then verify ONCE with the shared exact-Jaccard stage.
+
+    This is the classic multi-pass SNM recall remedy: each pass costs
+    the same O(N·window) candidates, misses are roughly independent
+    across keys, and the verify stage stays candidate-bounded because
+    the union is at most 2·N·window pairs.  Both passes use the
+    range-partitioned candidate path.
+
+    Output: (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b — a
+    superset of the single-pass result at identical parameters.
+    """
+    own: list[DataFrame] = [] if caches is None else caches
+    k1 = docs.select("doc_id", _snm_key(text_col, key_chars).alias("bkey"))
+    k2 = docs.select(
+        "doc_id",
+        _snm_key(text_col, key_chars, token_sorted=True).alias("bkey"),
+    )
+    raw = _snm_candidates_sharded(k1, window, shards, own).unionByName(
+        _snm_candidates_sharded(k2, window, shards, own)
+    )
+    cand = (
+        raw.select(
             F.least("doc_id", "other").alias("doc_a"),
             F.greatest("doc_id", "other").alias("doc_b"),
         )

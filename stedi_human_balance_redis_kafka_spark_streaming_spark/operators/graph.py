@@ -252,6 +252,35 @@ def triangle_count(
     equi-joins (wedge build keyed on the middle vertex, closure keyed
     on (u, w)); counts are partial-aggregable.
     """
+    und, deg, o = _oriented(edges, src, dst)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s"))
+            & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    from ..session import scope_caches
+
+    out = n_nodes.crossJoin(n_edges).crossJoin(tri)
+    return scope_caches(out, und, o)
+
+
+def _oriented(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared canonicalize-and-orient stage of the triangle family:
+    (und, deg, o) where ``und`` is the simple undirected edge set
+    (self-loops dropped, duplicates collapsed, u < v), ``deg`` its
+    per-node degrees, and ``o`` every edge oriented from its lower
+    endpoint under the (degree ASC, node ASC) total order.  ``und``
+    and ``o`` are persisted and materialized — callers own their
+    release (scope_caches)."""
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(
@@ -283,19 +312,70 @@ def triangle_count(
         .persist()
     )
     o.count()
+    return und, deg, o
+
+
+def clustering_coefficient(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient — the per-entity consumer
+    of the triangle primitive, as PageRank is of the message-passing
+    primitive: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a
+    node's neighbor pairs that are themselves connected (community
+    coherence per entity rather than one global census).
+
+    Reuses the degree-ordered oriented wedge join of
+    :func:`triangle_count` unchanged; the only addition is crediting
+    each counted triangle to its THREE vertices (a 3-element explode on
+    the already-joined rows — no new shuffle shape) and one
+    partial-aggregable per-node count.  deg < 2 nodes have no neighbor
+    pair and get 0.0 by convention.
+
+    Output: (node, deg, n_tri, local_cc) — local_cc a double ratio of
+    exact integers, hence bit-deterministic cross-engine.
+
+    Scale shape: identical to triangle_count — two equi-joins bounded
+    at O(m^1.5) wedge rows by the orientation — plus one count keyed
+    on node (partial-aggregable: a hub's triangle credits combine
+    map-side).
+    """
+    und, deg, o = _oriented(edges, src, dst)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    tri = (
+    per_node = (
         e1.join(e2, F.col("e1.t") == F.col("e2.s"))
         .join(
             e3,
             (F.col("e3.s") == F.col("e1.s"))
             & (F.col("e3.t") == F.col("e2.t")),
         )
-        .agg(F.count("*").alias("n_triangles"))
+        .select(
+            F.explode(
+                F.array(F.col("e1.s"), F.col("e1.t"), F.col("e2.t"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
     )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = und.agg(F.count("*").alias("n_edges"))
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .select(
+            "node",
+            "deg",
+            "n_tri",
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2) * F.col("n_tri")).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+    )
     from ..session import scope_caches
 
-    out = n_nodes.crossJoin(n_edges).crossJoin(tri)
     return scope_caches(out, und, o)

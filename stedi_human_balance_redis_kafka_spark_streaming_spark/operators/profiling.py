@@ -110,3 +110,88 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
             "max_s",
         )
     )
+
+
+def profile_drift(
+    profile_a: DataFrame,
+    profile_b: DataFrame,
+    *,
+    null_rate_delta_e6: int = 10_000,
+    distinct_ratio_e6: int = 200_000,
+) -> DataFrame:
+    """Two-snapshot drift diff over :func:`profile_table` outputs — the
+    natural consumer of the long-form profile and the data-quality gate
+    an ingest pipeline actually runs: join yesterday's profile against
+    today's on ``col_name`` and flag the deltas that mean the drop
+    changed shape, not just size.
+
+    Flags (all exact integer arithmetic, hence SQL-mirrorable):
+
+    - ``null_drift`` — per-column null RATE (in 1e-6 units, div-
+      truncated) moved by more than ``null_rate_delta_e6`` (default
+      1%); rate, not count, so growth alone never trips it.
+    - ``distinct_drift`` — the distinct-count ratio b/a (1e6 units)
+      left [1e6 − t, 1e6 + t] for t = ``distinct_ratio_e6`` (default
+      ±20%) RELATIVE to the row-count ratio is deliberately NOT used:
+      cardinality tracking row volume is itself a signal dashboards
+      want raw, so the flag is the plain ratio and the raw counts ride
+      alongside.  A column absent from one side (schema change) flags
+      unconditionally.
+    - ``bounds_changed`` — the engine-stable rendered min/max strings
+      differ (new extremes or a dtype whose bounds policy changed);
+      rendered-string EQUALITY, never string ordering, so numeric
+      columns can't false-positive on lexicographic quirks.
+
+    Input frames only need the PROFILE_SCHEMA columns; the join is on
+    the (columns-count-bounded) long form — zero new scans of either
+    snapshot.  Output: one row per col_name in either profile.
+    """
+    sel = lambda p, s: p.select(  # noqa: E731
+        "col_name",
+        F.col("n_rows").alias(f"n_rows_{s}"),
+        F.col("n_nulls").alias(f"__nn_{s}"),
+        F.col("n_distinct").alias(f"n_distinct_{s}"),
+        F.col("min_s").alias(f"__mn_{s}"),
+        F.col("max_s").alias(f"__mx_{s}"),
+    )
+    j = sel(profile_a, "a").join(sel(profile_b, "b"), "col_name", "full_outer")
+    rate = lambda s: F.when(  # noqa: E731
+        F.col(f"n_rows_{s}") > 0,
+        F.expr(f"(__nn_{s} * 1000000L) div n_rows_{s}"),
+    ).otherwise(F.lit(0))
+    both = F.col("n_rows_a").isNotNull() & F.col("n_rows_b").isNotNull()
+    ratio = F.when(
+        F.col("n_distinct_a") > 0,
+        F.expr("(n_distinct_b * 1000000L) div n_distinct_a"),
+    )
+    return j.select(
+        "col_name",
+        both.alias("in_both"),
+        F.col("n_rows_a").cast("long").alias("n_rows_a"),
+        F.col("n_rows_b").cast("long").alias("n_rows_b"),
+        rate("a").cast("long").alias("null_rate_a_e6"),
+        rate("b").cast("long").alias("null_rate_b_e6"),
+        F.col("n_distinct_a").cast("long").alias("n_distinct_a"),
+        F.col("n_distinct_b").cast("long").alias("n_distinct_b"),
+        F.when(
+            both,
+            F.abs(rate("b") - rate("a")) > null_rate_delta_e6,
+        )
+        .otherwise(F.lit(True))
+        .alias("null_drift"),
+        F.when(
+            both,
+            F.coalesce(
+                F.abs(ratio - 1_000_000) > distinct_ratio_e6, F.lit(True)
+            ),
+        )
+        .otherwise(F.lit(True))
+        .alias("distinct_drift"),
+        F.when(
+            both,
+            ~(F.col("__mn_a").eqNullSafe(F.col("__mn_b")))
+            | ~(F.col("__mx_a").eqNullSafe(F.col("__mx_b"))),
+        )
+        .otherwise(F.lit(True))
+        .alias("bounds_changed"),
+    )

@@ -1438,6 +1438,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import graph
 
+    return graph.triangle_count(_trade_nation_edges(spark, sf_dir))
+
+
+def _trade_nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation co-trade edge list (supplier nation ↔ customer nation of
+    any lineitem) — shared by the triangle census and the per-node
+    clustering-coefficient query."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_orderkey"
     )
@@ -1450,7 +1457,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    edges = (
+    return (
         li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -1460,13 +1467,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return graph.triangle_count(edges)
+
+
+@register(
+    "graph_clustering_coeff",
+    # Per-node local clustering coefficient over the same nation
+    # co-trade graph, mirrored exactly: same canonical simple graph,
+    # same (deg ASC, node ASC) orientation, same once-per-triangle
+    # wedge closure credited to all three vertices, same
+    # 2T/(d(d-1)) double ratio of exact integers.
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ), und AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a != b
+    ), deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ), o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+                  THEN v ELSE u END AS t
+      FROM und
+      JOIN deg da ON da.node = und.u
+      JOIN deg db ON db.node = und.v
+    ), tri AS (
+      SELECT unnest([e1.s, e1.t, e2.t]) AS node
+      FROM o e1
+      JOIN o e2 ON e2.s = e1.t
+      JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t
+    ), per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM tri GROUP BY node
+    )
+    SELECT d.node,
+           CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.deg >= 2
+                THEN CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE)
+                     / (d.deg * (d.deg - 1))
+                ELSE 0.0 END AS local_cc
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation local clustering coefficient of the co-trade graph —
+    the per-entity consumer of the triangle primitive
+    (operators/graph.py clustering_coefficient): which nations' trade
+    partners also trade with each other.  Same O(m^1.5)-bounded
+    oriented wedge join as the census, plus one partial-aggregable
+    per-node credit count.
+    """
+    from ..operators import graph
+
+    return graph.clustering_coefficient(_trade_nation_edges(spark, sf_dir))
 
 
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
 
 
-def _sql_profile_col(c: str, bounds: bool) -> str:
+def _sql_profile_col(c: str, bounds: bool, from_clause: str = "orders") -> str:
     mn = f"CAST(MIN({c}) AS VARCHAR)" if bounds else "CAST(NULL AS VARCHAR)"
     mx = f"CAST(MAX({c}) AS VARCHAR)" if bounds else "CAST(NULL AS VARCHAR)"
     return f"""
@@ -1477,7 +1544,7 @@ def _sql_profile_col(c: str, bounds: bool) -> str:
            TRUE AS approx_ok,
            {mn} AS min_s,
            {mx} AS max_s
-    FROM orders"""
+    FROM {from_clause}"""
 
 
 @register(
@@ -1503,6 +1570,94 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return profile_table(
         load_table(spark, sf_dir, "orders"), list(_PROFILE_COLS)
+    )
+
+
+# Drift-demo snapshot B: the new drop lost a whole category — the shape
+# change (priority cardinality 5 → 4, new rendered min bound) is what
+# the gate must flag, not the mere row-count drop.
+_DRIFT_B_PRED = "o_orderpriority <> '1-URGENT'"
+
+
+def _sql_drift_rate(side: str) -> str:
+    return (
+        f"CASE WHEN n_rows_{side} > 0 "
+        f"THEN (nn_{side} * 1000000) // n_rows_{side} ELSE 0 END"
+    )
+
+
+@register(
+    "orders_profile_drift",
+    # Mirrors operators/profiling.profile_drift exactly: both snapshot
+    # profiles (same columns, same bounds policy), full-outer join on
+    # col_name, div-truncated 1e-6 null rates and distinct ratios, the
+    # same >1%-null / ±15%-distinct / rendered-bounds-equality flags.
+    oracle=f"""
+    WITH pa AS ({" UNION ALL ".join(
+        _sql_profile_col(c, bounds=c != "o_totalprice")
+        for c in _PROFILE_COLS
+    )}), pb AS ({" UNION ALL ".join(
+        _sql_profile_col(
+            c,
+            bounds=c != "o_totalprice",
+            from_clause=f"(SELECT * FROM orders WHERE {_DRIFT_B_PRED})",
+        )
+        for c in _PROFILE_COLS
+    )}), j AS (
+      SELECT COALESCE(pa.col_name, pb.col_name) AS col_name,
+             pa.n_rows AS n_rows_a, pa.n_nulls AS nn_a,
+             pa.n_distinct AS nd_a, pa.min_s AS mn_a, pa.max_s AS mx_a,
+             pb.n_rows AS n_rows_b, pb.n_nulls AS nn_b,
+             pb.n_distinct AS nd_b, pb.min_s AS mn_b, pb.max_s AS mx_b
+      FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name
+    )
+    SELECT col_name,
+           (n_rows_a IS NOT NULL AND n_rows_b IS NOT NULL) AS in_both,
+           CAST(n_rows_a AS BIGINT) AS n_rows_a,
+           CAST(n_rows_b AS BIGINT) AS n_rows_b,
+           CAST({_sql_drift_rate("a")} AS BIGINT) AS null_rate_a_e6,
+           CAST({_sql_drift_rate("b")} AS BIGINT) AS null_rate_b_e6,
+           CAST(nd_a AS BIGINT) AS n_distinct_a,
+           CAST(nd_b AS BIGINT) AS n_distinct_b,
+           CASE WHEN n_rows_a IS NOT NULL AND n_rows_b IS NOT NULL
+                THEN abs(({_sql_drift_rate("b")})
+                         - ({_sql_drift_rate("a")})) > 10000
+                ELSE TRUE END AS null_drift,
+           CASE WHEN n_rows_a IS NOT NULL AND n_rows_b IS NOT NULL
+                THEN CASE WHEN nd_a > 0
+                          THEN abs((nd_b * 1000000) // nd_a - 1000000)
+                               > 150000
+                          ELSE TRUE END
+                ELSE TRUE END AS distinct_drift,
+           CASE WHEN n_rows_a IS NOT NULL AND n_rows_b IS NOT NULL
+                THEN NOT (mn_a IS NOT DISTINCT FROM mn_b)
+                     OR NOT (mx_a IS NOT DISTINCT FROM mx_b)
+                ELSE TRUE END AS bounds_changed
+    FROM j
+    """,
+)
+def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot profile drift gate (operators/profiling.py
+    profile_drift) — the natural consumer of the long-form profile:
+    profile yesterday's drop (full orders) and today's (a drop that
+    silently lost every 1-URGENT order), join on col_name, and flag
+    the columns whose null rate, cardinality, or rendered bounds moved
+    beyond thresholds.  The lost category must surface as
+    o_orderpriority's bounds_changed + distinct drift while the pure
+    row-count shrink stays below the null/distinct thresholds
+    elsewhere.  Zero scans beyond the two profiled snapshots.
+    """
+    from ..operators.profiling import profile_drift, profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = list(_PROFILE_COLS)
+    return profile_drift(
+        profile_table(orders, cols),
+        profile_table(orders.filter(_DRIFT_B_PRED), cols),
+        # ±15%, not the ±20% default: the demo's category loss is an
+        # exactly-4/5 cardinality drop, which a strict > 20% test
+        # would sit precisely ON rather than clear
+        distinct_ratio_e6=150_000,
     )
 
 

@@ -413,9 +413,13 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM prefix a JOIN prefix b
         ON a.term = b.term AND a.doc_id < b.doc_id
+    ), stop AS (
+      SELECT term FROM dfq WHERE df > {_MAX_SHINGLE_FREQ}
+    ), e_cap AS (
+      SELECT doc_id, term FROM e ANTI JOIN stop USING (term)
     ), co AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+      FROM e_cap a JOIN e_cap b ON a.term = b.term AND a.doc_id < b.doc_id
     ), sz_t AS (
       SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
     ), truth AS (
@@ -428,7 +432,9 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sz_t sb ON iv.doc_b = sb.doc_id
       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
     )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_coshingled,
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_coshingled_capped,
+           (SELECT CAST(COALESCE(SUM(df * (df - 1) // 2), 0) AS BIGINT)
+            FROM dfq) AS n_join_rows_naive,
            (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
            (SELECT count(*) FROM truth) =
@@ -438,19 +444,27 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pruning eval for the prefix-filter candidate path: how many of
-    the all-co-shingled pairs the rare-first prefix join eliminates at
-    t = 0.7, with the completeness theorem checked as data (every true
-    pair is a candidate).  One summary row — the dedup counterpart of
-    the ANN recall evals: the approximation knob's effect is a
-    MONITORED number, not a hope.
+    """Pruning eval for the prefix-filter candidate path: prefix
+    candidates vs the co-shingled pair space, with the completeness
+    theorem checked as data (every true pair is a candidate).  One
+    summary row — the dedup counterpart of the ANN recall evals: the
+    approximation knob's effect is a MONITORED number, not a hope.
+
+    The comparison pair count is stop-shingle-CAPPED (df ≤ 50, the
+    production pair path's own bound) so the eval never materializes
+    an unbounded Θ(Σ df²) join at scale; the UNCAPPED naive cost is
+    reported alongside as the analytic join-row count Σ df·(df−1)/2 —
+    an O(vocabulary) aggregate over the df table, no join at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
     e = dedup._exploded_terms(docs, 3).persist()
     e.count()
     caches.append(e)
-    a, b = e.alias("a"), e.alias("b")
+    dfq = e.groupBy("term").agg(F.count("*").alias("df"))
+    stop = dfq.filter(F.col("df") > _MAX_SHINGLE_FREQ).select("term")
+    e_cap = e.join(stop, "term", "left_anti").select("doc_id", "term")
+    a, b = e_cap.alias("a"), e_cap.alias("b")
     co = (
         a.join(
             b,
@@ -462,6 +476,11 @@ def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    naive = dfq.agg(
+        F.coalesce(F.sum(F.expr("df * (df - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_join_rows_naive")
+    )
     cand = dedup.prefix_candidates(e, 0.7).persist()
     cand.count()
     caches.append(cand)
@@ -470,7 +489,7 @@ def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand here, so equality holds iff verify lost nothing; the oracle
     # computes truth independently from the FULL join, making the
     # comparison a real two-sided check.
-    n_co = co.agg(F.count("*").alias("n_coshingled"))
+    n_co = co.agg(F.count("*").alias("n_coshingled_capped"))
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     tr = truth.persist()
     caches.append(tr)
@@ -480,11 +499,13 @@ def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("__h"))
     )
     out = (
-        n_co.crossJoin(n_cand)
+        n_co.crossJoin(naive)
+        .crossJoin(n_cand)
         .crossJoin(n_true)
         .crossJoin(n_hit)
         .select(
-            "n_coshingled",
+            "n_coshingled_capped",
+            "n_join_rows_naive",
             "n_candidates",
             "n_true",
             (F.col("n_true") == F.col("__h")).alias("candidates_complete"),
@@ -550,6 +571,188 @@ def dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=3,
         key_chars=24,
     )
+
+
+# Shared SQL mirror of the SNM candidate machinery: normalized text,
+# the raw-prefix (pass 1) and token-sorted-prefix (pass 2) blocking
+# keys, and the per-key 3-successor lead windows.
+_SQL_SNM_PASS_CTES = """
+    nrm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+               AS nt
+      FROM documents
+    ), k1 AS (
+      SELECT doc_id, substr(nt, 1, 24) AS bkey FROM nrm
+    ), k2 AS (
+      SELECT doc_id,
+             substr(array_to_string(list_sort(string_split(nt, ' ')), ' '),
+                    1, 24) AS bkey
+      FROM nrm
+    ), o1 AS (
+      SELECT doc_id,
+             lead(doc_id, 1) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2,
+             lead(doc_id, 3) OVER w AS n3
+      FROM k1 WINDOW w AS (ORDER BY bkey, doc_id)
+    ), o2 AS (
+      SELECT doc_id,
+             lead(doc_id, 1) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2,
+             lead(doc_id, 3) OVER w AS n3
+      FROM k2 WINDOW w AS (ORDER BY bkey, doc_id)
+    )"""
+
+
+@register(
+    "dedup_snm_multipass",
+    # Multi-pass SNM mirrored exactly: pass 1 = the dedup_snm raw
+    # normalized 24-char prefix key, pass 2 = the token-SORTED prefix
+    # (list_sort == Spark array_sort: both ascending binary), candidate
+    # union, one shared exact-Jaccard verify.
+    oracle=f"""
+    WITH {_SQL_SNM_PASS_CTES}, cand AS (
+      SELECT DISTINCT least(doc_id, o) AS doc_a, greatest(doc_id, o) AS doc_b
+      FROM (
+        SELECT doc_id, unnest([n1, n2, n3]) AS o FROM o1
+        UNION ALL
+        SELECT doc_id, unnest([n1, n2, n3]) AS o FROM o2
+      ) WHERE o IS NOT NULL
+    ), e AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+    ), iv AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN e ea ON ea.doc_id = c.doc_a
+      JOIN e eb ON eb.doc_id = c.doc_b AND eb.term = ea.term
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM iv
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    """,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass SNM: union the candidate neighborhoods of TWO
+    independent blocking keys (raw normalized prefix + token-sorted
+    prefix) before one shared exact-Jaccard verify — the classic SNM
+    recall remedy for near-dups whose edits fall inside the raw key
+    prefix.  Both passes use the range-partitioned candidate path;
+    the result is a superset of dedup_snm at identical parameters
+    (property-tested).
+    """
+    return dedup.sorted_neighborhood_multipass_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.7,
+        n=3,
+        window=3,
+        key_chars=24,
+    )
+
+
+@register(
+    "dedup_snm_recall_eval",
+    # SNM's approximation knob measured as data, like the ANN recall
+    # evals: truth = the COMPLETE prefix-filtered exact-Jaccard join
+    # (whose oracle form is the plain all-shared-terms query), both
+    # SNM pass counts are subsets of it by construction (identical
+    # verify predicate), recall = div-truncated 1e-6 ratio.
+    oracle=f"""
+    WITH {_SQL_SNM_PASS_CTES}, cand1 AS (
+      SELECT DISTINCT least(doc_id, o) AS doc_a, greatest(doc_id, o) AS doc_b
+      FROM (SELECT doc_id, unnest([n1, n2, n3]) AS o FROM o1)
+      WHERE o IS NOT NULL
+    ), cand2 AS (
+      SELECT DISTINCT least(doc_id, o) AS doc_a, greatest(doc_id, o) AS doc_b
+      FROM (
+        SELECT doc_id, unnest([n1, n2, n3]) AS o FROM o1
+        UNION ALL
+        SELECT doc_id, unnest([n1, n2, n3]) AS o FROM o2
+      ) WHERE o IS NOT NULL
+    ), e AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)])) AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) iv
+      JOIN sz sa ON iv.doc_a = sa.doc_id
+      JOIN sz sb ON iv.doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    ), hits AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth SEMI JOIN cand1
+          ON truth.doc_a = cand1.doc_a AND truth.doc_b = cand1.doc_b)
+          AS n_snm_1pass,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth SEMI JOIN cand2
+          ON truth.doc_a = cand2.doc_a AND truth.doc_b = cand2.doc_b)
+          AS n_snm_2pass
+    )
+    SELECT n_true, n_snm_1pass, n_snm_2pass,
+           CAST(CASE WHEN n_true > 0
+                THEN (n_snm_1pass * 1000000) // n_true
+                ELSE 1000000 END AS BIGINT) AS recall_1pass_e6,
+           CAST(CASE WHEN n_true > 0
+                THEN (n_snm_2pass * 1000000) // n_true
+                ELSE 1000000 END AS BIGINT) AS recall_2pass_e6
+    FROM hits
+    """,
+)
+def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM recall eval: single-pass and two-pass SNM pair counts
+    against the exact-Jaccard truth (the COMPLETE prefix-filtered
+    join, itself scale-safe) — SNM results are subsets of truth by
+    construction (same verify predicate), so recall is a plain count
+    ratio.  One summary row; the multi-pass gain is a MONITORED
+    number, not a hope.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    truth = dedup.ngram_jaccard_prefix_pairs(
+        docs, threshold=0.7, n=3, caches=caches
+    )
+    snm1 = dedup.sorted_neighborhood_pairs(
+        docs, threshold=0.7, n=3, window=3, key_chars=24, caches=caches
+    )
+    snm2 = dedup.sorted_neighborhood_multipass_pairs(
+        docs, threshold=0.7, n=3, window=3, key_chars=24, caches=caches
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_1 = snm1.agg(F.count("*").alias("n_snm_1pass"))
+    n_2 = snm2.agg(F.count("*").alias("n_snm_2pass"))
+    rec = lambda n, alias: (  # noqa: E731
+        F.when(
+            F.col("n_true") > 0,
+            F.expr(f"({n} * 1000000L) div n_true"),
+        )
+        .otherwise(F.lit(1_000_000))
+        .cast("long")
+        .alias(alias)
+    )
+    out = (
+        n_true.crossJoin(n_1)
+        .crossJoin(n_2)
+        .select(
+            "n_true",
+            "n_snm_1pass",
+            "n_snm_2pass",
+            rec("n_snm_1pass", "recall_1pass_e6"),
+            rec("n_snm_2pass", "recall_2pass_e6"),
+        )
+    )
+    return scope_caches(out, *caches)
 
 
 _CONTAIN_E6 = 800_000
@@ -3891,10 +4094,11 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     "dedup_embedding_bucketed": "dedup_embedding_recall",
     "ann_brute_force_topk": "ann_ivf_recall",
     # same Arrow-batched mapInPandas plumbing over the codec-free byte
-    # grid; frame_sample is the stronger multi-row claim and stays
-    # in-window (the box-filter math itself is oracle-verified in the
-    # parity suite + hand-computed pytest cases)
-    "multimodal_resize_box": "multimodal_frame_sample",
+    # grid; r08 swaps the carrier direction of the r07 pair:
+    # frame_sample was driver-verified r06-r07, so the never-hashed
+    # box-filter resize takes the window slot and frame_sample rides
+    # behind it
+    "multimodal_frame_sample": "multimodal_resize_box",
     # identical cluster assignment + identical oracle; r07 swaps the
     # carrier direction of the r06 pair: min-label propagation was
     # driver-verified r04-r06, so the star-contraction engine (never
@@ -3939,11 +4143,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_rolling_value",
     "lineitem_quality_checks",
     "order_price_quantiles_approx",
-    "ann_ivf_spill_recall",
     "ann_label_purity",
     "text_shared_spans",
     "curation_rebalance",
-    "ann_pq_trained_recall",
     "text_pii_scrub",
     "text_lm_score",
     "events_funnel",
@@ -3952,8 +4154,6 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "lineitem_bloom_prune_revenue",
     "events_gapfill_locf",
     "curation_upsample",
-    "text_bpe_merges",
-    "text_bpe_segment",
     "curation_sample_quota",
     "text_chunk_sliding",
     "ann_range_search",
@@ -3973,22 +4173,6 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "multimodal_byte_features",
     "dedup_lsh_recall",
     "customer_order_stats",
-    # batch dual of the streaming HLL monitor (window full; the sketch
-    # contract is driver-checked via events_sketch_reaggregate)
-    "events_hll_window_monitor",
-    # weighted variant behind the two in-window pagerank forms
-    "graph_pagerank_weighted",
-    # complete prefix-filter candidate path behind the in-window
-    # inverted-index + LSH Jaccard representatives
-    "dedup_ngram_prefix",
-    "dedup_prefix_prune_eval",
-    # data-quality profile (window full; the distinct-estimate contract
-    # is driver-checked via events_approx_distinct)
-    "orders_profile",
-    # third graph primitive behind the in-window pagerank + CC reps
-    "graph_triangle_count",
-    # fourth blocking strategy behind the in-window dedup reps
-    "dedup_snm",
     # --- round-7 rotation: r05+r06 veterans with in-window siblings ---
     "ann_mmr_topk",
     "q11_supplier_concentration",
@@ -4001,6 +4185,36 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "curation_sample_stratified",
     "dedup_exact",
     "curation_pack_sequences",
+    # --- round-8 rotation: r06+r07 veterans with in-window siblings ---
+    # (r07 promotions ann_ivf_spill_recall / ann_pq_trained_recall /
+    # text_bpe_* / dedup_ngram_prefix / dedup_prefix_prune_eval /
+    # orders_profile / graph_triangle_count / dedup_snm /
+    # graph_pagerank_weighted / events_hll_window_monitor left this
+    # tuple for the window; these fifteen yield their slots)
+    # ANN evals: ivfpq/pq recalls stay in-window + the incoming
+    # spill/pq_trained forms
+    "ann_ivf_topk",
+    "ann_range_recall",
+    # dedup: the incoming prefix/SNM family + clusters/multi_signal
+    # carry the window
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    # curation: keep_best + quality_score (r07-verified) stay in-window
+    "curation_chunk_pipeline",
+    "curation_decontaminate",
+    "curation_pipeline",
+    # events: histogram/deciles/hll-monitor/session-window reps stay
+    "events_latest_state",
+    "events_type_transitions",
+    "events_interval_activity",
+    "events_cusum_changepoints",
+    # behind the in-window KLL merge + deciles
+    "orders_monthly_momentum",
+    # q1/q3/q7 carry the TPC-H family
+    "q10_returned_items",
+    # behind the in-window text stats/lang-id + incoming bpe pair
+    "text_token_counts",
 )
 
 

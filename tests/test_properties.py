@@ -559,3 +559,127 @@ def test_triangle_count_matches_brute_force(spark, edges):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (
         len(nodes), len(und), expected,
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_clustering_coefficient_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nodes = {x for e in und for x in e}
+    deg = {v: sum(1 for e in und if v in e) for v in nodes}
+    tri = {v: 0 for v in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: (r.deg, r.n_tri, r.local_cc)
+        for r in graph.clustering_coefficient(df).collect()
+    }
+    assert set(got) == nodes
+    for v in nodes:
+        cc = (
+            2 * tri[v] / (deg[v] * (deg[v] - 1)) if deg[v] >= 2 else 0.0
+        )
+        assert got[v] == (deg[v], tri[v], cc)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=14,
+    ),
+    window=st.integers(min_value=1, max_value=4),
+    shards=st.integers(min_value=1, max_value=9),
+)
+def test_snm_sharded_equals_global_window(spark, texts, window, shards):
+    """The range-partitioned SNM candidate path (per-shard lead +
+    boundary-overlap frame filtered on true global rank distance) must
+    return EXACTLY the single-global-window pair set — including when
+    shards outnumber rows (empty/short partitions) and when duplicate
+    blocking keys straddle shard boundaries."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(threshold=0.0, n=1, window=window, key_chars=4)
+    glob = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.sorted_neighborhood_pairs(
+            df, sharded=False, **kw
+        ).collect()
+    )
+    shard = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.sorted_neighborhood_pairs(
+            df, sharded=True, shards=shards, **kw
+        ).collect()
+    )
+    assert shard == glob
+
+
+def test_snm_multipass_superset_and_reorder_recall(spark):
+    """Multi-pass SNM must (a) be a superset of single-pass at the same
+    parameters and (b) catch a reordered near-dup whose leading-token
+    edit pushes it outside the raw-prefix neighborhood — the recall
+    case the token-sorted second key exists for."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    base = "zulu yankee xray whiskey victor uniform tango sierra"
+    reordered = "yankee zulu xray whiskey victor uniform tango sierra"
+    # spacer docs that sort between the two variants under the RAW
+    # prefix key (first letters y..z) so the single-pass window misses
+    # the pair, while the token-sorted key maps both variants to the
+    # same prefix
+    spacers = [
+        f"{c} filler{i} pad{i} mid{i} row{i} col{i} end{i} tail{i}"
+        for i, c in enumerate(["ya", "yb", "yc", "yd", "ye", "yf"])
+    ]
+    rows = [(0, base), (1, reordered)] + [
+        (i + 2, s) for i, s in enumerate(spacers)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.5, n=1, window=2, key_chars=8)
+    single = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.sorted_neighborhood_pairs(df, **kw).collect()
+    }
+    multi = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.sorted_neighborhood_multipass_pairs(
+            df, **kw
+        ).collect()
+    }
+    assert single <= multi
+    assert (0, 1) not in single  # raw key sorts the variants apart
+    assert (0, 1) in multi  # token-sorted pass blocks them together
