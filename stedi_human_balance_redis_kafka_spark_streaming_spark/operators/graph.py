@@ -379,3 +379,98 @@ def clustering_coefficient(
     from ..session import scope_caches
 
     return scope_caches(out, und, o)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core membership via iterative peeling — the graph-family
+    density primitive next to PageRank (centrality), connected
+    components (membership), and triangles (cohesion): the k-core is
+    the maximal subgraph where every node keeps degree ≥ k after all
+    weaker nodes are REMOVED, the standard filter for "engaged"
+    entities (spam-ring kernels in web graphs, active trader cores in
+    transaction graphs, stable communities in interaction graphs)
+    because one round of degree thresholding is fooled by nodes
+    propped up by other weak nodes — peeling cascades until a
+    fixpoint.
+
+    Input: a directed or undirected edge list; canonicalized to a
+    simple undirected graph first (self-loops dropped, duplicates and
+    orientation collapsed) so parallel edges never double-count a
+    degree.
+
+    Output: (node, core_deg) — the k-core's nodes with their
+    within-core degree (core_deg ≥ k by definition; every core node
+    appears in ≥ k surviving edges, so membership derives from the
+    surviving edge set with no separate node frame).
+
+    Scale shape: each round is ONE partial-aggregable degree count
+    (explode both endpoints → groupBy node) plus two anti-joins keyed
+    on node — all shuffles on the node key, no windows, no all-pairs.
+    The weak frame per round is bounded by that round's casualties;
+    ``localCheckpoint`` truncates the growing loop lineage exactly as
+    in :func:`pagerank`.  Round count equals the peel DEPTH of the
+    graph (typically O(log N) in practice, ≪ N always); ``max_iter``
+    bounds the driver loop and the operator RAISES on non-convergence
+    rather than silently returning a partially-peeled set — at 100 TB
+    raise the bound, never trust a truncated peel.
+
+    Determinism: pure set arithmetic on exact integers — no floats
+    anywhere — so a SQL oracle can replay the identical peel
+    (plans/extras.py graph_kcore mirrors it with a recursive CTE
+    carrying the removed set to the same fixpoint).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"),
+            F.greatest(a, b).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    active = und
+    for _ in range(max_iter):
+        deg = (
+            active.select(F.col("u").alias("node"))
+            .unionByName(active.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        weak = deg.filter(F.col("deg") < k).select("node").persist()
+        if weak.count() == 0:
+            weak.unpersist()
+            break
+        active = (
+            active.join(
+                weak.withColumnRenamed("node", "u"), "u", "left_anti"
+            )
+            .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        weak.unpersist()
+    else:
+        und.unpersist()
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (peel depth exceeds the bound)"
+        )
+    out = (
+        active.select(F.col("u").alias("node"))
+        .unionByName(active.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )
+    from ..session import scope_caches
+
+    return scope_caches(out, und)

@@ -1303,3 +1303,105 @@ def pq_topk_trained(
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_silhouette(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label simplified (centroid-based) silhouette — the standard
+    clustering/labeling quality gate: for each point, a = distance to
+    its OWN label centroid, b = distance to the NEAREST OTHER label
+    centroid, s = (b − a) / max(a, b) ∈ [−1, 1].  The centroid form
+    (sklearn's "simplified silhouette") replaces the O(N²) all-pairs
+    mean distances of the exact score with per-centroid distances —
+    linear in N with an L·dim centroid frame, the only silhouette that
+    exists at 100 TB.
+
+    Determinism policy (same as the centroid/k-means/BPE family):
+    components quantize to 1e-6 integer units, centroids are
+    div-truncated integer means, squared distances are exact int64
+    sums; the only floats are the final IEEE sqrt/divide — both
+    correctly rounded, hence bit-identical cross-engine — and each
+    point's silhouette re-quantizes to e6 before the per-label integer
+    mean, so the aggregate is partial-aggregation-order-invariant.
+
+    Points whose graph has no OTHER label (single-label input) have no
+    b and are excluded from the per-label mean (n_scored counts what
+    entered); a point exactly on both centroids (a = b = 0) scores 0
+    by convention.
+
+    Output: (label, n_vecs, n_scored, mean_sil_e6, min_sil_e6,
+    max_sil_e6) — one row per label.
+
+    Scale shape: ONE posexplode to (id, label, dim, q) narrow rows; a
+    partial-aggregable centroid rollup to an L·dim frame (bounded
+    metadata); the point-component ⨝ centroid join is keyed on dim and
+    broadcast (every comp row meets L centroids — n·dim·L rows with L
+    a metadata constant); then two keyed partial aggs (per point, per
+    label).  No windows, no all-pairs over points.
+    """
+    comp = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim_idx", "x"
+        ),
+    ).select(
+        "vid",
+        "lbl",
+        "dim_idx",
+        F.round(F.col("x") * 1e6).cast("long").alias("q"),
+    )
+    cent = comp.groupBy(F.col("lbl").alias("c_lbl"), "dim_idx").agg(
+        F.expr("sum(q) div count(*)").alias("c_e6")
+    )
+    sq = (
+        comp.join(F.broadcast(cent), "dim_idx")
+        .groupBy("vid", "lbl", "c_lbl")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("c_e6")) * (F.col("q") - F.col("c_e6"))
+            ).alias("d2")
+        )
+    )
+    per = sq.groupBy("vid", "lbl").agg(
+        F.min(F.when(F.col("c_lbl") == F.col("lbl"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("c_lbl") != F.col("lbl"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    s = F.when(
+        F.col("b2").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.when(
+            F.greatest(F.sqrt("a2"), F.sqrt("b2")) == 0.0, F.lit(0).cast("long")
+        ).otherwise(
+            F.round(
+                (F.sqrt("b2") - F.sqrt("a2"))
+                / F.greatest(F.sqrt("a2"), F.sqrt("b2"))
+                * 1e6
+            ).cast("long")
+        )
+    )
+    return (
+        per.select("lbl", s.alias("s_e6"))
+        .groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.count("s_e6").cast("long").alias("n_scored"),
+            F.expr(
+                "CASE WHEN count(s_e6) > 0"
+                " THEN sum(s_e6) div count(s_e6) END"
+            )
+            .cast("long")
+            .alias("mean_sil_e6"),
+            F.min("s_e6").cast("long").alias("min_sil_e6"),
+            F.max("s_e6").cast("long").alias("max_sil_e6"),
+        )
+    )

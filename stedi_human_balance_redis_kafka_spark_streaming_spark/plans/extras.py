@@ -1530,6 +1530,295 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.clustering_coefficient(_trade_nation_edges(spark, sf_dir))
 
 
+# k-core demo graph: the supplier<->customer trade bipartite graph of one
+# shipping quarter -- thin enough that k=3 peeling CASCADES (a customer
+# kept above threshold only by weak suppliers falls when they do), which
+# is the whole point of k-core over one-shot degree filtering.  Customer
+# keys offset into a disjoint id range.
+_KCORE_K = 3
+_KCORE_EDGES_SQL = """SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS u,
+         CAST(1000000 + c.c_custkey AS BIGINT) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE l.l_shipdate >= DATE '1995-01-01'
+    AND l.l_shipdate < DATE '1995-04-01'"""
+
+
+@register(
+    "graph_kcore",
+    # The identical peel as a recursive CTE: the removed set rides as a
+    # sorted list in a single working row (pure set arithmetic, no
+    # floats), each step recomputes active degrees against it, and the
+    # UNION ALL terminates exactly at the Spark loop's fixpoint (the
+    # next_removed <> removed guard).  DuckDB 1.0 quirk, found the hard
+    # way: the recursive member's correlated subqueries silently see
+    # sibling CTEs as EMPTY (plain or MATERIALIZED), so the edge set is
+    # inlined against the registered VIEWS, which resolve correctly.
+    oracle=f"""
+    WITH RECURSIVE peel(it, removed) AS (
+      SELECT 0, CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT it + 1, next_removed FROM (
+        SELECT it,
+          (SELECT coalesce(list_sort(list(n.node)), CAST([] AS BIGINT[]))
+           FROM (SELECT u AS node FROM ({_KCORE_EDGES_SQL}) UNION
+                 SELECT v FROM ({_KCORE_EDGES_SQL})) n
+           WHERE list_contains(p.removed, n.node)
+              OR coalesce((SELECT count(*) FROM ({_KCORE_EDGES_SQL}) e
+                  WHERE (e.u = n.node OR e.v = n.node)
+                    AND NOT list_contains(p.removed, e.u)
+                    AND NOT list_contains(p.removed, e.v)), 0)
+                 < {_KCORE_K}
+          ) AS next_removed,
+          p.removed AS removed
+        FROM peel p
+      ) WHERE next_removed <> removed
+    ), final AS (
+      SELECT removed FROM peel ORDER BY it DESC LIMIT 1
+    ), core_edges AS (
+      SELECT e.u, e.v FROM ({_KCORE_EDGES_SQL}) e, final f
+      WHERE NOT list_contains(f.removed, e.u)
+        AND NOT list_contains(f.removed, e.v)
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT unnest([u, v]) AS node FROM core_edges)
+    GROUP BY node
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of one quarter's supplier<->customer trade graph
+    (operators/graph.py k_core): the maximal subgraph where every
+    surviving entity keeps >= {_KCORE_K} distinct trade partners AFTER
+    all weaker entities are peeled away -- the "engaged core" filter
+    that one-shot degree thresholding gets wrong (a customer propped up
+    by three one-order suppliers is NOT core; the cascade removes it).
+    Measured at sf0.01: 1200 nodes peel to a 356-node core over 3
+    cascade rounds.
+    """
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("s_suppkey").cast("long").alias("src"),
+            (F.lit(1_000_000) + F.col("c_custkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.k_core(edges, k=_KCORE_K)
+
+
+_DRIFT_SPLIT_TS = "2024-01-16 00:00:00"
+_DRIFT_CHI2_E6 = 2_000  # per-bin chi-square-term drift threshold
+# Drift-demo snapshot B: the later half of the feed, with its heavy
+# tail TRUNCATED (a parser capping large values is the classic silent
+# ingest regression) -- the gate must flag the drained top decile and
+# stay quiet on the ~1.1x proportional inflation of the other bins.
+_DRIFT_B_VALUE_CAP = 113
+
+
+@register(
+    "events_value_drift_bins",
+    # Mirrors the Spark plan exactly: reference deciles from the
+    # cumulative distinct-value histogram (min v with cum >= (n*k) div
+    # 10), bin = 1 + #edges below the value, exact integer proportions
+    # and chi-square terms (the engine's ln-free drift statistic — a
+    # transcendental's last ULP is engine-dependent, integer ratios are
+    # not).
+    oracle=f"""
+    WITH va AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ), vb AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+        AND value <= {_DRIFT_B_VALUE_CAP}
+    ), cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+      FROM (SELECT v, count(*) AS c FROM va GROUP BY v)
+    ), na AS (SELECT count(*) AS n FROM va),
+    edges AS (
+      SELECT g.k, MIN(c.v) AS ev
+      FROM generate_series(1, 9) g(k), na, cum c
+      WHERE c.cum >= (na.n * g.k) // 10
+      GROUP BY g.k
+    ), bins_a AS (
+      SELECT bin, count(*) AS n_bin FROM (
+        SELECT 1 + (SELECT count(*) FROM edges e WHERE va.v > e.ev) AS bin
+        FROM va
+      ) GROUP BY bin
+    ), bins_b AS (
+      SELECT bin, count(*) AS n_bin FROM (
+        SELECT 1 + (SELECT count(*) FROM edges e WHERE vb.v > e.ev) AS bin
+        FROM vb
+      ) GROUP BY bin
+    ), nb AS (SELECT count(*) AS n FROM vb),
+    j AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(a.n_bin, 0) AS n_a,
+             COALESCE(b.n_bin, 0) AS n_b
+      FROM bins_a a FULL OUTER JOIN bins_b b ON a.bin = b.bin
+    ), p AS (
+      SELECT bin, n_a, n_b,
+             (n_a * 1000000) // (SELECT n FROM na) AS pa_e6,
+             (n_b * 1000000) // (SELECT n FROM nb) AS pb_e6
+      FROM j
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           (SELECT MAX(ev) FROM edges e WHERE e.k = bin - 1) AS lo_cents,
+           (SELECT MAX(ev) FROM edges e WHERE e.k = bin) AS hi_cents,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(pa_e6 AS BIGINT) AS pa_e6,
+           CAST(pb_e6 AS BIGINT) AS pb_e6,
+           CAST(CASE WHEN pa_e6 + pb_e6 > 0
+                THEN ((pa_e6 - pb_e6) * (pa_e6 - pb_e6)) // (pa_e6 + pb_e6)
+                ELSE 0 END AS BIGINT) AS chi2_term_e6,
+           (CASE WHEN pa_e6 + pb_e6 > 0
+                THEN ((pa_e6 - pb_e6) * (pa_e6 - pb_e6)) // (pa_e6 + pb_e6)
+                ELSE 0 END) > {_DRIFT_CHI2_E6} AS drifted
+    FROM p
+    """,
+)
+def events_value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot value-distribution drift gate over reference-decile
+    bins — the numeric companion of orders_profile_drift: bin snapshot
+    B's values by snapshot A's OWN deciles (the PSI binning) and flag
+    bins whose probability mass moved.  The drift statistic is the
+    per-bin chi-square term ((pa − pb)² / (pa + pb) in 1e-6 units) —
+    the engine's determinism policy replaces PSI's ln with an exact
+    integer ratio (same monotone drift signal, no transcendental whose
+    last ULP engines disagree on).
+
+    Decile edges come from A's cumulative DISTINCT-VALUE histogram:
+    edge_k = min value whose cumulative count reaches (n·k) div 10.
+    The one window runs over distinct cents values — bounded by the
+    VALUE DOMAIN, invariant to row count (same bounded-frame argument
+    as the month-partitioned gap-fill windows), so no corpus-sized
+    global sort exists anywhere; binning is a 9-edge broadcast + pure
+    map-side arithmetic, and every count is partial-aggregable.
+
+    Demo snapshots: A = the feed's first half; B = the second half
+    with its heavy tail truncated at value <= 113 (~A's top-decile
+    edge) -- the classic silent parser regression.  The gate must
+    flag exactly the drained top bin and stay quiet on the ~1.1x
+    proportional inflation everywhere else (measured sf0.01: bin 10
+    chi2 = 100100, every other bin < 1700 vs threshold 2000).
+
+    Output: one row per occupied bin (bin, lo_cents, hi_cents, n_a,
+    n_b, pa_e6, pb_e6, chi2_term_e6, drifted).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    split = F.lit(_DRIFT_SPLIT_TS).cast("timestamp")
+    va = ev.filter(F.col("ts") < split).select("v")
+    vb = ev.filter(
+        (F.col("ts") >= split)
+        & (F.col("value") <= _DRIFT_B_VALUE_CAP)
+    ).select("v")
+    hist = va.groupBy("v").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("c").over(wcum).alias("cum"))
+    na = va.agg(F.count("*").alias("n_a_total"))
+    edges = (
+        cum.crossJoin(F.broadcast(na))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n_a_total * {k}) div 10"),
+                        F.col("v"),
+                    )
+                ).alias(f"e{k}")
+                for k in range(1, 10)
+            ]
+        )
+    )
+    nb = vb.agg(F.count("*").alias("n_b_total"))
+
+    def binned(vals, alias):
+        bin_expr = F.lit(1)
+        for k in range(1, 10):
+            bin_expr = bin_expr + F.when(
+                F.col("v") > F.col(f"e{k}"), 1
+            ).otherwise(0)
+        return (
+            vals.crossJoin(F.broadcast(edges))
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(alias))
+        )
+
+    j = (
+        binned(va, "n_a")
+        .join(binned(vb, "n_b"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(edges))
+    )
+    lo = F.lit(None).cast("long")
+    hi = F.lit(None).cast("long")
+    for k in range(1, 10):
+        lo = F.when(F.col("bin") == k + 1, F.col(f"e{k}")).otherwise(lo)
+        hi = F.when(F.col("bin") == k, F.col(f"e{k}")).otherwise(hi)
+    chi = F.expr(
+        "CASE WHEN pa_e6 + pb_e6 > 0"
+        " THEN ((pa_e6 - pb_e6) * (pa_e6 - pb_e6)) div (pa_e6 + pb_e6)"
+        " ELSE 0 END"
+    )
+    return (
+        j.select(
+            F.col("bin").cast("long").alias("bin"),
+            lo.alias("lo_cents"),
+            hi.alias("hi_cents"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(n_a * 1000000L) div n_a_total")
+            .cast("long")
+            .alias("pa_e6"),
+            F.expr("(n_b * 1000000L) div n_b_total")
+            .cast("long")
+            .alias("pb_e6"),
+        )
+        .select(
+            "bin",
+            "lo_cents",
+            "hi_cents",
+            "n_a",
+            "n_b",
+            "pa_e6",
+            "pb_e6",
+            chi.cast("long").alias("chi2_term_e6"),
+            (chi > _DRIFT_CHI2_E6).alias("drifted"),
+        )
+    )
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
 
 

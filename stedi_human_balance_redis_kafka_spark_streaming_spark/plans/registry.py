@@ -1864,6 +1864,68 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "embeddings_silhouette",
+    # Mirrors operators/similarity.centroid_silhouette exactly: same
+    # 1e-6 component quantization, same div-truncated integer
+    # centroids, exact int64 squared distances, IEEE sqrt/divide (both
+    # correctly rounded), per-point re-quantization to e6 before the
+    # div-truncated per-label mean.
+    oracle="""
+    WITH comp AS (
+      SELECT vid, lbl, i - 1 AS dim_idx,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS q
+      FROM (SELECT vec_id AS vid, label AS lbl,
+                   embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    ), cent AS (
+      SELECT lbl AS c_lbl, dim_idx, SUM(q) // COUNT(*) AS c_e6
+      FROM comp GROUP BY lbl, dim_idx
+    ), sq AS (
+      SELECT c.vid, c.lbl, t.c_lbl,
+             SUM((c.q - t.c_e6) * (c.q - t.c_e6)) AS d2
+      FROM comp c JOIN cent t ON t.dim_idx = c.dim_idx
+      GROUP BY 1, 2, 3
+    ), per AS (
+      SELECT vid, lbl,
+             MIN(CASE WHEN c_lbl = lbl THEN d2 END) AS a2,
+             MIN(CASE WHEN c_lbl <> lbl THEN d2 END) AS b2
+      FROM sq GROUP BY vid, lbl
+    ), scored AS (
+      SELECT lbl,
+        CASE WHEN b2 IS NULL THEN NULL
+             WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0
+             ELSE CAST(round((sqrt(b2) - sqrt(a2))
+                       / greatest(sqrt(a2), sqrt(b2)) * 1000000) AS BIGINT)
+        END AS s_e6
+      FROM per
+    )
+    SELECT lbl AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(s_e6) AS BIGINT) AS n_scored,
+           CAST(CASE WHEN COUNT(s_e6) > 0
+                THEN SUM(s_e6) // COUNT(s_e6) END AS BIGINT)
+             AS mean_sil_e6,
+           CAST(MIN(s_e6) AS BIGINT) AS min_sil_e6,
+           CAST(MAX(s_e6) AS BIGINT) AS max_sil_e6
+    FROM scored GROUP BY lbl
+    """,
+)
+def embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette over the labeled embedding
+    corpus (operators/similarity.py centroid_silhouette) -- the
+    clustering-quality gate for a labeling/clustering stage: how
+    separable each label's region is from its nearest rival, in one
+    [-1e6, 1e6] integer score per label.
+    """
+    from ..operators import similarity
+
+    return similarity.centroid_silhouette(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 _MMR_K = 5
 _MMR_CAND = 20
 _MMR_LAM10 = 7
@@ -4215,6 +4277,16 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "q10_returned_items",
     # behind the in-window text stats/lang-id + incoming bpe pair
     "text_token_counts",
+    # --- r08 mid-round swap: three r07-verified veterans yield their
+    # slots to the brand-new kcore / silhouette / drift-bins queries ---
+    # value-distribution family: the incoming drift-bins gate carries
+    # the decile/histogram machinery (same binning, plus the 2-snapshot
+    # comparison); both were driver-hashed r07
+    "events_value_deciles",
+    "events_value_histogram",
+    # corr-components was driver-hashed r07; the stats family keeps
+    # orders_kll_quantile_merge + events_sketch_reaggregate in-window
+    "lineitem_corr_components",
 )
 
 

@@ -683,3 +683,148 @@ def test_snm_multipass_superset_and_reorder_recall(spark):
     assert single <= multi
     assert (0, 1) not in single  # raw key sorts the variants apart
     assert (0, 1) in multi  # token-sorted pass blocks them together
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_k_core_matches_brute_force_peel(spark, edges, k):
+    import collections
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    active = set(und)
+    while True:
+        deg = collections.Counter()
+        for u, v in active:
+            deg[u] += 1
+            deg[v] += 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            break
+        active = {
+            (u, v) for u, v in active if u not in weak and v not in weak
+        }
+    expected = collections.Counter()
+    for u, v in active:
+        expected[u] += 1
+        expected[v] += 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.core_deg for r in graph.k_core(df, k=k).collect()
+    }
+    assert got == dict(expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # label
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=2,
+                max_size=2,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_centroid_silhouette_matches_integer_reference(spark, vecs):
+    """centroid_silhouette must equal a from-scratch integer replay of
+    its own contract: e6-quantized components, div-truncated integer
+    centroids, exact int64 squared distances, IEEE sqrt/divide,
+    away-from-zero e6 re-quantization, div-truncated per-label mean."""
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def rnd(x):  # round-half-away-from-zero, Spark/DuckDB round()
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    pts = [
+        (i, lbl, [float(c) for c in comp])
+        for i, (lbl, comp) in enumerate(vecs)
+    ]
+    q = {i: [rnd(c * 1e6) for c in comp] for i, _, comp in pts}
+    labels = {lbl for _, lbl, _ in pts}
+    cent = {}
+    for lbl in labels:
+        members = [q[i] for i, l, _ in pts if l == lbl]
+        cent[lbl] = [
+            tdiv(sum(col), len(members)) for col in zip(*members)
+        ]
+    exp_scores = {lbl: [] for lbl in labels}
+    for i, lbl, _ in pts:
+        d2 = {
+            cl: sum((a - b) ** 2 for a, b in zip(q[i], cent[cl]))
+            for cl in labels
+        }
+        a2 = d2[lbl]
+        others = [d2[cl] for cl in labels if cl != lbl]
+        if not others:
+            exp_scores[lbl].append(None)
+            continue
+        b2 = min(others)
+        mx = max(math.sqrt(a2), math.sqrt(b2))
+        s = 0 if mx == 0.0 else rnd(
+            (math.sqrt(b2) - math.sqrt(a2)) / mx * 1e6
+        )
+        exp_scores[lbl].append(s)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(pts, schema)
+    got = {
+        r.label: (
+            r.n_vecs,
+            r.n_scored,
+            r.mean_sil_e6,
+            r.min_sil_e6,
+            r.max_sil_e6,
+        )
+        for r in similarity.centroid_silhouette(df).collect()
+    }
+    assert set(got) == labels
+    for lbl in labels:
+        scored = [s for s in exp_scores[lbl] if s is not None]
+        mean = tdiv(sum(scored), len(scored)) if scored else None
+        assert got[lbl] == (
+            len(exp_scores[lbl]),
+            len(scored),
+            mean,
+            min(scored) if scored else None,
+            max(scored) if scored else None,
+        )
