@@ -838,6 +838,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_lsh",
+    # Identical shingle/signature/banding fragments as dedup_minhash_lsh,
+    # with the candidate join restricted to pairs touching the NEW side
+    # (doc_id % 10 = 0 plays the arriving batch) — corpus×corpus pairs
+    # are excluded exactly as the operator never generates them.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, {_sql_minhash_mins(_MINHASH_N)} FROM e GROUP BY doc_id
+    ), bandk AS (
+      SELECT doc_id, unnest([{_sql_band_keys(_MINHASH_BANDS, _MINHASH_R)}]) AS bkey
+      FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0) AS vs_corpus
+      FROM bandk a JOIN bandk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard,
+             vs_corpus
+      FROM cand
+      JOIN sh sa ON cand.doc_a = sa.doc_id
+      JOIN sh sb ON cand.doc_b = sb.doc_id
+    )
+    SELECT * FROM verified WHERE jaccard >= 0.7
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental MinHash-LSH dedup (operators/dedup.py
+    minhash_lsh_incremental_pairs): the arriving batch (doc_id % 10 = 0,
+    ~10% of the corpus) probes the existing corpus's band index and
+    self-joins its own bands — batch×corpus and batch×batch candidate
+    pairs only, never corpus×corpus.  The per-drop cost an actual
+    100 TB pipeline pays, vs re-banding the world per batch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.7,
+        shingle_n=3,
+        num_hashes=_MINHASH_N,
+        num_bands=_MINHASH_BANDS,
+    )
+
+
 def _sql_simhash() -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{j}"
@@ -4287,6 +4344,12 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # corr-components was driver-hashed r07; the stats family keeps
     # orders_kll_quantile_merge + events_sketch_reaggregate in-window
     "lineitem_corr_components",
+    # lang/source association was driver-hashed r05+; the incoming
+    # incremental-LSH query takes its slot, and the documents/text
+    # family keeps text_stats + text_language_id + the bpe pair
+    # in-window (dedup_simhash_pairs must STAY in-window — it carries
+    # the demoted dedup_simhash dual)
+    "documents_lang_source_assoc",
 )
 
 

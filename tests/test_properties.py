@@ -828,3 +828,50 @@ def test_centroid_silhouette_matches_integer_reference(spark, vecs):
             min(scored) if scored else None,
             max(scored) if scored else None,
         )
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_incremental_lsh_equals_batch_filtered_full_join(spark, texts):
+    """The ingest-time incremental LSH must return EXACTLY the full
+    corpus self-join's pairs restricted to those touching the batch
+    side (identical banding => identical candidates), with vs_corpus
+    marking exactly the pairs that cross into the corpus."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.2, shingle_n=2, num_hashes=4, num_bands=2)
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(df, **kw).collect()
+    }
+    batch_ids = {i for i, _ in rows if i % 3 == 0}
+    expected = {
+        p: j
+        for p, j in full.items()
+        if p[0] in batch_ids or p[1] in batch_ids
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.vs_corpus)
+        for r in dedup.minhash_lsh_incremental_pairs(
+            df.filter("doc_id % 3 != 0"),
+            df.filter("doc_id % 3 = 0"),
+            **kw,
+        ).collect()
+    }
+    assert {p: j for p, (j, _) in got.items()} == expected
+    for (a, b), (_, vs_corpus) in got.items():
+        assert vs_corpus == ((a in batch_ids) != (b in batch_ids))
