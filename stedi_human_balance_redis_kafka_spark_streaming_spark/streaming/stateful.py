@@ -881,3 +881,94 @@ def streaming_quality_flags(
         score.alias("score_e6"),
         (score >= F.lit(threshold_e6)).alias("keep"),
     )
+
+
+def windowed_value_drift(
+    events: DataFrame,
+    edges: list[int],
+    ref_props_e6: list[int],
+    *,
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    threshold_e6: int = 2_000,
+) -> DataFrame:
+    """Streaming value-distribution drift monitor — the live dual of the
+    batch ``events_value_drift_bins`` gate: each event-time window's
+    values bin against the REFERENCE deciles (``edges``: the 9 cents
+    boundaries a batch profile of the blessed snapshot produced) and
+    every bin's probability mass compares against the reference
+    proportions (``ref_props_e6``: 10 e6-unit values from the same
+    profile) through the engine's ln-free chi-square term
+    (p_ref − p_win)² div (p_ref + p_win).
+
+    Reference edges and proportions ride as LITERALS — bounded metadata
+    a profile job refreshes offline, exactly how a production drift
+    monitor deploys (the reference is versioned config, not a stream
+    join) — so the only stateful operator is ONE windowed conditional
+    aggregation: 11 longs per window (10 bin counts + total), volume-
+    and cardinality-independent, watermark-evicted.  The long-form
+    explode back to (window × bin) rows is stateless projection after
+    the aggregate.
+
+    Output (append on window close): (win_start, bin, lo_cents,
+    hi_cents, n, p_e6, ref_p_e6, chi2_term_e6, drifted).
+    """
+    if len(edges) != 9 or len(ref_props_e6) != 10:
+        raise ValueError(
+            f"expected 9 edges + 10 reference proportions, got "
+            f"{len(edges)}/{len(ref_props_e6)}"
+        )
+    v = F.round(F.col("value") * 100).cast("long")
+    bin_expr = F.lit(1)
+    for ek in edges:
+        bin_expr = bin_expr + F.when(v > F.lit(ek), 1).otherwise(0)
+    e = events.withWatermark("ts", watermark).select(
+        "ts", bin_expr.alias("bin")
+    )
+    agg = e.groupBy(F.window("ts", win).alias("w")).agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.count(F.when(F.col("bin") == b, 1)).alias(f"n{b}")
+            for b in range(1, 11)
+        ],
+    )
+    lo = [None] + list(edges)  # lo[bin-1]
+    hi = list(edges) + [None]
+    per_bin = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bin"),
+                F.lit(lo[b - 1]).cast("long").alias("lo_cents"),
+                F.lit(hi[b - 1]).cast("long").alias("hi_cents"),
+                F.col(f"n{b}").cast("long").alias("n"),
+                F.expr(f"(n{b} * 1000000L) div n_total")
+                .cast("long")
+                .alias("p_e6"),
+                F.lit(ref_props_e6[b - 1]).cast("long").alias("ref_p_e6"),
+            )
+            for b in range(1, 11)
+        ]
+    )
+    chi = F.expr(
+        "CASE WHEN b.ref_p_e6 + b.p_e6 > 0"
+        " THEN ((b.ref_p_e6 - b.p_e6) * (b.ref_p_e6 - b.p_e6))"
+        "      div (b.ref_p_e6 + b.p_e6)"
+        " ELSE 0 END"
+    )
+    return (
+        agg.select(
+            F.col("w.start").alias("win_start"),
+            F.explode(per_bin).alias("b"),
+        )
+        .select(
+            "win_start",
+            F.col("b.bin").alias("bin"),
+            F.col("b.lo_cents").alias("lo_cents"),
+            F.col("b.hi_cents").alias("hi_cents"),
+            F.col("b.n").alias("n"),
+            F.col("b.p_e6").alias("p_e6"),
+            F.col("b.ref_p_e6").alias("ref_p_e6"),
+            chi.cast("long").alias("chi2_term_e6"),
+            (chi > threshold_e6).alias("drifted"),
+        )
+    )

@@ -1155,3 +1155,59 @@ def test_streaming_quality_flags_matches_batch_signals(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="sum to 100"):
         stateful.streaming_quality_flags(batch_df, w_quality=70, w_nonrep=40)
+
+
+def test_windowed_value_drift_matches_batch_and_flags(spark, tmp_path):
+    """Streaming drift monitor: closed windows equal the batch dual on
+    the same rows; a window matching the reference deciles stays quiet
+    and a window with collapsed values flags its drained/overfull bins."""
+    EV_SCHEMA = "event_id long, ts timestamp, value double"
+    edges = [100, 200, 300, 400, 500, 600, 700, 800, 900]
+    ref = [100_000] * 10
+    # 10:00 window: one value per reference bin (cents 50, 150, ... 950)
+    b0 = [
+        (i, _ts(f"2024-01-01T10:{i:02d}:00"), i + 0.5) for i in range(10)
+    ]
+    # 11:00 window: everything collapsed into bin 1
+    b0 += [
+        (100 + i, _ts(f"2024-01-01T11:0{i}:00"), 0.25) for i in range(4)
+    ]
+    b1 = [(999, _ts("2024-01-01T15:00:00"), 5.0)]  # watermark advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "evd", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_value_drift(sdf, edges, ref),
+        f"drift_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    rows = out.collect()
+    got = {
+        (r.win_start.isoformat(), r.bin): (
+            r.n, r.p_e6, r.chi2_term_e6, r.drifted,
+        )
+        for r in rows
+    }
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = {
+        (r.win_start.isoformat(), r.bin): (
+            r.n, r.p_e6, r.chi2_term_e6, r.drifted,
+        )
+        for r in stateful.windowed_value_drift(
+            batch_df, edges, ref
+        ).collect()
+    }
+    assert got == expected  # stream == batch on the closed windows
+    # the reference-shaped window is quiet: every bin exactly on ref
+    for b in range(1, 11):
+        assert got[("2024-01-01T10:00:00", b)] == (1, 100_000, 0, False)
+    # the collapsed window flags bin 1 (overfull) and the drained bins
+    n, p, chi, drifted = got[("2024-01-01T11:00:00", 1)]
+    assert (n, p) == (4, 1_000_000) and drifted
+    for b in range(2, 11):
+        n, p, chi, drifted = got[("2024-01-01T11:00:00", b)]
+        assert (n, p) == (0, 0) and drifted  # ref mass vanished
