@@ -474,3 +474,128 @@ def k_core(
     from ..session import scope_caches
 
     return scope_caches(out, und)
+
+
+def _edge_support(active: DataFrame) -> DataFrame:
+    """Per-edge triangle SUPPORT over a canonical simple edge set
+    (u < v): orient by (degree ASC, node ASC), enumerate each triangle
+    exactly once via the oriented wedge join, credit it to its THREE
+    canonical edges (a 3-struct explode — the edge-level sibling of
+    clustering_coefficient's vertex credit), one partial-aggregable
+    keyed count.  Output: (u, v, support) for edges in ≥1 triangle
+    (callers left-join and coalesce 0)."""
+    deg = (
+        active.select(F.col("u").alias("node"))
+        .unionByName(active.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = F.expr("deg_u < deg_v OR (deg_u = deg_v AND u < v)")
+    o = (
+        active.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    edge_struct = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+    )
+    return (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s"))
+            & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    edge_struct(F.col("e1.s"), F.col("e1.t")),
+                    edge_struct(F.col("e2.s"), F.col("e2.t")),
+                    edge_struct(F.col("e1.s"), F.col("e2.t")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-truss via iterative edge peeling — the EDGE-level cohesion
+    primitive completing the graph family (PageRank: centrality, CC:
+    membership, triangles/clustering: local cohesion, k-core: node
+    density): the maximal subgraph where every surviving EDGE sits in
+    ≥ k−2 triangles of the subgraph.  Strictly stronger than k-core
+    (every k-truss is inside the (k−1)-core) and the standard
+    community-kernel / spam-ring extractor, because an edge propped up
+    by triangles through weak edges falls when they do — support
+    recomputes against the SURVIVORS each round, cascading to a
+    fixpoint exactly like :func:`k_core`'s degree peel.
+
+    Output: (u, v, support) — the truss's edges with their within-truss
+    support (≥ k−2 by definition).
+
+    Scale shape per round: one degree rollup + the O(m^1.5)-bounded
+    oriented wedge join of :func:`triangle_count` (per-edge credit via
+    a 3-struct explode, partial-aggregable count) + one (u, v)-keyed
+    anti-join; ``localCheckpoint`` truncates loop lineage.  Round count
+    = the truss peel depth (≪ m); ``max_iter`` bounds the loop and
+    RAISES on non-convergence rather than returning a half-peeled
+    edge set.  Pure integer set arithmetic — the SQL oracle replays
+    the identical cascade (plans/extras.py graph_ktruss).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    active = und
+    for _ in range(max_iter):
+        sup = _edge_support(active)
+        scored = active.join(sup, ["u", "v"], "left").select(
+            "u",
+            "v",
+            F.coalesce(F.col("support"), F.lit(0))
+            .cast("long")
+            .alias("support"),
+        )
+        weak = scored.filter(F.col("support") < k - 2).persist()
+        if weak.count() == 0:
+            weak.unpersist()
+            out = scored
+            break
+        active = (
+            active.join(weak.select("u", "v"), ["u", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        weak.unpersist()
+    else:
+        und.unpersist()
+        raise RuntimeError(
+            f"k_truss did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (peel depth exceeds the bound)"
+        )
+    from ..session import scope_caches
+
+    return scope_caches(out, und)

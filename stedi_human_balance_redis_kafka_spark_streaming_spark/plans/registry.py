@@ -4350,6 +4350,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # in-window (dedup_simhash_pairs must STAY in-window — it carries
     # the demoted dedup_simhash dual)
     "documents_lang_source_assoc",
+    # q7 was re-verified r07; q1/q3 carry TPC-H while the incoming
+    # k-truss query completes the in-window graph family
+    "q7_nation_trade_volume",
 )
 
 

@@ -875,3 +875,48 @@ def test_incremental_lsh_equals_batch_filtered_full_join(spark, texts):
     assert {p: j for p, (j, _) in got.items()} == expected
     for (a, b), (_, vs_corpus) in got.items():
         assert vs_corpus == ((a in batch_ids) != (b in batch_ids))
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_k_truss_matches_brute_force_peel(spark, edges, k):
+    import collections
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    active = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not active:
+        return
+    while True:
+        adj = collections.defaultdict(set)
+        for u, v in active:
+            adj[u].add(v)
+            adj[v].add(u)
+        weak = {
+            (u, v) for u, v in active if len(adj[u] & adj[v]) < k - 2
+        }
+        if not weak:
+            break
+        active -= weak
+    adj = collections.defaultdict(set)
+    for u, v in active:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected = {(u, v): len(adj[u] & adj[v]) for u, v in active}
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        (r.u, r.v): r.support for r in graph.k_truss(df, k=k).collect()
+    }
+    assert got == expected
