@@ -963,7 +963,15 @@ def minhash_lsh_incremental_pairs(
     collect_set.  No corpus×corpus candidate is ever generated.
     """
     own: list[DataFrame] = [] if caches is None else caches
-    e_c = _exploded_terms(corpus, shingle_n, text_col)
+    # Both exploded indexes feed TWO consumers (bands + verify) running
+    # as concurrent AQE query stages — persist and materialize eagerly
+    # or each consumer recomputes the scan+explode+window lineage (the
+    # measured 3-5× miss of the one-shot path's comment).  In
+    # production the corpus index is the persisted warehouse artifact;
+    # this cache stands in for that read.
+    e_c = _exploded_terms(corpus, shingle_n, text_col).persist()
+    e_c.count()
+    own.append(e_c)
     e_b = _exploded_terms(batch, shingle_n, text_col).persist()
     e_b.count()
     own.append(e_b)

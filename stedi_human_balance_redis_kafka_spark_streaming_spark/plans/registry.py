@@ -720,9 +720,30 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
-    truth = dedup.ngram_jaccard_prefix_pairs(
-        docs, threshold=0.7, n=3, caches=caches
-    )
+    # Truth = the complete prefix-filtered exact-Jaccard pair set —
+    # deterministic per (corpus, threshold, n), so it rides the same
+    # ingest-time build cache as the ANN ground truths (_ann_truth):
+    # computed once per corpus fingerprint, LIMIT-gated, degrading to
+    # the live distributed plan over the cap.
+    tkey = ("snm_truth", table_fingerprint(sf_dir, "documents"), 700_000, 3)
+    hit = buildcache.lookup(tkey)
+    if hit is not None:
+        truth = spark.createDataFrame(
+            hit, schema="doc_a long, doc_b long"
+        )
+    else:
+        tf = dedup.ngram_jaccard_prefix_pairs(
+            docs, threshold=0.7, n=3, caches=caches
+        ).select("doc_a", "doc_b")
+        rows = tf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+        if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+            truth = tf
+        else:
+            data = [(int(r["doc_a"]), int(r["doc_b"])) for r in rows]
+            buildcache.store(tkey, data)
+            truth = spark.createDataFrame(
+                data, schema="doc_a long, doc_b long"
+            )
     snm1 = dedup.sorted_neighborhood_pairs(
         docs, threshold=0.7, n=3, window=3, key_chars=24, caches=caches
     )
