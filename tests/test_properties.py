@@ -920,3 +920,50 @@ def test_k_truss_matches_brute_force_peel(spark, edges, k):
         (r.u, r.v): r.support for r in graph.k_truss(df, k=k).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=9),
+        min_size=2,
+        max_size=10,
+    ),
+    d=st.integers(min_value=0, max_value=3),
+    q=st.integers(min_value=1, max_value=3),
+)
+def test_edit_distance_pairs_matches_brute_force(spark, texts, d, q):
+    """The Ed-Join prefix-filtered candidate path must return EXACTLY
+    the brute-force levenshtein <= d pair set — including empty/short
+    strings (the all-pairs short stratum) and duplicate texts."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    def lev(s1, s2):
+        m, n = len(s1), len(s2)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (s1[i - 1] != s2[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    expected = {
+        (i, j): lev(a, b)
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and lev(a, b) <= d
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in dedup.edit_distance_pairs(df, max_dist=d, q=q).collect()
+    }
+    assert got == expected
