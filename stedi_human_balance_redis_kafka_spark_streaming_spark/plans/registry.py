@@ -2069,6 +2069,153 @@ def embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDRIFT_E6 = 3_000_000
+# Drift-demo snapshot B: the odd-vec_id half with label 0's positive-
+# first-component vectors DROPPED — an asymmetric, feature-space-
+# correlated loss (a re-embedding or filter regression hitting one
+# class), which must surface as label 0's centroid displacement while
+# the other labels show only even/odd sampling noise.
+_CDRIFT_B_KEEP = "NOT (label = 0 AND embedding[1] > 0)"  # 1-indexed SQL
+
+
+@register(
+    "embeddings_centroid_drift",
+    # Mirrors the Spark plan exactly: per-(label, dim) div-truncated
+    # integer centroids for both snapshots, exact int64 squared
+    # displacement and reference norm, div-truncated e6 ratio.  A label
+    # present on only one side flags unconditionally (full outer join),
+    # like the profile gate's schema-change rule.
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, i - 1 AS dim_idx,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS q
+      FROM (SELECT vec_id, label, embedding,
+                   embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+      WHERE vec_id % 2 = 0 OR ({_CDRIFT_B_KEEP})
+    ), ca AS (
+      SELECT label, dim_idx, SUM(q) // COUNT(*) AS c,
+             COUNT(*) AS n
+      FROM comp WHERE vec_id % 2 = 0 GROUP BY 1, 2
+    ), cb AS (
+      SELECT label, dim_idx, SUM(q) // COUNT(*) AS c,
+             COUNT(*) AS n
+      FROM comp WHERE vec_id % 2 = 1 GROUP BY 1, 2
+    ), j AS (
+      SELECT COALESCE(a.label, b.label) AS label,
+             any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+             SUM((a.c - b.c) * (a.c - b.c)) AS shift2,
+             SUM(a.c * a.c) AS scale2
+      FROM ca a FULL OUTER JOIN cb b
+        ON a.label = b.label AND a.dim_idx = b.dim_idx
+      GROUP BY 1
+    )
+    SELECT label,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           CAST(shift2 AS BIGINT) AS shift2,
+           CAST(scale2 AS BIGINT) AS scale2,
+           CAST(CASE WHEN shift2 IS NOT NULL AND scale2 > 0
+                THEN (shift2 * 1000000) // scale2 END AS BIGINT)
+             AS drift_e6,
+           CASE WHEN shift2 IS NULL OR scale2 IS NULL OR scale2 = 0
+                THEN TRUE
+                ELSE (shift2 * 1000000) // scale2 > {_CDRIFT_E6}
+           END AS drifted
+    FROM j
+    """,
+)
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot embedding-centroid drift gate — the vector-space
+    member of the drift trio (orders_profile_drift: schema/nulls/
+    bounds, events_value_drift_bins: numeric distributions, this:
+    embedding spaces): per label, the squared displacement of the
+    class centroid between snapshots over the reference centroid's
+    squared norm, in exact 1e-6 integer units.  Catches re-embedding
+    regressions, class-correlated data loss, and upstream model swaps
+    that row counts and value histograms cannot see.
+
+    Demo snapshots: A = even vec_ids; B = odd vec_ids with label 0's
+    positive-first-component vectors dropped (a class-correlated loss)
+    — label 0 must flag while the other labels show only sampling
+    noise.  Measured sf0.01: label 0 drift 3.93e6 vs ≤ 2.74e6
+    elsewhere, threshold 3e6.
+
+    Scale shape: two partial-aggregable (label × dim) centroid rollups
+    (bounded metadata frames), one (label, dim)-keyed join, one
+    per-label partial agg — no per-vector pairwise anything; the gate
+    costs two corpus scans and O(|labels|·dim) everything-else.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(
+        (F.col("vec_id") % 2 == 1)
+        & ~(
+            (F.col("label") == 0)
+            & (F.get(F.col("embedding"), 0) > 0)
+        )
+    )
+
+    def cent(df, side):
+        comp = df.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim_idx", "x"
+            ),
+        ).select(
+            "label",
+            "dim_idx",
+            F.round(F.col("x") * 1e6).cast("long").alias("q"),
+        )
+        return comp.groupBy("label", "dim_idx").agg(
+            F.expr("sum(q) div count(*)").alias(f"c_{side}"),
+            F.count("*").alias(f"n_{side}"),
+        )
+
+    j = (
+        cent(a, "a")
+        .withColumnsRenamed({"label": "label_a", "dim_idx": "dim_a"})
+        .join(
+            cent(b, "b").withColumnsRenamed(
+                {"label": "label_b", "dim_idx": "dim_b"}
+            ),
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("dim_a") == F.col("dim_b")),
+            "full_outer",
+        )
+        .groupBy(F.coalesce("label_a", "label_b").alias("label"))
+        .agg(
+            F.any_value("n_a").alias("__na"),
+            F.any_value("n_b").alias("__nb"),
+            F.sum(
+                (F.col("c_a") - F.col("c_b")) * (F.col("c_a") - F.col("c_b"))
+            ).alias("__shift2"),
+            F.sum(F.col("c_a") * F.col("c_a")).alias("__scale2"),
+        )
+    )
+    drift = F.expr("(__shift2 * 1000000L) div __scale2")
+    return j.select(
+        "label",
+        F.coalesce("__na", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("__nb", F.lit(0)).cast("long").alias("n_b"),
+        F.col("__shift2").cast("long").alias("shift2"),
+        F.col("__scale2").cast("long").alias("scale2"),
+        F.when(
+            F.col("__shift2").isNotNull() & (F.col("__scale2") > 0), drift
+        )
+        .cast("long")
+        .alias("drift_e6"),
+        F.when(
+            F.col("__shift2").isNull()
+            | F.col("__scale2").isNull()
+            | (F.col("__scale2") == 0),
+            F.lit(True),
+        )
+        .otherwise(drift > _CDRIFT_E6)
+        .alias("drifted"),
+    )
+
+
 _MMR_K = 5
 _MMR_CAND = 20
 _MMR_LAM10 = 7
@@ -4443,6 +4590,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # events_sketch_reaggregate + events_approx_distinct in-window while
     # the incoming edit-distance query extends the dedup family
     "orders_kll_quantile_merge",
+    # hashed every round r01-r06; the rank-window shape is carried by
+    # q3/q18's scored top-k while the incoming centroid-drift gate
+    # completes the in-window drift trio
+    "top_parts_per_brand",
 )
 
 
