@@ -744,15 +744,44 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             truth = spark.createDataFrame(
                 data, schema="doc_a long, doc_b long"
             )
-    snm1 = dedup.sorted_neighborhood_pairs(
-        docs, threshold=0.7, n=3, window=3, key_chars=24, caches=caches
+    # One tagged candidate union + ONE shared verify instead of running
+    # the single-pass and multi-pass operators separately (which would
+    # verify the pass-1 candidates twice): pass-1 membership survives
+    # the verify join, and filtering verified pairs on it reproduces
+    # the single-pass result exactly (identical verify predicate).
+    k1 = docs.select("doc_id", dedup._snm_key("text", 24).alias("bkey"))
+    k2 = docs.select(
+        "doc_id",
+        dedup._snm_key("text", 24, token_sorted=True).alias("bkey"),
     )
-    snm2 = dedup.sorted_neighborhood_multipass_pairs(
-        docs, threshold=0.7, n=3, window=3, key_chars=24, caches=caches
+    pair = lambda raw: raw.select(  # noqa: E731
+        F.least("doc_id", "other").alias("doc_a"),
+        F.greatest("doc_id", "other").alias("doc_b"),
     )
+    c1 = pair(dedup._snm_candidates_sharded(k1, 3, None, caches))
+    c2 = pair(dedup._snm_candidates_sharded(k2, 3, None, caches))
+    cand = (
+        c1.withColumn("__p1", F.lit(1))
+        .unionByName(c2.withColumn("__p1", F.lit(0)))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("__p1").alias("__p1"))
+        .persist()
+    )
+    cand.count()
+    caches.append(cand)
+    e = dedup._exploded_terms(docs, 3).persist()
+    e.count()
+    caches.append(e)
+    verified = dedup._verify_jaccard(
+        e, cand.select("doc_a", "doc_b"), 0.7
+    ).join(cand, ["doc_a", "doc_b"])
     n_true = truth.agg(F.count("*").alias("n_true"))
-    n_1 = snm1.agg(F.count("*").alias("n_snm_1pass"))
-    n_2 = snm2.agg(F.count("*").alias("n_snm_2pass"))
+    counts = verified.agg(
+        F.coalesce(F.sum("__p1"), F.lit(0))
+        .cast("long")
+        .alias("n_snm_1pass"),
+        F.count("*").cast("long").alias("n_snm_2pass"),
+    )
     rec = lambda n, alias: (  # noqa: E731
         F.when(
             F.col("n_true") > 0,
@@ -762,16 +791,12 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias(alias)
     )
-    out = (
-        n_true.crossJoin(n_1)
-        .crossJoin(n_2)
-        .select(
-            "n_true",
-            "n_snm_1pass",
-            "n_snm_2pass",
-            rec("n_snm_1pass", "recall_1pass_e6"),
-            rec("n_snm_2pass", "recall_2pass_e6"),
-        )
+    out = n_true.crossJoin(counts).select(
+        "n_true",
+        "n_snm_1pass",
+        "n_snm_2pass",
+        rec("n_snm_1pass", "recall_1pass_e6"),
+        rec("n_snm_2pass", "recall_2pass_e6"),
     )
     return scope_caches(out, *caches)
 
