@@ -1388,6 +1388,124 @@ def events_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, d)
 
 
+_CMS_SPLIT_TS = "2024-01-16 00:00:00"
+# Shared md5-derived CMS bucket in DuckDB form (Spark: operators/
+# sketches._cms_bucket — conv(substr(md5(seed:key),1,8),16,10) % width).
+_SQL_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || "
+    "CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64"
+)
+
+
+@register(
+    "events_cms_frequency",
+    # Mirrors the Spark plan exactly: same md5 bucket per (seed, key),
+    # same exact-integer grid, min-over-depth estimates from BOTH the
+    # single global build and the two half-month sketches merged by
+    # cell-wise sum — merged_equal proves the merge identity as data.
+    oracle=f"""
+    WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    cells AS (
+      SELECT seed, {_SQL_CMS_BUCKET} AS bucket,
+             ts < TIMESTAMP '{_CMS_SPLIT_TS}' AS first_half
+      FROM events, seeds
+    ), sketch AS (
+      SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ), merged AS (
+      SELECT seed, bucket, SUM(cnt) AS cnt FROM (
+        SELECT seed, bucket, count(*) AS cnt FROM cells
+        WHERE first_half GROUP BY 1, 2
+        UNION ALL
+        SELECT seed, bucket, count(*) AS cnt FROM cells
+        WHERE NOT first_half GROUP BY 1, 2
+      ) GROUP BY 1, 2
+    ), keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+    ), probes AS (
+      SELECT user_id, seed, {_SQL_CMS_BUCKET} AS bucket FROM keys, seeds
+    ), est AS (
+      SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS cms_est
+      FROM probes p LEFT JOIN sketch s
+        ON s.seed = p.seed AND s.bucket = p.bucket
+      GROUP BY 1
+    ), est_m AS (
+      SELECT p.user_id, MIN(COALESCE(m.cnt, 0)) AS cms_est_merged
+      FROM probes p LEFT JOIN merged m
+        ON m.seed = p.seed AND m.bucket = p.bucket
+      GROUP BY 1
+    ), exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+    )
+    SELECT e.user_id,
+           CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overestimate,
+           e.cms_est >= x.exact_cnt AS est_is_upper_bound,
+           e.cms_est = m.cms_est_merged AS merged_equal
+    FROM est e
+    JOIN est_m m ON m.user_id = e.user_id
+    JOIN exact x ON x.user_id = e.user_id
+    """,
+)
+def events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over event users (operators/
+    sketches.py) — the frequency member of the mergeable-sketch family
+    (HLL: distinct, KLL: quantiles): per sampled user, the exact event
+    count next to the CMS point estimate from (a) one global build and
+    (b) two half-month sketches MERGED by cell-wise sum.  Two
+    guarantees ride as data: est_is_upper_bound (CMS never
+    undercounts) and merged_equal (cell-wise merge reproduces the
+    global grid exactly — the property that lets per-day sketches roll
+    up without re-reading facts).  Width 64 < 150 users, so collisions
+    are real and the overestimate column is a live monitored number.
+    """
+    from ..operators import sketches
+    from ..session import scope_caches
+
+    # One narrow scan feeds five consumers (global build, two half
+    # builds, key sample, exact counts) — persist it or each runs its
+    # own parquet scan as a concurrent AQE stage.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id")
+        .persist()
+    )
+    ev.count()
+    split = F.lit(_CMS_SPLIT_TS).cast("timestamp")
+    sk = sketches.cms_build(ev, "user_id")
+    sk_m = sketches.cms_merge(
+        sketches.cms_build(ev.filter(F.col("ts") < split), "user_id"),
+        sketches.cms_build(ev.filter(F.col("ts") >= split), "user_id"),
+    )
+    keys = (
+        ev.select("user_id").filter(F.col("user_id") % 10 == 0).distinct()
+    )
+    est = sketches.cms_estimate(sk, keys, "user_id")
+    est_m = sketches.cms_estimate(sk_m, keys, "user_id").withColumnRenamed(
+        "cms_est", "cms_est_merged"
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    out = (
+        est.join(est_m, "user_id")
+        .join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias(
+                "est_is_upper_bound"
+            ),
+            (F.col("cms_est") == F.col("cms_est_merged")).alias(
+                "merged_equal"
+            ),
+        )
+    )
+    return scope_caches(out, ev)
+
+
 @register(
     "graph_triangle_count",
     # Degree-ordered (compact-forward) triangle counting over the

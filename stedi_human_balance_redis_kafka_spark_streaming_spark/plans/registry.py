@@ -4618,7 +4618,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # hashed every round r01-r06; the rank-window shape is carried by
     # q3/q18's scored top-k while the incoming centroid-drift gate
     # completes the in-window drift trio
-    "top_parts_per_brand",
+    "top_parts_per_brand",    # new r08, rides behind the in-window sketch reps
+    # (events_sketch_reaggregate + events_approx_distinct) until a
+    # future rotation hashes it
+    "events_cms_frequency",
 )
 
 
