@@ -953,6 +953,119 @@ def trade_graph_pagerank(
     )
 
 
+_PPR_SEED_NATION = 7
+
+
+def _sql_pagerank_personalized(iters: int) -> str:
+    """Unrolled personalized-PageRank oracle: same skeleton as
+    :func:`_sql_pagerank`, with the uniform base replaced by a
+    per-node base column — (base·n) div k on in-graph seed nodes
+    (nation-{seed}'s customers), 0 elsewhere — mirroring
+    operators/graph.py pagerank(seeds=...) bit-for-bit."""
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""r{t} AS MATERIALIZED (
+      SELECT b.node,
+             CAST(b.b + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT)
+               AS rank_e12
+      FROM bases b LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_e12 // dg.deg) AS m
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = b.node
+    )""")
+        prev = f"r{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), seeds AS MATERIALIZED (
+      SELECT DISTINCT c_custkey * 2 AS node FROM customer
+      WHERE c_nationkey = {_PPR_SEED_NATION}
+    ), bases AS MATERIALIZED (
+      SELECT d.src AS node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN ({_PR_BASE} * (SELECT COUNT(*) FROM deg))
+                       // (SELECT COUNT(*) FROM seeds x
+                           JOIN deg dd ON dd.src = x.node)
+                  ELSE 0 END AS b
+      FROM deg d LEFT JOIN seeds s ON s.node = d.src
+    ), r0 AS (
+      SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank_e12 FROM deg
+    ),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           rank_e12
+    FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank_personalized",
+    oracle=_sql_pagerank_personalized(_PR_ITERS),
+)
+def graph_pagerank_personalized(
+    spark: SparkSession, sf_dir: str, *, iters: int = _PR_ITERS
+) -> DataFrame:
+    """Personalized PageRank over the customer↔supplier trade graph,
+    teleporting only to nation-7's customers (operators/graph.py
+    pagerank(seeds=...)): which suppliers and customers matter MOST TO
+    that market — the seed-relative relevance ranking next to the
+    global centrality the uniform variant computes.  Same per-round
+    join+sum skeleton and 1e12 mass scale; the only addition is the
+    per-node base column built once.
+    """
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = cust.filter(
+        F.col("c_nationkey") == _PPR_SEED_NATION
+    ).select((F.col("c_custkey") * 2).alias("node"))
+    ranks = graph.pagerank(
+        edges, iters=iters, validate=False, seeds=seeds
+    )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        "rank_e12",
+    )
+
+
 def _sql_pagerank_weighted(iters: int) -> str:
     """Unrolled oracle for WEIGHTED PageRank over the symmetrized
     customer↔supplier graph, edge weight = number of lineitem rows

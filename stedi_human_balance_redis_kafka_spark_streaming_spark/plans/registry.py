@@ -4621,7 +4621,8 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "top_parts_per_brand",    # new r08, rides behind the in-window sketch reps
     # (events_sketch_reaggregate + events_approx_distinct) until a
     # future rotation hashes it
-    "events_cms_frequency",
+    "events_cms_frequency",    # new r08, rides behind the three in-window pagerank forms
+    "graph_pagerank_personalized",
 )
 
 

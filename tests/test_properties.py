@@ -967,3 +967,43 @@ def test_edit_distance_pairs_matches_brute_force(spark, texts, d, q):
         for r in dedup.edit_distance_pairs(df, max_dist=d, q=q).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_personalized_pagerank_with_all_seeds_equals_uniform(spark, edges):
+    """seeds = every node ⇒ seed_base = (base·n) div n = base, so the
+    personalized variant must reproduce the uniform ranks EXACTLY —
+    the degenerate-case contract pinning the base-column plumbing."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    pairs = {(a, b) for a, b in edges if a != b}
+    if not pairs:
+        return
+    sym = list(pairs | {(b, a) for a, b in pairs})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    uniform = {
+        r.node: r.rank_e12
+        for r in graph.pagerank(df, iters=2, validate=False).collect()
+    }
+    seeds = spark.createDataFrame(
+        [(n,) for n in {x for e in sym for x in e}], "node long"
+    )
+    seeded = {
+        r.node: r.rank_e12
+        for r in graph.pagerank(
+            df, iters=2, validate=False, seeds=seeds
+        ).collect()
+    }
+    assert seeded == uniform
