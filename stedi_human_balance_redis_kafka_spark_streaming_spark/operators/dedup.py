@@ -10,12 +10,22 @@ needs.  All variants are pure DataFrame compositions — no Python UDFs:
                    exact near-dup method; the shingle join is the
                    bottleneck at scale, so high-document-frequency
                    shingles can be pruned (``max_shingle_freq``) — the
-                   standard stopword-shingle optimization.
+                   standard stopword-shingle optimization.  The
+                   PPJoin-style PREFIX-filtered path keeps the exact
+                   answer while joining only rare-first prefixes.
 * MinHash + LSH  — shingle → per-seed min-hash signature → banded bucket
                    join.  Candidate generation is linear in corpus size
                    (bucket join, not pairwise); candidates are verified
-                   with exact Jaccard.  This is the 100 TB-scale path.
+                   with exact Jaccard.  This is the 100 TB-scale path —
+                   including the INCREMENTAL batch-vs-corpus ingest form
+                   over a factored, persistable band index.
+* SNM            — sorted-neighborhood blocking: range-partitioned
+                   sorted key-frame + per-shard lead windows (multi-pass
+                   with a token-sorted second key for recall).
 * SimHash        — near-dup fingerprints; Hamming-ball lookups.
+* edit distance  — character-level exact levenshtein ≤ d pairs via
+                   Ed-Join q-gram occurrence-prefix filtering + banded
+                   thresholded verify (typo/OCR duplicates).
 * embedding cosine — semantic near-dup over embedding vectors.
 
 Determinism contract: all hashing is md5-based (functions.hashing) so

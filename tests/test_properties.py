@@ -1007,3 +1007,47 @@ def test_personalized_pagerank_with_all_seeds_equals_uniform(spark, edges):
         ).collect()
     }
     assert seeded == uniform
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    ),
+    width=st.sampled_from([4, 16, 64]),
+)
+def test_cms_upper_bound_and_merge_identity(spark, keys, width):
+    """Count-Min invariants on arbitrary key multisets: (a) every point
+    estimate >= the true count (one-sided error), (b) cell-wise merge
+    of any 2-way split reproduces the global build's estimates exactly,
+    (c) with width > max_key and depth rows seeing no collisions the
+    estimate can still only overestimate, never under."""
+    import collections
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        sketches,
+    )
+
+    truth = collections.Counter(keys)
+    facts = spark.createDataFrame([(k,) for k in keys], "k long")
+    sk = sketches.cms_build(facts, "k", width=width)
+    half_a = facts.filter("k % 2 = 0")
+    half_b = facts.filter("k % 2 = 1")
+    merged = sketches.cms_merge(
+        sketches.cms_build(half_a, "k", width=width),
+        sketches.cms_build(half_b, "k", width=width),
+    )
+    probe = facts.distinct()
+    est = {
+        r.k: r.cms_est
+        for r in sketches.cms_estimate(sk, probe, "k", width=width).collect()
+    }
+    est_m = {
+        r.k: r.cms_est
+        for r in sketches.cms_estimate(
+            merged, probe, "k", width=width
+        ).collect()
+    }
+    assert est == est_m  # merge identity
+    for k, n in truth.items():
+        assert est[k] >= n  # one-sided error
