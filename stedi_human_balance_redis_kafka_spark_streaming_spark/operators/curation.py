@@ -204,6 +204,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    caches: list | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph by iterative
     min-label propagation: every node's label converges to the minimum
@@ -216,6 +217,16 @@ def connected_components(
     (O(log n) rounds) — same DataFrame skeleton, different message rule.
     ``localCheckpoint`` truncates the growing lineage each round so the
     plan stays O(1) deep.
+
+    Checkpoint lifecycle: each round's convergence probe MATERIALIZES
+    that round's (lazy) checkpoint, so the previous round's blocks are
+    dead the moment the probe returns — they are released immediately
+    (deterministic, no ContextCleaner / JVM-GC timing).  The FINAL
+    round's blocks back the returned frame; with ``caches`` provided
+    its release handle is appended for the caller to scope to the
+    query result (the registry pattern), else it is left to the
+    ContextCleaner (safe default for callers that derive from the
+    result).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -228,12 +239,15 @@ def connected_components(
     # round's ONLY consumer, so letting it materialize the checkpoint
     # folds what were two jobs per round (eager checkpoint + probe) into
     # one — pure fixed-overhead reduction, same lineage truncation.
+    from ..session import checkpoint_handle
+
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    live_handle = checkpoint_handle(labels)
 
     # Convergence probe: Σ label is strictly decreasing until the fixpoint
     # (labels only ever drop to a smaller reachable id), so one cheap
@@ -257,13 +271,20 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
+        new_handle = checkpoint_handle(new_labels)
         new_sum = _label_sum(new_labels)
+        # The probe materialized this round's checkpoint; the previous
+        # round's blocks are now dead — release them synchronously.
+        live_handle.unpersist(False)
+        live_handle = new_handle
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if caches is not None:
+        caches.append(live_handle)
     if not converged:
         # A component with diameter > max_iter would otherwise yield
         # silently-wrong cluster ids; non-convergence must be loud.
@@ -314,6 +335,7 @@ def cc_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 30,
+    caches: list | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -334,7 +356,15 @@ def cc_star(
     (``exceptAll``), so a probe collision can never terminate the loop
     early — the exact check runs only on probe-stable rounds, on the
     contracted (star-shaped, ≈|V|-edge) edge set.
+
+    Checkpoint lifecycle (see :func:`connected_components`): each
+    round's probe materializes its checkpoint, so the superseded
+    round's blocks are released synchronously; the final edge frame's
+    and the node frame's handles go to ``caches`` when provided (the
+    returned join reads both).
     """
+    from ..session import checkpoint_handle
+
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -344,12 +374,14 @@ def cc_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    e_handle = checkpoint_handle(e)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    nodes_handle = checkpoint_handle(nodes)
 
     def _probe(df: DataFrame):
         row = df.agg(
@@ -360,19 +392,30 @@ def cc_star(
         return (row["n"], row["su"], row["sv"])
 
     prev = _probe(e)
+    # Materialize the node checkpoint NOW: its plan reads the INITIAL
+    # edge checkpoint's blocks, which the loop releases as soon as
+    # round 1 supersedes them — deferring this to the caller's final
+    # action would read already-dropped blocks (unrecoverable for a
+    # lineage-truncated checkpoint).
+    nodes.count()
     converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        nxt_handle = checkpoint_handle(nxt)
         cur = _probe(nxt)
-        if cur == prev:
-            # Probe-stable: confirm exactly (both directions; counts are
-            # equal so one exceptAll side plus the count check suffices).
-            if nxt.exceptAll(e).isEmpty():
-                e = nxt
-                converged = True
-                break
+        # Probe-stable: confirm exactly (both directions; counts are
+        # equal so one exceptAll side plus the count check suffices).
+        stable = cur == prev and nxt.exceptAll(e).isEmpty()
+        # nxt is materialized (probe) and the exact check — the last
+        # reader of the superseded frame — has run: release its blocks.
+        e_handle.unpersist(False)
+        e, e_handle = nxt, nxt_handle
+        if stable:
+            converged = True
+            break
         prev = cur
-        e = nxt
+    if caches is not None:
+        caches.extend((e_handle, nodes_handle))
     if not converged:
         raise RuntimeError(
             f"cc_star did not reach the edge fixpoint in {max_iter} "

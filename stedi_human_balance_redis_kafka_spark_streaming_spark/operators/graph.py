@@ -32,6 +32,7 @@ def pagerank(
     validate: bool = True,
     weight: str | None = None,
     seeds: DataFrame | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -222,12 +223,19 @@ def pagerank(
         if n_nodes is not None:
             old_nodes.unpersist()
     else:
+        # Keep a handle on the PERSISTED frame: unpersist() on the
+        # withColumn-derived plan below would be a silent no-op (no
+        # cache entry matches the derived plan) and leak the blocks.
+        persisted_nodes = nodes if n_nodes is not None else None
         nodes = nodes.withColumn(
             "__base", F.lit(base).cast("long")
         )
+    from ..session import checkpoint_handle
+
     ranks = nodes.select(
         "node", F.lit(RANK_QUANT).cast("long").alias("rank_e12")
     )
+    handles: list = []
     zero_dec = "cast(0 as decimal(38,0))"
     for _ in range(iters):
         inbox = (
@@ -275,12 +283,23 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        handles.append(checkpoint_handle(ranks))
     # Materialize the final round before dropping the inputs it reads.
+    # The one count() job materializes EVERY round's (lazy) checkpoint
+    # bottom-up, so the superseded rounds' blocks are dead right after
+    # it — release them synchronously instead of waiting for the
+    # ContextCleaner's GC-driven weak refs.
     ranks.count()
+    for h in handles[:-1]:
+        h.unpersist(False)
     e.unpersist()
     deg.unpersist()
-    if seeded or n_nodes is not None:
-        nodes.unpersist()
+    if seeded:
+        nodes.unpersist()  # the seeded branch persisted the base frame
+    elif persisted_nodes is not None:
+        persisted_nodes.unpersist()
+    if caches is not None and handles:
+        caches.append(handles[-1])
     return ranks
 
 
@@ -448,6 +467,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    caches: list | None = None,
 ) -> DataFrame:
     """k-core membership via iterative peeling — the graph-family
     density primitive next to PageRank (centrality), connected
@@ -499,7 +519,10 @@ def k_core(
         .persist()
     )
     und.count()
+    from ..session import checkpoint_handle, scope_caches
+
     active = und
+    live_handle = None
     for _ in range(max_iter):
         deg = (
             active.select(F.col("u").alias("node"))
@@ -518,9 +541,17 @@ def k_core(
             .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # The eager checkpoint just materialized from the previous
+        # round's blocks — release the superseded round synchronously.
+        new_handle = checkpoint_handle(active)
+        if live_handle is not None:
+            live_handle.unpersist(False)
+        live_handle = new_handle
         weak.unpersist()
     else:
         und.unpersist()
+        if live_handle is not None:
+            live_handle.unpersist(False)
         raise RuntimeError(
             f"k_core did not converge within max_iter={max_iter} rounds; "
             "raise max_iter (peel depth exceeds the bound)"
@@ -531,9 +562,11 @@ def k_core(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("core_deg"))
     )
-    from ..session import scope_caches
-
-    return scope_caches(out, und)
+    final = [live_handle] if live_handle is not None else []
+    if caches is not None:
+        caches.extend([und, *final])
+        return out
+    return scope_caches(out, und, *final)
 
 
 def _edge_support(active: DataFrame) -> DataFrame:
@@ -594,6 +627,7 @@ def k_truss(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    caches: list | None = None,
 ) -> DataFrame:
     """k-truss via iterative edge peeling — the EDGE-level cohesion
     primitive completing the graph family (PageRank: centrality, CC:
@@ -630,7 +664,10 @@ def k_truss(
         .persist()
     )
     und.count()
+    from ..session import checkpoint_handle, scope_caches
+
     active = und
+    live_handle = None
     for _ in range(max_iter):
         sup = _edge_support(active)
         scored = active.join(sup, ["u", "v"], "left").select(
@@ -649,13 +686,23 @@ def k_truss(
             active.join(weak.select("u", "v"), ["u", "v"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        # Eager checkpoint materialized — the superseded round's blocks
+        # are dead; release synchronously (see k_core).
+        new_handle = checkpoint_handle(active)
+        if live_handle is not None:
+            live_handle.unpersist(False)
+        live_handle = new_handle
         weak.unpersist()
     else:
         und.unpersist()
+        if live_handle is not None:
+            live_handle.unpersist(False)
         raise RuntimeError(
             f"k_truss did not converge within max_iter={max_iter} rounds; "
             "raise max_iter (peel depth exceeds the bound)"
         )
-    from ..session import scope_caches
-
-    return scope_caches(out, und)
+    final = [live_handle] if live_handle is not None else []
+    if caches is not None:
+        caches.extend([und, *final])
+        return out
+    return scope_caches(out, und, *final)

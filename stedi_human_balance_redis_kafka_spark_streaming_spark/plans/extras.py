@@ -943,13 +943,19 @@ def trade_graph_pagerank(
     # The union above symmetrizes, so every dst is also a src by
     # construction — skip the dangling-node check's extra Spark job on
     # this hot (benchmarked) path; the precondition cannot fail here.
-    ranks = graph.pagerank(edges, iters=iters, validate=False)
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        F.expr("node div 2").alias("entity_id"),
-        "rank_e12",
+    caches: list = []
+    ranks = graph.pagerank(edges, iters=iters, validate=False, caches=caches)
+    from ..session import scope_caches
+
+    return scope_caches(
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_id"),
+            "rank_e12",
+        ),
+        *caches,
     )
 
 
@@ -1054,15 +1060,21 @@ def graph_pagerank_personalized(
     seeds = cust.filter(
         F.col("c_nationkey") == _PPR_SEED_NATION
     ).select((F.col("c_custkey") * 2).alias("node"))
+    caches: list = []
     ranks = graph.pagerank(
-        edges, iters=iters, validate=False, seeds=seeds
+        edges, iters=iters, validate=False, seeds=seeds, caches=caches
     )
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        F.expr("node div 2").alias("entity_id"),
-        "rank_e12",
+    from ..session import scope_caches
+
+    return scope_caches(
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_id"),
+            "rank_e12",
+        ),
+        *caches,
     )
 
 
@@ -1154,13 +1166,21 @@ def graph_pagerank_weighted(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
     # symmetrized by construction — skip the weight/dangling check jobs
-    ranks = graph.pagerank(edges, iters=iters, weight="w", validate=False)
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        F.expr("node div 2").alias("entity_id"),
-        "rank_e12",
+    caches: list = []
+    ranks = graph.pagerank(
+        edges, iters=iters, weight="w", validate=False, caches=caches
+    )
+    from ..session import scope_caches
+
+    return scope_caches(
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_id"),
+            "rank_e12",
+        ),
+        *caches,
     )
 
 
@@ -1251,13 +1271,21 @@ def graph_pagerank_dangling(
         )
         .distinct()
     )
-    ranks = graph.pagerank(edges, iters=iters, dangling="redistribute")
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        F.expr("node div 2").alias("entity_id"),
-        "rank_e12",
+    caches: list = []
+    ranks = graph.pagerank(
+        edges, iters=iters, dangling="redistribute", caches=caches
+    )
+    from ..session import scope_caches
+
+    return scope_caches(
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_id"),
+            "rank_e12",
+        ),
+        *caches,
     )
 
 

@@ -1551,7 +1551,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs (measured diameter 2-4)."""
     caches: list[DataFrame] = []
     pairs = _dup_pair_graph(spark, sf_dir, caches=caches)
-    return scope_caches(curation.connected_components(pairs), *caches)
+    return scope_caches(
+        curation.connected_components(pairs, caches=caches), *caches
+    )
 
 
 @register("dedup_clusters_star", oracle=_SQL_CC_ORACLE)
@@ -1562,7 +1564,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual outside the driver window."""
     caches: list[DataFrame] = []
     pairs = _dup_pair_graph(spark, sf_dir, caches=caches)
-    return scope_caches(curation.cc_star(pairs), *caches)
+    return scope_caches(curation.cc_star(pairs, caches=caches), *caches)
 
 
 @register(
@@ -1654,7 +1656,7 @@ def dedup_multi_signal(
     # fast here and degrade gracefully on longer chains.  Identical
     # cluster ids (property-tested equivalence; same oracle).
     edges = text_pairs.unionByName(emb_pairs).distinct().persist()
-    return scope_caches(curation.cc_star(edges), edges, *caches)
+    return scope_caches(curation.cc_star(edges, caches=caches), edges, *caches)
 # --------------------------------------------------------------------------
 # Similarity search (SURVEY.md §2.6) over the embeddings table
 # --------------------------------------------------------------------------
@@ -3462,7 +3464,7 @@ def curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
     clusters = curation.connected_components(
-        _dup_pair_graph(spark, sf_dir, caches=caches)
+        _dup_pair_graph(spark, sf_dir, caches=caches), caches=caches
     )
     quality = text_ops.text_stats(docs).select("doc_id", "quality_e6")
     j = quality.join(clusters, "doc_id", "left").select(

@@ -50,6 +50,45 @@ def scope_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+class _RddHandle:
+    """Unpersist-able handle on the JVM RDD backing a
+    ``localCheckpoint()``-ed DataFrame.
+
+    ``localCheckpoint`` registers the frame's internal RDD in the block
+    manager; without an explicit release the blocks survive until the
+    ContextCleaner's GC-driven weak refs fire (minutes later under the
+    5-min periodicGC interval — the round-8 full-suite flake).  The
+    handle exposes the same ``unpersist``/``._jdf`` duck-type as a
+    persisted DataFrame so it rides the existing ``caches=`` seam and
+    :func:`scope_caches` unchanged.
+
+    SAFETY: a localCheckpoint RDD's lineage is truncated at
+    materialization — unpersisting it before every consumer has run
+    makes the data UNRECOVERABLE (job failure, not recompute).  Only
+    release a handle when the frame's last consumer has materialized.
+    """
+
+    def __init__(self, jrdd) -> None:
+        self._jdf = jrdd  # named _jdf so scope_caches treats it uniformly
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._jdf.unpersist(blocking)
+        except Exception:
+            pass
+
+
+def checkpoint_handle(df: DataFrame) -> _RddHandle:
+    """Handle on the persisted RDD behind ``df = x.localCheckpoint(...)``.
+
+    The checkpointed Dataset's analyzed plan is a ``LogicalRDD`` whose
+    ``rdd()`` is exactly the RDD ``localCheckpoint`` registered in the
+    block manager; ``handle.unpersist(False)`` drops its blocks
+    synchronously — no JVM GC / ContextCleaner involvement.
+    """
+    return _RddHandle(df._jdf.queryExecution().analyzed().rdd())
+
+
 def get_spark(
     app_name: str = "stedi-spark",
     cpus: int | None = None,
