@@ -569,6 +569,151 @@ def k_core(
     return scope_caches(out, und, *final)
 
 
+def coreness(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+    caches: list | None = None,
+) -> DataFrame:
+    """Full core decomposition: every node's core NUMBER — the largest
+    k for which the node survives the k-core peel (k_core gives
+    membership at ONE k; the standard deliverable ranks every entity
+    by its engagement depth in one pass).  Output: (node, coreness),
+    coreness ≥ 1 for every node incident to an edge (isolated nodes
+    never appear in an edge list and are not represented, exactly as
+    in :func:`k_core`).
+
+    Algorithm: the ascending-threshold peel — run the k_core cascade
+    at k = 2, 3, … on the SURVIVING subgraph; a node removed while
+    peeling toward the k-core has coreness k−1, and the loop ends when
+    the graph is exhausted.  Each inner round is identical in shape to
+    :func:`k_core`'s (ONE partial-aggregable degree rollup + two
+    node-keyed anti-joins); the casualty frames are the peel's own
+    by-product, eagerly checkpointed (bounded by that round's
+    casualties) and unioned into the result — no extra passes over the
+    graph.  Total rounds = Σ_k peel-depth(k) ≤ degeneracy + peel
+    depth, ≪ N; ``max_iter`` bounds the driver loop and the operator
+    RAISES on non-convergence rather than returning a partial
+    decomposition.
+
+    Determinism: pure integer set arithmetic — the SQL oracle
+    (plans/extras.py graph_coreness) replays the identical ascending
+    cascade with a recursive CTE carrying (k, removed, removal-k)
+    state.  Property-tested: coreness(node) == max k with node ∈
+    k_core(k) (tests/test_properties.py).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"),
+            F.greatest(a, b).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    from ..session import checkpoint_handle, scope_caches
+
+    active = und
+    # The node universe rides its OWN frame: degrees derive from the
+    # surviving edges, so a node isolated by its neighbors' removal
+    # (but never itself below threshold while it had edges) would
+    # silently vanish from an edge-derived node set without ever being
+    # emitted — it must instead fall as a deg-0 casualty of the
+    # current level (coreness k−1), exactly as the oracle's fixed node
+    # list has it.
+    nodes_active = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live_handle = None
+    nodes_handle = checkpoint_handle(nodes_active)
+    casualty_frames: list[DataFrame] = []
+    casualty_handles: list = []
+    k = 2
+    converged = False
+    for _ in range(max_iter):
+        deg = (
+            active.select(F.col("u").alias("node"))
+            .unionByName(active.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        scored = nodes_active.join(deg, "node", "left").select(
+            "node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+        )
+        weak = scored.filter(F.col("deg") < k).select("node").persist()
+        if weak.count() == 0:
+            weak.unpersist()
+            # k-core reached.  Exhausted graph ⇒ done; else JUMP the
+            # threshold straight past the core's minimum degree d:
+            # every level in (k, d] would peel nothing (all degrees
+            # ≥ d), and the d+1 casualties carry coreness d either
+            # way — identical result, no no-op rounds burned on
+            # high-degree cores.  The SQL oracle mirrors the jump.
+            if nodes_active.isEmpty():
+                converged = True
+                break
+            k = int(scored.agg(F.min("deg")).first()[0]) + 1
+            continue
+        fallen = (
+            weak.withColumn("coreness", F.lit(k - 1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        casualty_frames.append(fallen)
+        casualty_handles.append(checkpoint_handle(fallen))
+        active = (
+            active.join(
+                weak.withColumnRenamed("node", "u"), "u", "left_anti"
+            )
+            .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        new_handle = checkpoint_handle(active)
+        if live_handle is not None:
+            live_handle.unpersist(False)
+        live_handle = new_handle
+        nodes_active = nodes_active.join(
+            weak, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        new_nodes_handle = checkpoint_handle(nodes_active)
+        nodes_handle.unpersist(False)
+        nodes_handle = new_nodes_handle
+        weak.unpersist()
+    if not converged:
+        und.unpersist()
+        for h in (*casualty_handles, live_handle, nodes_handle):
+            if h is not None:
+                h.unpersist(False)
+        raise RuntimeError(
+            f"coreness did not exhaust the graph within max_iter="
+            f"{max_iter} rounds; raise max_iter"
+        )
+    nodes_handle.unpersist(False)  # exhausted — empty, no readers
+    # The final active set is empty — every node left through a
+    # casualty frame; the union of the (disjoint) per-round frames IS
+    # the decomposition.
+    spark = edges.sparkSession
+    if not casualty_frames:
+        out = spark.createDataFrame([], "node long, coreness long")
+    else:
+        out = casualty_frames[0]
+        for f in casualty_frames[1:]:
+            out = out.unionByName(f)
+    if live_handle is not None:
+        # the (empty) final edge checkpoint has no further readers
+        live_handle.unpersist(False)
+    if caches is not None:
+        caches.extend([und, *casualty_handles])
+        return out
+    return scope_caches(out, und, *casualty_handles)
+
+
 def _edge_support(active: DataFrame) -> DataFrame:
     """Per-edge triangle SUPPORT over a canonical simple edge set
     (u < v): orient by (degree ASC, node ASC), enumerate each triangle

@@ -1647,6 +1647,120 @@ def events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, ev)
 
 
+_HH_PHI_PERMILLE = 50  # heavy-hitter threshold φ = 5% of total volume
+# CMS bucket over the binned-value key (same md5 idiom as
+# _SQL_CMS_BUCKET, keyed on value_bin instead of user_id)
+_SQL_CMS_BUCKET_BIN = (
+    "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || "
+    "CAST(value_bin AS VARCHAR)), 1, 8)) AS BIGINT) % 64"
+)
+
+
+@register(
+    "events_cms_heavy_hitters",
+    # Mirrors the Spark plan exactly: same md5 grid, same min-over-
+    # depth estimates, same φ·N permille gate, and the same
+    # exact-verification pass over the SURVIVORS only.
+    oracle=f"""
+    WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    binned AS (
+      SELECT CAST(floor(value / 10) AS BIGINT) AS value_bin FROM events
+    ),
+    cells AS (
+      SELECT seed, {_SQL_CMS_BUCKET_BIN} AS bucket FROM binned, seeds
+    ),
+    sketch AS (
+      SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT value_bin FROM binned),
+    probes AS (
+      SELECT value_bin, seed, {_SQL_CMS_BUCKET_BIN} AS bucket
+      FROM keys, seeds
+    ),
+    est AS (
+      SELECT p.value_bin, MIN(COALESCE(s.cnt, 0)) AS cms_est
+      FROM probes p LEFT JOIN sketch s
+        ON s.seed = p.seed AND s.bucket = p.bucket
+      GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n_total FROM binned),
+    cand AS (
+      SELECT e.value_bin, e.cms_est, t.n_total FROM est e, tot t
+      WHERE e.cms_est * 1000 >= {_HH_PHI_PERMILLE} * t.n_total
+    ),
+    exact AS (
+      SELECT value_bin, count(*) AS exact_cnt FROM binned
+      WHERE value_bin IN (SELECT value_bin FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.value_bin,
+           CAST(c.cms_est AS BIGINT) AS cms_est,
+           CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+           c.cms_est >= x.exact_cnt AS est_is_upper_bound,
+           x.exact_cnt * 1000 >= {_HH_PHI_PERMILLE} * c.n_total
+             AS is_true_heavy
+    FROM cand c JOIN exact x ON x.value_bin = c.value_bin
+    """,
+)
+def events_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, *, phi_permille: int = _HH_PHI_PERMILLE
+) -> DataFrame:
+    """CMS-driven heavy hitters — the top-frequent-items report every
+    corpus monitor actually wants from a Count-Min sketch
+    (operators/sketches.py): which value strata (floor(value/10) bins,
+    an exponentially skewed key) carry ≥ φ = {_HH_PHI_PERMILLE}‰ of
+    total event volume.  The sketch gates, the exact pass VERIFIES:
+    candidates = keys whose CMS estimate clears φ·N, then only those
+    keys are exactly counted — is_true_heavy separates real heavies
+    from CMS-overestimate false positives (one-sided error as data,
+    the ANN-recall-eval pattern).
+
+    Scale shape: the build is the one partial-aggregable grid groupBy;
+    the probe joins the distinct-key frame against the broadcast
+    ≤ depth·width grid; the candidate set is bounded by
+    1/(φ − 1/width) REGARDLESS of N (CMS overestimate ≤ N/width), so
+    the exact verification is a broadcast semi-join touching a
+    constant number of keys at any volume — never a full exact
+    frequency table.
+    """
+    from ..operators import sketches
+    from ..session import scope_caches
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.floor(F.col("value") / 10).cast("long").alias("value_bin")
+        )
+        .persist()
+    )
+    ev.count()
+    sk = sketches.cms_build(ev, "value_bin")
+    keys = ev.select("value_bin").distinct()
+    est = sketches.cms_estimate(sk, keys, "value_bin")
+    total = ev.agg(F.count("*").alias("n_total"))
+    cand = est.crossJoin(F.broadcast(total)).filter(
+        F.col("cms_est") * 1000 >= F.lit(phi_permille) * F.col("n_total")
+    )
+    exact = (
+        ev.join(
+            F.broadcast(cand.select("value_bin")), "value_bin", "left_semi"
+        )
+        .groupBy("value_bin")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    out = cand.join(exact, "value_bin").select(
+        "value_bin",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("est_is_upper_bound"),
+        (
+            F.col("exact_cnt") * 1000
+            >= F.lit(phi_permille) * F.col("n_total")
+        ).alias("is_true_heavy"),
+    )
+    return scope_caches(out, ev)
+
+
 @register(
     "graph_triangle_count",
     # Degree-ordered (compact-forward) triangle counting over the
@@ -1881,6 +1995,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.k_core(edges, k=_KCORE_K)
+
+
+_CORENESS_NODES_SQL = f"""SELECT u AS node FROM ({_KCORE_EDGES_SQL})
+       UNION SELECT v FROM ({_KCORE_EDGES_SQL})"""
+
+
+@register(
+    "graph_coreness",
+    # The full ascending-threshold decomposition as ONE recursive CTE:
+    # the working row carries (k, removed-node list, aligned removal-k
+    # list); each step either peels the sub-k-degree stratum (tagging
+    # every casualty with the CURRENT k) or, at a k-core fixpoint,
+    # JUMPS k past the core's minimum active degree — exactly the
+    # Spark loop's jump, so round counts AND results replay
+    # identically.  Positional double-unnest zips the two lists into
+    # (node, coreness = removal-k − 1).  Same DuckDB-1.0 inlining rule
+    # as graph_kcore: the recursive member's correlated subqueries
+    # must read the registered VIEWS, not sibling CTEs.
+    oracle=f"""
+    WITH RECURSIVE peel(it, k, removed, ks) AS (
+      SELECT 0, CAST(2 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT it + 1,
+             CASE WHEN len(newly) > 0 THEN k ELSE min_active_deg + 1 END,
+             list_concat(removed, newly),
+             list_concat(
+               ks, list_transform(newly, x -> CAST(k AS BIGINT))
+             )
+      FROM (
+        SELECT it, k, removed, ks,
+          (SELECT coalesce(list_sort(list(n.node)), CAST([] AS BIGINT[]))
+           FROM ({_CORENESS_NODES_SQL}) n
+           WHERE NOT list_contains(p.removed, n.node)
+             AND coalesce((SELECT count(*) FROM ({_KCORE_EDGES_SQL}) e
+                  WHERE (e.u = n.node OR e.v = n.node)
+                    AND NOT list_contains(p.removed, e.u)
+                    AND NOT list_contains(p.removed, e.v)), 0) < p.k
+          ) AS newly,
+          (SELECT coalesce(min(
+             (SELECT count(*) FROM ({_KCORE_EDGES_SQL}) e
+              WHERE (e.u = n.node OR e.v = n.node)
+                AND NOT list_contains(p.removed, e.u)
+                AND NOT list_contains(p.removed, e.v))), CAST(0 AS BIGINT))
+           FROM ({_CORENESS_NODES_SQL}) n
+           WHERE NOT list_contains(p.removed, n.node)
+          ) AS min_active_deg
+        FROM peel p
+      ) WHERE len(newly) > 0
+         OR len(removed) < (SELECT count(*) FROM ({_CORENESS_NODES_SQL}))
+    ), final AS (
+      SELECT removed, ks FROM peel ORDER BY it DESC LIMIT 1
+    )
+    SELECT unnest(removed) AS node,
+           CAST(unnest(ks) - 1 AS BIGINT) AS coreness
+    FROM final
+    """,
+)
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the quarter's supplier<->customer
+    trade graph (operators/graph.py coreness): every entity's core
+    NUMBER — the deepest k-core it survives — in one ascending peel,
+    where graph_kcore answers membership at the single k={_KCORE_K}.
+    The per-entity engagement-depth ranking a marketplace-health
+    report actually wants: coreness 1 = held in the graph only by
+    one-partner chains, max coreness = the innermost stable trading
+    kernel.
+    """
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("s_suppkey").cast("long").alias("src"),
+            (F.lit(1_000_000) + F.col("c_custkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.coreness(edges)
 
 
 # k-truss demo graph: nation co-trade inside a 10-day shipping window —

@@ -4471,7 +4471,9 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
     # the recall evals run BOTH the demoted pipeline and its exact twin
     # inside one query, so the eval is the stronger in-window claim
     "dedup_embedding_bucketed": "dedup_embedding_recall",
-    "ann_brute_force_topk": "ann_ivf_recall",
+    # r09 remap: the spill-recall eval also runs the full brute-force
+    # truth side, and stays in-window while ann_ivf_recall rotates out
+    "ann_brute_force_topk": "ann_ivf_spill_recall",
     # same Arrow-batched mapInPandas plumbing over the codec-free byte
     # grid; r08 swaps the carrier direction of the r07 pair:
     # frame_sample was driver-verified r06-r07, so the never-hashed
@@ -4508,7 +4510,6 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
 EXTENDED_QUERIES: tuple[str, ...] = (
     "q12_priority_lines",
     "q17_small_quantity_revenue",
-    "q6_forecast_revenue",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
     "q15_top_supplier",
@@ -4522,22 +4523,14 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_rolling_value",
     "lineitem_quality_checks",
     "order_price_quantiles_approx",
-    "ann_label_purity",
-    "text_shared_spans",
     "curation_rebalance",
-    "text_pii_scrub",
-    "text_lm_score",
     "events_funnel",
     "events_gapfill_rollup",
     "events_retention_cohorts",
-    "lineitem_bloom_prune_revenue",
     "events_gapfill_locf",
     "curation_upsample",
     "curation_sample_quota",
     "text_chunk_sliding",
-    "ann_range_search",
-    "multimodal_audio_energy",
-    "orders_salted_join_revenue",
     "curation_sample_weighted",
     "text_chunk_dups",
     "curation_split",
@@ -4602,11 +4595,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "events_value_deciles",
     "events_value_histogram",
     # corr-components was driver-hashed r07; the stats family keeps
-    # orders_kll_quantile_merge + events_sketch_reaggregate in-window
+    # events_approx_distinct + the drift/profile gates in-window
     "lineitem_corr_components",
-    # lang/source association was driver-hashed r05+; the incoming
-    # incremental-LSH query takes its slot, and the documents/text
-    # family keeps text_stats + text_language_id + the bpe pair
+    # lang/source association was driver-hashed r05+; the documents/
+    # text family keeps the bpe pair + the r09 lm/pii/spans trio
     # in-window (dedup_simhash_pairs must STAY in-window — it carries
     # the demoted dedup_simhash dual)
     "documents_lang_source_assoc",
@@ -4620,11 +4612,38 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # hashed every round r01-r06; the rank-window shape is carried by
     # q3/q18's scored top-k while the incoming centroid-drift gate
     # completes the in-window drift trio
-    "top_parts_per_brand",    # new r08, rides behind the in-window sketch reps
-    # (events_sketch_reaggregate + events_approx_distinct) until a
-    # future rotation hashes it
-    "events_cms_frequency",    # new r08, rides behind the three in-window pagerank forms
-    "graph_pagerank_personalized",
+    "top_parts_per_brand",
+    # --- round-9 rotation: r07+r08 veterans with in-window siblings
+    # yield 13 slots to eleven never-driver-hashed promotions (incl. the
+    # r08 newcomers events_cms_frequency + graph_pagerank_personalized)
+    # plus the two new round-9 operators (graph_coreness,
+    # events_cms_heavy_hitters) ---
+    # TPC-H: q6/q9 take the family's window slots (q-family batch-
+    # rotation plan: the 10 never-hashed q-shapes rotate through over
+    # rounds 9-11, two per round, rather than sitting as residue)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # text: the incoming lm_score/pii_scrub/shared_spans trio + the
+    # r08-verified bpe pair carry the family
+    "text_stats",
+    "text_language_id",
+    # embeddings: silhouette + centroid_drift (r08-verified) carry it
+    "embeddings_label_centroids",
+    # ANN: spill/trained recalls (r08-verified, and spill carries the
+    # remapped ann_brute_force_topk dual) + incoming range/purity
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+    # pagerank: weighted (r08-verified) + incoming personalized carry it
+    "trade_graph_pagerank",
+    "graph_pagerank_dangling",
+    # sketches: approx_distinct + hll_window_monitor + incoming CMS pair
+    "events_sketch_reaggregate",
+    # curation: quality_score stays in-window
+    "curation_keep_best",
+    # dedup/CC: clusters_star + the r08-verified SNM/edit/incremental
+    # family carry it
+    "dedup_multi_signal",
 )
 
 

@@ -730,6 +730,64 @@ def test_k_core_matches_brute_force_peel(spark, edges, k):
 
 @settings(**_SETTINGS)
 @given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_coreness_is_max_k_surviving_k_core(spark, edges):
+    """Core-number definition check: coreness(n) == max k for which n
+    survives the k-core peel — brute-forced with a sequential peel at
+    every k until the graph empties."""
+    import collections
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def core_nodes(k):
+        active = set(und)
+        while True:
+            deg = collections.Counter()
+            for u, v in active:
+                deg[u] += 1
+                deg[v] += 1
+            weak = {n for n, d in deg.items() if d < k}
+            if not weak:
+                break
+            active = {
+                (u, v)
+                for u, v in active
+                if u not in weak and v not in weak
+            }
+        return {n for e in active for n in e}
+
+    expected: dict[int, int] = {}
+    k = 1
+    while True:
+        members = core_nodes(k)
+        if not members:
+            break
+        for n in members:
+            expected[n] = k
+        k += 1
+
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: r.coreness for r in graph.coreness(df).collect()}
+    if not und:
+        assert got == {}
+        return
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
     vecs=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=2),  # label
