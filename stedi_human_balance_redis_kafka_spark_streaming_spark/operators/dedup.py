@@ -1052,11 +1052,13 @@ def edit_distance_pairs(
     property-tested against brute force (tests/test_properties.py).
 
     Strings too short for the bound to bite (max(|a|,|b|) ≤ d·q + q − 1
-    ⇒ T ≤ 0) pair all-vs-all inside that bounded-length stratum — a
-    corpus-dependent residue (empty on this corpus, min length 44 ≫
-    26); a 100 TB deploy with billions of sub-27-char strings gives
-    that stratum its own exact join (length-keyed) rather than letting
-    it ride the gram path.
+    ⇒ T ≤ 0) take their own LENGTH-BUCKET EQUI-JOIN: build side keyed
+    on its length, probe side exploded to buckets [ln, ln+d], so every
+    |Δlen| ≤ d pair meets in exactly one bucket — no non-equi plan
+    anywhere, and a 100 TB corpus of billions of short strings shuffles
+    on the int length key like any other join.  (Empty stratum on this
+    corpus — min length 44 ≫ 26 — but exercised by the short-string
+    fixtures in the brute-force property test.)
 
     Output: (doc_a, doc_b, edit_dist ≤ max_dist), doc_a < doc_b.
 
@@ -1119,16 +1121,30 @@ def edit_distance_pairs(
         )
     )
     shorts = base.filter(F.col("ln") <= short_max)
-    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    # Length-BUCKET equi-join for the short stratum (r08 nit closed):
+    # the build side keys on its own length, the probe side explodes to
+    # buckets [ln, ln+d], so every |Δlen| ≤ d pair meets in EXACTLY one
+    # bucket — the longer doc's length (equal lengths meet twice, in
+    # both orientations; the downstream distinct collapses them).
+    # Spark plans a shuffled equi-join on the int key instead of the
+    # broadcast nested loop the non-equi (doc_id < + length-band) form
+    # degraded to — the one BNLJ-shaped plan the repo had.  Probe
+    # explode factor is d+1, bounded; a corpus spiking one exact length
+    # makes that bucket hot, which is AQE skew-join territory, not a
+    # plan change.
+    sl = shorts.select(
+        F.col("ln").alias("bucket"), F.col("doc_id").alias("id_l")
+    )
+    sr = shorts.select(
+        F.explode(F.expr(f"sequence(ln, ln + {max_dist})")).alias("bucket"),
+        F.col("doc_id").alias("id_r"),
+    )
     cand_short = (
-        sa.join(
-            sb,
-            (F.col("sa.doc_id") < F.col("sb.doc_id"))
-            & (F.abs(F.col("sa.ln") - F.col("sb.ln")) <= max_dist),
-        )
+        sl.join(sr, "bucket")
+        .filter(F.col("id_l") != F.col("id_r"))
         .select(
-            F.col("sa.doc_id").alias("doc_a"),
-            F.col("sb.doc_id").alias("doc_b"),
+            F.least("id_l", "id_r").alias("doc_a"),
+            F.greatest("id_l", "id_r").alias("doc_b"),
         )
     )
     cand = cand_gram.unionByName(cand_short).distinct().persist()

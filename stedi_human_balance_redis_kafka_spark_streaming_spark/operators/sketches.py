@@ -49,6 +49,40 @@ def _cms_bucket(seed: int, key: Column, width: int) -> Column:
     )
 
 
+def cms_cells(
+    facts: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode each fact row into its ``depth`` (seed, bucket) cells,
+    carrying the ``keep`` columns through — the shared cell derivation
+    under :func:`cms_build` (batch grid) and the streaming windowed
+    grid (streaming/stateful.windowed_cms_grid, which keeps ``ts`` and
+    adds the event-time window key before the count)."""
+    k = F.col(key_col)
+    return facts.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("seed"),
+                        _cms_bucket(d, k, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        *keep,
+        F.col("c.seed").alias("seed"),
+        F.col("c.bucket").alias("bucket"),
+    )
+
+
 def cms_build(
     facts: DataFrame,
     key_col: str,
@@ -61,22 +95,8 @@ def cms_build(
     One explode to depth narrow rows per fact + ONE partial-aggregable
     groupBy — the sketch build is exactly as distributed as a count.
     """
-    k = F.col(key_col)
-    cells = facts.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("int").alias("seed"),
-                        _cms_bucket(d, k, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
     return (
-        cells.select(F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+        cms_cells(facts, key_col, depth=depth, width=width)
         .groupBy("seed", "bucket")
         .agg(F.count("*").alias("cnt"))
     )

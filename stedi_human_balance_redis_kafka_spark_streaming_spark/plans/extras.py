@@ -2582,6 +2582,110 @@ def events_hll_window_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cms_window_monitor",
+    # Batch dual of streaming/stateful.windowed_cms_grid: per-hour CMS
+    # grids rolled up by cell-wise sum, probed for the sampled keys
+    # against exact counts.  The oracle replays the identical per-
+    # window grid + rollup arithmetic; merged_equal (window-rollup
+    # estimate == direct global-build estimate) is the cell-wise-sum
+    # identity Σ_w count_w = count, pinned TRUE (the within_5pct
+    # precedent of events_hll_window_monitor).
+    oracle=f"""
+    WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    cells AS (
+      SELECT date_trunc('hour', ts) AS win_start, seed,
+             {_SQL_CMS_BUCKET} AS bucket
+      FROM events, seeds
+    ), wgrid AS (
+      SELECT win_start, seed, bucket, count(*) AS cnt
+      FROM cells GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT seed, bucket, SUM(cnt) AS cnt FROM wgrid GROUP BY 1, 2
+    ), keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+    ), probes AS (
+      SELECT user_id, seed, {_SQL_CMS_BUCKET} AS bucket FROM keys, seeds
+    ), est AS (
+      SELECT p.user_id, MIN(COALESCE(m.cnt, 0)) AS cms_est
+      FROM probes p LEFT JOIN merged m
+        ON m.seed = p.seed AND m.bucket = p.bucket
+      GROUP BY 1
+    ), exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+    ), nw AS (SELECT count(DISTINCT win_start) AS n_windows FROM wgrid)
+    SELECT e.user_id,
+           CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(w.n_windows AS BIGINT) AS n_windows,
+           e.cms_est >= x.exact_cnt AS est_is_upper_bound,
+           TRUE AS merged_equal
+    FROM est e
+    JOIN exact x ON x.user_id = e.user_id
+    CROSS JOIN nw w
+    """,
+)
+def events_cms_window_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming CMS frequency monitor under the full
+    oracle gate: the SAME operator body (``windowed_cms_grid`` — 1-hour
+    event-time windows × the depth·width cell grid) on the bounded
+    table, its per-window grids rolled up downstream by cell-wise sum
+    (the closed-window merge a live deployment runs) and point-queried
+    for the sampled users against exact counts.  merged_equal verifies
+    the window-rollup estimate equals the direct single-pass build's —
+    the mergeability contract AS DATA.
+
+    Scale shape: grid build is one partial-aggregable count keyed on
+    (window, seed, bucket); the rollup re-aggregates only the bounded
+    windows × depth·width grid rows, never the facts; probing joins
+    the key sample against the broadcast merged grid.
+    """
+    from ..operators import sketches
+    from ..session import scope_caches
+    from ..streaming import stateful
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id")
+        .persist()
+    )
+    ev.count()
+    wgrid = stateful.windowed_cms_grid(ev)
+    merged = (
+        wgrid.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketches.cms_build(ev, "user_id")
+    keys = (
+        ev.select("user_id").filter(F.col("user_id") % 10 == 0).distinct()
+    )
+    est = sketches.cms_estimate(merged, keys, "user_id")
+    est_d = sketches.cms_estimate(direct, keys, "user_id").withColumnRenamed(
+        "cms_est", "cms_est_direct"
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    n_windows = wgrid.select("win_start").distinct().agg(
+        F.count("*").alias("n_windows")
+    )
+    out = (
+        est.join(est_d, "user_id")
+        .join(exact, "user_id")
+        .crossJoin(F.broadcast(n_windows))
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            "cms_est",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias(
+                "est_is_upper_bound"
+            ),
+            (F.col("cms_est") == F.col("cms_est_direct")).alias(
+                "merged_equal"
+            ),
+        )
+    )
+    return scope_caches(out, ev)
+
+
 _HIST_LO_C = 0        # histogram domain in cents
 _HIST_W_C = 2_000     # 20.00-unit buckets
 _HIST_N = 30

@@ -4644,6 +4644,11 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # dedup/CC: clusters_star + the r08-verified SNM/edit/incremental
     # family carry it
     "dedup_multi_signal",
+    # new r09: batch dual of the streaming CMS grid monitor — rides
+    # behind the in-window events_cms_frequency (same sketch family)
+    # and events_hll_window_monitor (same windowed-monitor shape)
+    # until a future rotation hashes it
+    "events_cms_window_monitor",
 )
 
 

@@ -790,6 +790,53 @@ def windowed_distinct_users(
     )
 
 
+def windowed_cms_grid(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Streaming Count-Min frequency monitor — the CMS member of the
+    streaming sketch plane next to the HLL distinct monitor
+    (:func:`windowed_distinct_users`): per event-time window, emit the
+    window's CMS GRID rows (win_start, seed, bucket, cnt).
+
+    Emitting the grid, not per-key estimates, is the point (the same
+    leaf-sketch contract as the HLL monitor's sketch bytes): closed
+    windows' grids merge downstream by cell-wise SUM
+    (operators/sketches.cms_merge) into per-day / global frequency
+    sketches WITHOUT re-reading the stream, and any key can be point-
+    queried later against any merged rollup (cms_estimate).
+
+    State: windows-in-delay × depth·width exact int64 cells — bounded,
+    watermark-evicted, and INDEPENDENT of both event volume and key
+    cardinality (a per-key count state would grow with the key domain;
+    the grid never does).  The aggregation is one partial-aggregable
+    count keyed on (window, seed, bucket), so hot keys combine
+    map-side like any count.
+
+    Batch dual under the full oracle gate: plans/extras.py
+    events_cms_window_monitor (same operator body on the bounded
+    table); stream==batch asserted in tests/test_streaming.py.
+    """
+    from ..operators import sketches
+
+    d = sketches.CMS_DEPTH if depth is None else depth
+    w = sketches.CMS_WIDTH if width is None else width
+    e = events.withWatermark("ts", watermark).select("ts", key_col)
+    cells = sketches.cms_cells(e, key_col, depth=d, width=w, keep=("ts",))
+    return (
+        cells.groupBy(F.window("ts", win).alias("w"), "seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("win_start"), "seed", "bucket", "cnt"
+        )
+    )
+
+
 def streaming_quality_flags(
     docs: DataFrame,
     *,

@@ -1027,6 +1027,56 @@ def test_edit_distance_pairs_matches_brute_force(spark, texts, d, q):
     assert got == expected
 
 
+def test_edit_distance_short_stratum_default_params(spark):
+    """The DEFAULT-config (d=8, q=3) short stratum — strings of length
+    ≤ d·q+q−1 = 26, empty on the documents corpus (min length 44) —
+    must pair through the length-bucket equi-join path: sub-27-char
+    docs, the 26-char boundary, the empty string, and a long-stratum
+    control pair, all against brute force."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    def lev(s1, s2):
+        prev = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1, 1):
+            cur = [i] + [0] * len(s2)
+            for j, c2 in enumerate(s2, 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2)
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = [
+        "kitten",
+        "sitten",
+        "sittin",
+        "",
+        "abcdefgh",
+        "abcdefghijklmnopqrstuvwxyz",  # 26 = short_max boundary
+        "a" * 26,
+        "a" * 20,
+        "x" * 40 + "y",  # long-stratum control pair (gram path)
+        "x" * 40 + "z",
+    ]
+    d = 8
+    rows = [(i, s) for i, s in enumerate(texts)]
+    expected = {
+        (i, j): lev(a, b)
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and lev(a, b) <= d
+    }
+    assert expected, "fixture must produce at least one short-path pair"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in dedup.edit_distance_pairs(df, max_dist=d, q=3).collect()
+    }
+    assert got == expected
+
+
 @settings(**_SETTINGS)
 @given(
     edges=st.lists(

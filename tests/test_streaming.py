@@ -1096,6 +1096,79 @@ def test_windowed_distinct_users_sketches_match_batch_and_merge(
     assert merged.global_users == 3  # users {7, 8, 9}
 
 
+def test_windowed_cms_grid_matches_batch_and_merges(spark, tmp_path):
+    """Streaming CMS monitor: closed windows' grid rows equal the batch
+    dual on the same rows, and the emitted grids are live — a
+    downstream cell-wise sum over the closed window's cells reproduces
+    the batch single-pass build, and point estimates stay one-sided
+    upper bounds of the exact counts."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        sketches,
+    )
+
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, user_id long"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "click", 7),
+        (2, _ts("2024-01-01T10:10:00"), "click", 7),   # dup user
+        (3, _ts("2024-01-01T10:15:00"), "click", 8),
+        (4, _ts("2024-01-01T10:20:00"), "view", 8),
+        (5, _ts("2024-01-01T10:25:00"), "view", 9),
+    ]
+    b1 = [(6, _ts("2024-01-01T14:00:00"), "view", 1)]  # advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "cmsg", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_cms_grid(sdf),
+        f"cmsg_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    rows = out.collect()
+    got = {
+        (r.win_start.isoformat(), r.seed, r.bucket): r.cnt for r in rows
+    }
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = {
+        (r.win_start.isoformat(), r.seed, r.bucket): r.cnt
+        for r in stateful.windowed_cms_grid(batch_df).collect()
+    }
+    # the 10:00 window closed — its streaming grid equals the batch dual
+    for k, v in expected.items():
+        assert got[k] == v
+    # every seed row of the closed window carries the window's 5 events
+    closed_rows = [
+        r for r in rows if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    ]
+    per_seed = {}
+    for r in closed_rows:
+        per_seed[r.seed] = per_seed.get(r.seed, 0) + r.cnt
+    assert per_seed == {0: 5, 1: 5, 2: 5, 3: 5}
+    # MERGE the closed window's grid downstream: cell-wise sum equals
+    # the batch single-pass build on that slice...
+    merged = spark.createDataFrame(
+        [(r.seed, r.bucket, r.cnt) for r in closed_rows],
+        "seed int, bucket long, cnt long",
+    ).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    direct = {
+        (r.seed, r.bucket): r.cnt
+        for r in sketches.cms_build(batch_df, "user_id").collect()
+    }
+    assert {
+        (r.seed, r.bucket): r.cnt for r in merged.collect()
+    } == direct
+    # ...and point estimates from the merged grid upper-bound the truth
+    keys = spark.createDataFrame([(7,), (8,), (9,)], "user_id long")
+    est = {
+        r.user_id: r.cms_est
+        for r in sketches.cms_estimate(merged, keys, "user_id").collect()
+    }
+    assert est[7] >= 2 and est[8] >= 2 and est[9] >= 1
+
+
 def test_streaming_quality_flags_matches_batch_signals(spark, tmp_path):
     """Stateless ingest quality gate: streaming output equals the batch
     run of the same operator, the HOF repetition signal equals the
