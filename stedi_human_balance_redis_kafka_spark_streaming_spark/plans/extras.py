@@ -2003,16 +2003,20 @@ _CORENESS_NODES_SQL = f"""SELECT u AS node FROM ({_KCORE_EDGES_SQL})
 
 @register(
     "graph_coreness",
-    # The full ascending-threshold decomposition as ONE recursive CTE:
-    # the working row carries (k, removed-node list, aligned removal-k
-    # list); each step either peels the sub-k-degree stratum (tagging
-    # every casualty with the CURRENT k) or, at a k-core fixpoint,
-    # JUMPS k past the core's minimum active degree — exactly the
-    # Spark loop's jump, so round counts AND results replay
-    # identically.  Positional double-unnest zips the two lists into
-    # (node, coreness = removal-k − 1).  Same DuckDB-1.0 inlining rule
-    # as graph_kcore: the recursive member's correlated subqueries
-    # must read the registered VIEWS, not sibling CTEs.
+    # CROSS-ALGORITHM oracle: the Spark side runs the h-index fixpoint
+    # (operators/graph.py coreness default); this CTE computes the same
+    # decomposition by the ascending-threshold PEEL — the working row
+    # carries (k, removed-node list, aligned removal-k list); each step
+    # either peels the sub-k-degree stratum (tagging every casualty
+    # with the CURRENT k, isolated deg-0 nodes included) or, at a
+    # k-core fixpoint, JUMPS k past the core's minimum active degree
+    # (the same jump the algorithm='peel' engine makes).  Two
+    # independent algorithms agreeing on every core number is a
+    # stronger check than a same-algorithm replay.  Positional
+    # double-unnest zips the two lists into (node, coreness =
+    # removal-k − 1).  Same DuckDB-1.0 inlining rule as graph_kcore:
+    # the recursive member's correlated subqueries must read the
+    # registered VIEWS, not sibling CTEs.
     oracle=f"""
     WITH RECURSIVE peel(it, k, removed, ks) AS (
       SELECT 0, CAST(2 AS BIGINT), CAST([] AS BIGINT[]),

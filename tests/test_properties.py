@@ -779,11 +779,16 @@ def test_coreness_is_max_k_surviving_k_core(spark, edges):
         k += 1
 
     df = spark.createDataFrame(list(edges), "src long, dst long")
-    got = {r.node: r.coreness for r in graph.coreness(df).collect()}
+    got_hx = {r.node: r.coreness for r in graph.coreness(df).collect()}
+    got_peel = {
+        r.node: r.coreness
+        for r in graph.coreness(df, algorithm="peel").collect()
+    }
     if not und:
-        assert got == {}
+        assert got_hx == {} and got_peel == {}
         return
-    assert got == expected
+    assert got_hx == expected
+    assert got_peel == expected
 
 
 @settings(**_SETTINGS)
