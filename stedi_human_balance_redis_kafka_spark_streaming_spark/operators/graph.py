@@ -938,3 +938,190 @@ def k_truss(
         caches.extend([und, *final])
         return out
     return scope_caches(out, und, *final)
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    caches: list | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) — the
+    graph-family COMMUNITY primitive next to centrality (PageRank),
+    membership (connected components), cohesion (triangles/k-truss)
+    and density (k-core/coreness): each node repeatedly adopts the
+    most frequent label among its neighbors, so densely-linked groups
+    converge onto one label while sparse cut edges cannot flip them —
+    the near-linear community baseline (Raghavan et al. 2007) used to
+    group domains in web-crawl curation and counterparties in
+    transaction graphs.
+
+    Deterministic, SQL-mirrorable variant: SYNCHRONOUS rounds (every
+    node updates from the same round-``t`` snapshot — asynchronous LPA
+    is visit-order-dependent and unreproducible on a cluster), a FIXED
+    round count (synchronous LPA on bipartite-ish regions can
+    oscillate with period 2, so a convergence probe may never fire —
+    fixed rounds like :func:`pagerank`, not a fixpoint), one SELF-VOTE
+    per node (the standard damping that breaks most 2-cycles), and
+    exact-integer tie-breaks: label votes are counted per node and the
+    winner is (count DESC, label ASC) — a total order, so every round
+    is bit-reproducible and an unrolled SQL oracle replays it exactly.
+
+    Input: directed or undirected edge list; canonicalized to a simple
+    undirected graph (self-loops dropped, orientation + duplicates
+    collapsed) so a parallel edge never double-votes.  Initial label =
+    the node's own id.  Output: (node, community) — community is the
+    elected label after ``iters`` rounds (a label present in the
+    node's closed neighborhood; communities are identified by one
+    member's id, the usual LPA convention).
+
+    Scale shape: each round is ONE node-keyed join shipping every node
+    its neighbors' current labels (shuffle on the node key), a
+    partial-aggregable (node, label) vote count, and a per-node
+    window rank over that node's distinct candidate labels (bounded by
+    its degree — never a global window).  The label frame is n rows
+    every round; ``localCheckpoint`` truncates loop lineage and each
+    superseded round's blocks are released synchronously, exactly as
+    in :func:`k_core`.  At 100 TB the round cost is PageRank's plus
+    the vote count — no all-pairs shape anywhere.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from ..session import checkpoint_handle, scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"),
+            F.greatest(a, b).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .persist()
+    )
+    sym.count()
+    lbl = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    live_handle = checkpoint_handle(lbl)
+    rank_w = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("lbl")
+    )
+    for _ in range(iters):
+        nbr_votes = sym.join(lbl, sym["b"] == lbl["node"]).select(
+            F.col("a").alias("node"), "lbl"
+        )
+        votes = nbr_votes.unionByName(lbl.select("node", "lbl"))
+        lbl = (
+            votes.groupBy("node", "lbl")
+            .agg(F.count("*").alias("votes"))
+            .withColumn("__rn", F.row_number().over(rank_w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        new_handle = checkpoint_handle(lbl)
+        live_handle.unpersist(False)
+        live_handle = new_handle
+    out = lbl.select("node", F.col("lbl").cast("long").alias("community"))
+    sym.unpersist()
+    if caches is not None:
+        caches.append(live_handle)
+        return out
+    return scope_caches(out, live_handle)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_iter: int = 100,
+    caches: list | None = None,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances — the graph-family
+    REACHABILITY primitive: the minimum hop count from any source to
+    every reachable node (single-source shortest paths on an
+    unweighted graph; with several sources, the distance to the
+    nearest one).  The workhorse behind "within N hops of a trusted
+    seed" curation filters, fraud-ring proximity scoring, and crawl
+    frontier scheduling.
+
+    ``sources``: a one-column ``(node)`` frame of seed ids (typically
+    tiny).  Seeds absent from the edge list still emit (node, 0) —
+    distance to itself is 0 whether or not it has edges.  Unreachable
+    nodes do not appear (same absent-row convention as ``k_core``).
+
+    Output: (node, dist) — exact integer hops, dist = 0 for seeds.
+
+    Scale shape: textbook frontier expansion — round ``d`` joins the
+    CURRENT frontier (nodes first reached at d-1, monotonically
+    shrinking after the expansion peak) to the adjacency on the node
+    key, then one anti-join against the visited set discards
+    already-reached nodes; both shuffles are node-keyed, no windows,
+    no all-pairs.  Rounds = graph diameter (bounded by ``max_iter``;
+    RAISES on non-convergence rather than returning truncated
+    distances).  The visited set grows to n rows; lineage is
+    truncated per round via ``localCheckpoint`` with synchronous
+    release of the superseded round, as in :func:`k_core`.
+
+    Determinism: pure set arithmetic on exact integers — the SQL
+    oracle replays it with a recursive CTE taking MIN(depth) per node.
+    """
+    from ..session import checkpoint_handle, scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    fwd = edges.select(a.alias("a"), b.alias("b"))
+    adj = fwd if directed else fwd.unionByName(
+        edges.select(b.alias("a"), a.alias("b"))
+    )
+    adj = adj.filter(F.col("a") != F.col("b")).distinct().persist()
+    adj.count()
+    dist = sources.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct().localCheckpoint(eager=True)
+    live_handle = checkpoint_handle(dist)
+    frontier = dist.select("node")
+    converged = False
+    for d in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("dist"))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            converged = True
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        new_handle = checkpoint_handle(dist)
+        live_handle.unpersist(False)
+        live_handle = new_handle
+        # Read the next frontier out of the checkpoint blocks just
+        # materialized, not the about-to-be-released nxt cache.
+        frontier = dist.filter(F.col("dist") == d).select("node")
+        nxt.unpersist()
+    adj.unpersist()
+    if not converged:
+        live_handle.unpersist(False)
+        raise RuntimeError(
+            f"bfs_distances did not exhaust the frontier within "
+            f"max_iter={max_iter} rounds; raise max_iter (graph "
+            "diameter exceeds the bound)"
+        )
+    if caches is not None:
+        caches.append(live_handle)
+        return dist
+    return scope_caches(dist, live_handle)

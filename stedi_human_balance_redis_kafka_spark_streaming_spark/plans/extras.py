@@ -3089,3 +3089,207 @@ def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_e6"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Community detection + reachability (operators/graph.py LPA / BFS)
+# --------------------------------------------------------------------------
+
+# LPA demo graph: the strongest-partner trade BACKBONE — each supplier
+# nation keeps only its single highest-volume customer-nation partner
+# (the k-NN-graph sparsification, k=1; deterministic ties by partner id).
+# The raw co-trade graph is near-complete on uniform TPC-H data, so
+# every community algorithm trivially returns one block; the backbone
+# retains only the strongest tie per nation and has real structure
+# (sf0.01: 25 nodes / 25 edges -> 6 communities).
+_LPA_ITERS = 4
+_LPA_BACKBONE_SQL = """SELECT DISTINCT least(n1, n2) AS u,
+                              greatest(n1, n2) AS v FROM (
+      SELECT n1, n2 FROM (
+        SELECT n1, n2, row_number() OVER (PARTITION BY n1
+                                          ORDER BY cnt DESC, n2 ASC) AS rk
+        FROM (
+          SELECT s.s_nationkey AS n1, c.c_nationkey AS n2,
+                 count(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE s.s_nationkey <> c.c_nationkey
+          GROUP BY 1, 2)
+      ) WHERE rk <= 1)"""
+
+
+def _sql_lpa(iters: int) -> str:
+    """Unrolled synchronous-LPA oracle: one MATERIALIZED CTE per round
+    (same inlining rule as :func:`_sql_pagerank`), replaying
+    operators/graph.py label_propagation bit-for-bit — identical
+    neighbor+self vote multiset, identical (votes DESC, lbl ASC)
+    winner per node."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""l{t} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY votes DESC, lbl ASC) AS rn
+        FROM (
+          SELECT node, lbl, COUNT(*) AS votes FROM (
+            SELECT s.a AS node, p.lbl
+            FROM sym s JOIN {prev} p ON p.node = s.b
+            UNION ALL
+            SELECT node, lbl FROM {prev}
+          ) GROUP BY node, lbl
+        )
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH und AS MATERIALIZED ({_LPA_BACKBONE_SQL}),
+    sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+    {chain}
+    SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+    FROM {prev}
+    """
+
+
+@register("graph_label_propagation", oracle=_sql_lpa(_LPA_ITERS))
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, *, iters: int = _LPA_ITERS
+) -> DataFrame:
+    """Trading-bloc communities of the strongest-partner backbone graph
+    (operators/graph.py label_propagation): each supplier nation keeps
+    its single highest-volume customer-nation tie, and synchronous LPA
+    (4 rounds, self-vote, exact-integer tie-breaks) elects one label
+    per densely-linked bloc — 6 blocs at sf0.01.
+
+    Scale shape: the backbone build is a partial-aggregable pair count
+    plus a per-nation top-1 window (partitioned by nation, never
+    global); each LPA round is one node-keyed join + vote count +
+    degree-bounded per-node rank.  Oracle: the identical rounds
+    unrolled (:func:`_sql_lpa`).
+    """
+    from pyspark.sql import Window
+
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pair_cnt = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("n1"),
+            F.col("c_nationkey").alias("n2"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_w = Window.partitionBy("n1").orderBy(F.desc("cnt"), F.asc("n2"))
+    backbone = (
+        pair_cnt.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= 1)
+        .select(
+            F.least("n1", "n2").cast("long").alias("src"),
+            F.greatest("n1", "n2").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.label_propagation(backbone, iters=iters)
+
+
+_BFS_MAX_SEED = 3  # seed customers: c_custkey <= 3 (4 seeds; keys start at 0)
+_BFS_ORACLE_DEPTH = 12  # recursion cap; purchase-graph diameter is ~3
+
+
+@register(
+    "graph_bfs_hops",
+    # The identical expansion as a recursive CTE: UNION-dedup on
+    # (node, depth) bounds the walk at n x depth rows, MIN(depth) per
+    # node is the BFS distance.  The depth cap only needs to exceed
+    # the graph diameter (~3 on this near-complete bipartite graph);
+    # Spark runs the uncapped loop to frontier exhaustion.
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e AS MATERIALIZED (
+      SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), walk(node, d) AS (
+      SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey <= {_BFS_MAX_SEED}
+      UNION
+      SELECT e.t, w.d + 1 FROM walk w JOIN e ON e.s = w.node
+      WHERE w.d < {_BFS_ORACLE_DEPTH}
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY 1, 2
+    """,
+)
+def graph_bfs_hops(
+    spark: SparkSession, sf_dir: str, *, max_seed: int = _BFS_MAX_SEED
+) -> DataFrame:
+    """Hop distance from the seed customers (c_custkey <= 3) to every
+    reachable entity of the customer<->supplier purchase graph
+    (operators/graph.py bfs_distances) — the "within N hops of a
+    trusted seed" proximity filter, on the same 2n/2n+1 node
+    namespacing as trade_graph_pagerank.
+
+    Scale shape: per round ONE node-keyed frontier-adjacency join plus
+    one anti-join against the visited set; rounds = diameter (3 here).
+    Oracle: recursive CTE, MIN(depth) per node.
+    """
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= max_seed)
+        .select((F.col("c_custkey") * 2).cast("long").alias("node"))
+    )
+    from ..session import scope_caches
+
+    # caches= threads the operator's checkpoint handle out to THIS
+    # frame's lifetime — scope_caches on the inner frame would release
+    # the blocks as soon as the wrapper .select() drops it.
+    held: list = []
+    dist = graph.bfs_distances(edges, seeds, caches=held)
+    out = dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        "dist",
+    )
+    return scope_caches(out, *held)

@@ -4649,6 +4649,12 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # and events_hll_window_monitor (same windowed-monitor shape)
     # until a future rotation hashes it
     "events_cms_window_monitor",
+    # new r09 (late-session): community + reachability extensions of
+    # the graph family — ride behind the six in-window graph queries
+    # (pagerank x2, triangles, clustering, coreness, k-core/k-truss)
+    # until a future rotation hashes them
+    "graph_label_propagation",
+    "graph_bfs_hops",
 )
 
 

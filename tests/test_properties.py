@@ -1164,3 +1164,97 @@ def test_cms_upper_bound_and_merge_identity(spark, keys, width):
     assert est == est_m  # merge identity
     for k, n in truth.items():
         assert est[k] >= n  # one-sided error
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_label_propagation_matches_brute_force(spark, edges, iters):
+    """Synchronous LPA replay: neighbor+self vote multiset, winner =
+    (votes DESC, label ASC), fixed rounds — the distributed rounds must
+    equal a sequential simulation on the same canonical simple graph."""
+    import collections
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nbrs = collections.defaultdict(set)
+    for u, v in und:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n in nbrs:
+            votes = collections.Counter(lbl[m] for m in nbrs[n])
+            votes[lbl[n]] += 1  # self-vote
+            new[n] = min(votes, key=lambda c: (-votes[c], c))
+        lbl = new
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in graph.label_propagation(df, iters=iters).collect()
+    }
+    assert got == lbl
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    seeds=st.sets(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=3
+    ),
+    directed=st.booleans(),
+)
+def test_bfs_distances_matches_brute_force(spark, edges, seeds, directed):
+    """Frontier expansion == textbook queue BFS: min hops from any seed,
+    seeds at 0 even when isolated, unreachable nodes absent — in both
+    directed and symmetrized mode."""
+    import collections
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a == b:
+            continue
+        adj[a].add(b)
+        if not directed:
+            adj[b].add(a)
+    expected = {s: 0 for s in seeds}
+    queue = collections.deque(seeds)
+    while queue:
+        n = queue.popleft()
+        for m in adj[n]:
+            if m not in expected:
+                expected[m] = expected[n] + 1
+                queue.append(m)
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(df, sdf, directed=directed).collect()
+    }
+    assert got == expected
