@@ -3293,3 +3293,138 @@ def graph_bfs_hops(
         "dist",
     )
     return scope_caches(out, *held)
+
+
+@register(
+    "events_hll_overlap",
+    # Sketch SET-OPERATION estimation: per-type visitor-day HLL
+    # sketches answer pairwise |A∪B| (merged sketch) and |A∩B|
+    # (inclusion-exclusion) WITHOUT any re-scan of the fact table —
+    # the audience-overlap question every segmentation dashboard asks
+    # of a 100 TB event log.  Sketch bytes are engine-specific, so the
+    # checkable contract is exact counts computed alongside plus the
+    # bounds flags (union within ±5% — the lgk=12 standard error is
+    # ~1.6% — and intersection within ±10% of the UNION size:
+    # inclusion-exclusion compounds two absolute errors that scale
+    # with the union, not the intersection).
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             user_id * 100000 + epoch_us(ts) // 86400000000 AS vd
+      FROM events
+    ), per AS (
+      SELECT event_type, count(*) AS n FROM d GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS exact_inter
+      FROM d a JOIN d b ON a.vd = b.vd AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+           CAST(pa.n AS BIGINT) AS exact_a,
+           CAST(pb.n AS BIGINT) AS exact_b,
+           CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(pa.n + pb.n - COALESCE(i.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           CAST(COALESCE(i.exact_inter, 0) * 1000000
+                // (pa.n + pb.n - COALESCE(i.exact_inter, 0)) AS BIGINT)
+             AS jaccard_e6,
+           TRUE AS union_within_5pct,
+           TRUE AS inter_within_10pct
+    FROM per pa
+    JOIN per pb ON pa.event_type < pb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = pa.event_type AND i.type_b = pb.event_type
+    """,
+)
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap of event types over visitor-day keys
+    (user_id × epoch-day), estimated from MERGEABLE per-type HLL
+    sketches — |A∪B| from the two-sketch union, |A∩B| by
+    inclusion-exclusion, exact Jaccard (integer e6) alongside.
+
+    Scale shape: ONE dedup pass over the fact table builds the
+    (type, visitor-day) frame; per-type sketches + exact counts are one
+    partial-aggregable rollup to ≤ |types| rows, and every pairwise
+    combination works on that BOUNDED frame (broadcast self-join).  The
+    exact-intersection verification join is keyed on the visitor-day —
+    at 100 TB one would drop it and keep only the sketch path; here it
+    is the correctness gate.  No second scan, no window, no all-pairs
+    over rows.
+    """
+    from ..session import scope_caches
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(
+            "event_type",
+            (
+                F.col("user_id") * 100000
+                + F.expr("unix_micros(ts) div 86400000000")
+            ).alias("vd"),
+        )
+        .distinct()
+        .persist()
+    )
+    per = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.hll_sketch_agg("vd").alias("sketch"),
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("exact_a"),
+        F.col("sketch").alias("sk_a"),
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("exact_b"),
+        F.col("sketch").alias("sk_b"),
+    )
+    est_pairs = (
+        pa.join(F.broadcast(pb), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+    )
+    inter = (
+        d.select(F.col("event_type").alias("type_a"), "vd")
+        .join(
+            d.select(F.col("event_type").alias("type_b"), "vd"),
+            "vd",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    j = est_pairs.join(inter, ["type_a", "type_b"], "left").withColumn(
+        "exact_inter", F.coalesce("exact_inter", F.lit(0))
+    )
+    exact_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    out = j.select(
+        "type_a",
+        "type_b",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        exact_union.cast("long").alias("exact_union"),
+        F.expr(
+            "cast(exact_inter * 1000000L div "
+            "(exact_a + exact_b - exact_inter) as bigint)"
+        ).alias("jaccard_e6"),
+        (
+            F.abs(F.col("est_union") - exact_union) <= 0.05 * exact_union
+        ).alias("union_within_5pct"),
+        (
+            F.abs(est_inter - F.col("exact_inter")) <= 0.10 * exact_union
+        ).alias("inter_within_10pct"),
+    )
+    return scope_caches(out, d)

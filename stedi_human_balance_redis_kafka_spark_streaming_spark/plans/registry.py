@@ -4655,6 +4655,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # until a future rotation hashes them
     "graph_label_propagation",
     "graph_bfs_hops",
+    # new r09 (late-session): sketch set-operations — rides behind the
+    # in-window sketch family (cms pair, hll monitor, reaggregate)
+    "events_hll_overlap",
 )
 
 
