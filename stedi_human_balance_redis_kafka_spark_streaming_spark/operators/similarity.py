@@ -1424,8 +1424,11 @@ def sq8_topk(
     the exact re-rank.  Where PQ trades accuracy for sub-vector
     codebooks, SQ8 keeps per-dimension fidelity at 1 byte/dim — 8×
     narrower than float64 and the standard first rung of vector
-    compression (measured here: recall@10 = 1.0 at sf0.01 with
-    shortlist=3k).
+    compression.  Verified by the registered ``ann_sq8_recall`` eval
+    (plans/registry.py), which measures recall@10 = 1.0 at sf0.001 and
+    sf0.01 with shortlist=30, and whose DuckDB oracle replays the full
+    quantize → midpoint-reconstruct → int64-ADC → re-rank pipeline
+    bit-for-bit (row-set equality asserted at both SFs).
 
     Exact-integer quantization, so a SQL oracle replays it bit-for-bit:
     values enter the e6 integer domain (round(x·1e6), the repo FP

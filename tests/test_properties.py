@@ -1258,3 +1258,136 @@ def test_bfs_distances_matches_brute_force(spark, edges, seeds, directed):
         for r in graph.bfs_distances(df, sdf, directed=directed).collect()
     }
     assert got == expected
+
+
+def _sq8_replay(rows, queries, k, shortlist):
+    """Pure-Python integer replay of operators/similarity.sq8_topk's
+    APPROXIMATE stage (quantize -> per-dim [mn,mx] train -> code ->
+    midpoint reconstruct -> int64 dot -> shortlist): an independent
+    implementation of the same exact-integer formulas.  Python's `//`
+    is floor division; every operand below is non-negative, so it
+    agrees with Spark's truncating `div` exactly.  Returns the
+    shortlist candidate set {(query_id, vec_id)}."""
+    dim = len(rows[0][1])
+    xe = {vid: [round(x * 1_000_000) for x in v] for vid, v in rows}
+    mn = [min(e[i] for e in xe.values()) for i in range(dim)]
+    mx = [max(e[i] for e in xe.values()) for i in range(dim)]
+
+    def recon(e):
+        out = []
+        for i in range(dim):
+            if mx[i] == mn[i]:
+                out.append(mn[i])
+            else:
+                code = (e[i] - mn[i]) * 255 // (mx[i] - mn[i])
+                out.append(mn[i] + (2 * code + 1) * (mx[i] - mn[i]) // 510)
+        return out
+
+    rv = {vid: recon(e) for vid, e in xe.items()}
+    short = set()
+    for qid, qv in queries:
+        qe = [round(x * 1_000_000) for x in qv]
+        scored = [
+            (sum(qe[i] * rv[vid][i] for i in range(dim)), vid)
+            for vid in rv
+            if vid != qid
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        short.update((qid, vid) for _, vid in scored[:shortlist])
+    return short
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=8, max_value=24),
+)
+def test_sq8_shortlist_matches_integer_replay(spark, seed, n):
+    """With shortlist == k, sq8_topk's output rows are exactly the
+    approximate stage's survivors — so the (query_id, vec_id) set must
+    equal an independent pure-Python replay of the quantize/
+    reconstruct/score formulas.  Dim 0 is held constant to exercise
+    the mx == mn degenerate branch."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    dim = 8
+    rows = [
+        (
+            i,
+            [0.5]
+            + [
+                float(((i * 37 + j * 11 + seed) % 19) - 9) / 9.0
+                for j in range(1, dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.queries_by_modulus(emb, 7)
+    k = 3
+    got = {
+        (r.query_id, r.vec_id)
+        for r in similarity.sq8_topk(emb, q, k=k, shortlist=k).collect()
+    }
+    queries = [(i, v) for i, v in rows if i % 7 == 0]
+    assert got == _sq8_replay(rows, queries, k, k)
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_sq8_topk_partition_invariant(spark, seed, parts):
+    """SQ8 ranking is deterministic under any physical layout: the
+    [mn, mx] train is a global min/max, scores are exact int64 sums,
+    and every tie-break is total."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (i, [float(((i * 41 + j * 13 + seed) % 17) - 8) / 8.0 for j in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.queries_by_modulus(emb, 10)
+    base = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.sq8_topk(emb, q, k=4, shortlist=8).collect()
+    )
+    shuf = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.sq8_topk(
+            emb.repartition(parts), q, k=4, shortlist=8
+        ).collect()
+    )
+    assert base == shuf
+
+
+def test_sq8_full_shortlist_equals_brute_force(spark):
+    """With the shortlist covering the whole corpus, the exact re-rank
+    sees every vector, so sq8_topk degenerates to brute_force_topk —
+    the recall ceiling the registered ann_sq8_recall eval measures
+    against."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (i, [float(((i * 29 + j * 7) % 23) - 11) / 11.0 for j in range(8)])
+        for i in range(18)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.queries_by_modulus(emb, 9)
+    bf = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    )
+    sq = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.sq8_topk(emb, q, k=5, shortlist=18).collect()
+    )
+    assert sq == bf
