@@ -36,6 +36,17 @@ def scope_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
     The finalizer holds only the JVM ``Dataset`` handles, never the Python
     ``result`` object, so it cannot keep the result alive.  Errors are
     swallowed: at interpreter shutdown the JVM gateway may already be gone.
+
+    CONTRACT SHARPENING (checkpoint handles on this seam): ``cached`` may
+    also be :class:`_RddHandle` objects from :func:`checkpoint_handle`.
+    For a PERSISTED frame, releasing early merely costs a recompute; for
+    a localCheckpoint handle the lineage was truncated at
+    materialization, so any plan still deriving from the checkpointed
+    frame fails hard ("checkpoint block not found") instead of
+    recomputing.  Callers passing checkpoint handles must therefore
+    ensure the returned ``result`` is the LAST plan that reads the
+    checkpoint — do not hand out other derived frames that outlive it
+    (see graph_bfs_hops for the caches= threading pattern).
     """
     jdfs = [c._jdf for c in cached]
 
@@ -74,8 +85,22 @@ class _RddHandle:
     def unpersist(self, blocking: bool = False) -> None:
         try:
             self._jdf.unpersist(blocking)
-        except Exception:
-            pass
+        except Exception as exc:  # shutdown-safe, but never SILENT
+            # A swallowed release degrades back to ContextCleaner (GC)
+            # timing — the round-8 flake.  Warn so the degradation is
+            # visible; at interpreter shutdown the gateway may be gone
+            # and the log call itself may fail, hence the inner guard.
+            try:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "synchronous checkpoint-block release failed (%s); "
+                    "blocks will be freed by ContextCleaner GC timing "
+                    "instead",
+                    exc,
+                )
+            except Exception:
+                pass
 
 
 def checkpoint_handle(df: DataFrame) -> _RddHandle:
@@ -85,8 +110,23 @@ def checkpoint_handle(df: DataFrame) -> _RddHandle:
     ``rdd()`` is exactly the RDD ``localCheckpoint`` registered in the
     block manager; ``handle.unpersist(False)`` drops its blocks
     synchronously — no JVM GC / ContextCleaner involvement.
+
+    This reaches through py4j internals (``queryExecution().analyzed()``),
+    so a Spark-version plan-shape change could silently hand back an RDD
+    that is NOT the checkpoint's (a no-op release).  Guard: raise at
+    handle creation unless the analyzed plan is the ``LogicalRDD`` a
+    checkpointed Dataset is defined to have — fail loud at the call
+    site, not silently at block-release time.
     """
-    return _RddHandle(df._jdf.queryExecution().analyzed().rdd())
+    plan = df._jdf.queryExecution().analyzed()
+    cls = plan.getClass().getSimpleName()
+    if cls != "LogicalRDD":
+        raise RuntimeError(
+            f"checkpoint_handle expects a localCheckpoint()-ed DataFrame "
+            f"(analyzed plan LogicalRDD); got {cls} — the synchronous "
+            f"block release would be a silent no-op"
+        )
+    return _RddHandle(plan.rdd())
 
 
 def get_spark(
