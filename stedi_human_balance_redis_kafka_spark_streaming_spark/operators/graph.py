@@ -1125,3 +1125,119 @@ def bfs_distances(
         caches.append(live_handle)
         return dist
     return scope_caches(dist, live_handle)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    directed: bool = False,
+    max_iter: int = 50,
+    validate: bool = True,
+    caches: list | None = None,
+) -> DataFrame:
+    """Multi-source weighted shortest paths (Bellman-Ford rounds) —
+    the weighted completion of the reachability plane: where
+    :func:`bfs_distances` gives minimum HOP counts, this gives the
+    minimum total edge COST from any source to every reachable node.
+    The workhorse behind cheapest-supplier-path routing and
+    trust-decay curation ("keep documents within cost c of a trusted
+    seed, where low-trust links cost more").
+
+    ``sources``: a one-column ``(node)`` frame of seed ids.  Seeds sit
+    at cost 0; unreachable nodes do not appear (the :func:`k_core`
+    absent-row convention).  ``weight`` names a POSITIVE integer edge
+    column (validated with a LIMIT-1 scan unless ``validate=False``);
+    parallel edges collapse to their MINIMUM weight, self-loops drop.
+    Output: (node, dist) — exact int64 cost sums (callers must keep
+    n_hops·max_weight within int64; at 1e6-unit costs that is ~9e12
+    hops of headroom).
+
+    Scale shape: frontier-relaxation Bellman-Ford — each round joins
+    only the nodes IMPROVED last round against the adjacency (node-
+    keyed), min-combines candidates map-side (partial-aggregable MIN),
+    and full-outer-merges the n-row distance frame (node-keyed).
+    Improved-only relaxation produces bit-identical per-round values
+    to textbook full relaxation (a non-improved node's messages cannot
+    improve any neighbor), so an unrolled min-plus SQL oracle replays
+    it exactly.  Rounds = longest shortest-path hop count (≤ n−1 by
+    Bellman-Ford, typically ≪ n); the operator RAISES past
+    ``max_iter`` rather than returning under-relaxed costs.  Lineage
+    is truncated per round via ``localCheckpoint`` with synchronous
+    release of the superseded round, as in :func:`bfs_distances`.
+    """
+    from ..session import checkpoint_handle, scope_caches
+
+    a, b, w = F.col(src), F.col(dst), F.col(weight).cast("long")
+    fwd = edges.select(a.alias("a"), b.alias("b"), w.alias("w"))
+    adj = fwd if directed else fwd.unionByName(
+        edges.select(b.alias("a"), a.alias("b"), w.alias("w"))
+    )
+    adj = (
+        adj.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    adj.count()
+    if validate:
+        bad = adj.filter(F.col("w") < 1).limit(1).collect()
+        if bad:
+            adj.unpersist()
+            raise ValueError(
+                f"shortest_paths requires positive integer weights; found "
+                f"w={bad[0]['w']} on edge ({bad[0]['a']}, {bad[0]['b']})"
+            )
+    dist = sources.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(True).alias("changed"),
+    ).distinct().localCheckpoint(eager=True)
+    live_handle = checkpoint_handle(dist)
+    converged = False
+    for _ in range(max_iter):
+        fr = dist.filter(F.col("changed")).select("node", "dist")
+        cand = (
+            fr.join(adj, fr["node"] == adj["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        old = dist.select("node", F.col("dist").alias("od"))
+        merged = old.join(cand, "node", "full_outer")
+        improved = F.col("od").isNull() | (
+            F.col("d").isNotNull() & (F.col("d") < F.col("od"))
+        )
+        dist = merged.select(
+            "node",
+            F.when(improved, F.col("d"))
+            .otherwise(F.col("od"))
+            .cast("long")
+            .alias("dist"),
+            improved.alias("changed"),
+        ).localCheckpoint(eager=True)
+        new_handle = checkpoint_handle(dist)
+        live_handle.unpersist(False)
+        live_handle = new_handle
+        if dist.filter(F.col("changed")).count() == 0:
+            converged = True
+            break
+    adj.unpersist()
+    if not converged:
+        live_handle.unpersist(False)
+        raise RuntimeError(
+            f"shortest_paths did not reach the min-plus fixpoint within "
+            f"max_iter={max_iter} rounds; raise max_iter (longest "
+            "shortest-path hop count exceeds the bound)"
+        )
+    out = dist.select("node", "dist")
+    if caches is not None:
+        caches.append(live_handle)
+        return out
+    return scope_caches(out, live_handle)

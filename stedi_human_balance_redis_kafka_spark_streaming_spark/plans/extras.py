@@ -3295,6 +3295,141 @@ def graph_bfs_hops(
     return scope_caches(out, *held)
 
 
+# Weighted shortest paths over the top-2 trade backbone: Bellman-Ford
+# needs ≤ n−1 relaxation rounds on the 25-nation graph, so the oracle
+# unrolls 24 min-plus rounds (post-fixpoint rounds are no-ops) and the
+# Spark operator gets one extra round to OBSERVE the empty frontier.
+_SSP_ROUNDS = 24
+# k-NN backbone (k=2) with inverse-volume cost: each supplier nation
+# keeps its two highest-volume customer-nation partners, and a weaker
+# tie costs more to traverse (w = 1 + 1e6 div cnt) — the trust-decay
+# edge model.  Deterministic ties by partner id.
+_SSP_BACKBONE_SQL = """SELECT n1, n2, 1 + 1000000 // cnt AS w FROM (
+      SELECT n1, n2, cnt, row_number() OVER (PARTITION BY n1
+                                             ORDER BY cnt DESC, n2 ASC) AS rk
+      FROM (
+        SELECT s.s_nationkey AS n1, c.c_nationkey AS n2,
+               count(*) AS cnt
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2)
+    ) WHERE rk <= 2"""
+
+
+def _sql_shortest_paths(rounds: int) -> str:
+    """Unrolled min-plus fixpoint oracle: one MATERIALIZED CTE per
+    relaxation round (same inlining rule as :func:`_sql_lpa`),
+    replaying operators/graph.py shortest_paths exactly — identical
+    canonical adjacency (symmetrized, parallel edges to MIN weight)
+    and identical d_{t+1}(v) = min(d_t(v), min_{u~v}(d_t(u)+w)).
+    Full relaxation per round produces the same values as the Spark
+    side's improved-only frontier relaxation, and rounds ≥ the
+    Bellman-Ford bound makes the last CTE the fixpoint."""
+    ctes = []
+    prev = "d0"
+    for t in range(1, rounds + 1):
+        ctes.append(f"""d{t} AS MATERIALIZED (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT adj.b AS node, p.d + adj.w AS d
+        FROM {prev} p JOIN adj ON adj.a = p.node
+      ) GROUP BY node
+    )""")
+        prev = f"d{t}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH raw AS MATERIALIZED ({_SSP_BACKBONE_SQL}),
+    adj AS MATERIALIZED (
+      SELECT a, b, MIN(w) AS w FROM (
+        SELECT n1 AS a, n2 AS b, w FROM raw
+        UNION ALL
+        SELECT n2 AS a, n1 AS b, w FROM raw
+      ) WHERE a <> b GROUP BY a, b
+    ),
+    d0 AS (SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS d
+           FROM nation WHERE n_nationkey = 0),
+    {chain}
+    SELECT CAST(node AS BIGINT) AS nationkey, CAST(d AS BIGINT) AS cost
+    FROM {prev}
+    """
+
+
+@register("graph_shortest_paths", oracle=_sql_shortest_paths(_SSP_ROUNDS))
+def graph_shortest_paths(
+    spark: SparkSession, sf_dir: str, *, max_iter: int = _SSP_ROUNDS + 1
+) -> DataFrame:
+    """Cheapest trust path from the anchor nation (nationkey 0) to
+    every reachable nation over the top-2 trade backbone
+    (operators/graph.py shortest_paths): each supplier nation keeps
+    its two highest-volume customer-nation ties, a weaker tie costs
+    more (w = 1 + 1e6 div cnt), and Bellman-Ford frontier relaxation
+    finds the minimum total cost — the trust-decay curation metric
+    ("how far is this counterparty from the anchor, volume-weighted").
+
+    Scale shape: the backbone build is a partial-aggregable pair count
+    plus a per-nation top-2 window (partitioned by nation, never
+    global); each relaxation round joins only last round's improved
+    nodes against the adjacency (node-keyed) and min-combines
+    map-side.  Oracle: the identical min-plus rounds unrolled
+    (:func:`_sql_shortest_paths`).
+    """
+    from pyspark.sql import Window
+
+    from ..operators import graph
+    from ..session import scope_caches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pair_cnt = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("n1"),
+            F.col("c_nationkey").alias("n2"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_w = Window.partitionBy("n1").orderBy(F.desc("cnt"), F.asc("n2"))
+    backbone = (
+        pair_cnt.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("n1").cast("long").alias("src"),
+            F.col("n2").cast("long").alias("dst"),
+            F.expr("1L + 1000000L div cnt").alias("w"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") == 0)
+        .select(F.col("n_nationkey").cast("long").alias("node"))
+    )
+    held: list = []
+    dist = graph.shortest_paths(
+        backbone, seeds, max_iter=max_iter, caches=held
+    )
+    out = dist.select(
+        F.col("node").alias("nationkey"), F.col("dist").alias("cost")
+    )
+    return scope_caches(out, *held)
+
+
 @register(
     "events_hll_overlap",
     # Sketch SET-OPERATION estimation: per-type visitor-day HLL

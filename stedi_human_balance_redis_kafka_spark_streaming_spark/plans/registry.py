@@ -4790,6 +4790,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # ANN: spill_recall (carrier of the remapped brute-force dual) +
     # range/purity + the incoming sq8 eval carry the family
     "ann_pq_trained_recall",
+    # graph: pagerank_personalized (r09-verified) + coreness + the
+    # incoming label_propagation/bfs_hops/shortest_paths carry the
+    # family while the five r07/r08-verified veterans rotate out
+    "graph_pagerank_weighted",
 )
 
 

@@ -1391,3 +1391,85 @@ def test_sq8_full_shortlist_equals_brute_force(spark):
         for r in similarity.sq8_topk(emb, q, k=5, shortlist=18).collect()
     )
     assert sq == bf
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=1, max_value=10),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=3,
+        unique=True,
+    ),
+    directed=st.booleans(),
+)
+def test_shortest_paths_matches_dijkstra(spark, edges, seeds, directed):
+    """Bellman-Ford frontier relaxation == textbook Dijkstra: minimum
+    total cost from any seed, seeds at 0 even when isolated,
+    unreachable nodes absent, parallel edges collapsed to their
+    cheapest — in both directed and symmetrized mode."""
+    import heapq
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    adj = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        pairs = [(a, b)] if directed else [(a, b), (b, a)]
+        for s, t in pairs:
+            cur = adj.setdefault(s, {})
+            cur[t] = min(cur.get(t, w), w)
+    expected = {s: 0 for s in seeds}
+    heap = [(0, s) for s in seeds]
+    heapq.heapify(heap)
+    while heap:
+        d, n = heapq.heappop(heap)
+        if d > expected.get(n, d):
+            continue
+        for m, w in adj.get(n, {}).items():
+            nd = d + w
+            if nd < expected.get(m, nd + 1):
+                expected[m] = nd
+                heapq.heappush(heap, (nd, m))
+    df = spark.createDataFrame(list(edges), "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(df, sdf, directed=directed).collect()
+    }
+    assert got == expected
+
+
+def test_shortest_paths_raises_past_max_iter_and_validates(spark):
+    import pytest as _pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    chain = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (2, 3, 5)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with _pytest.raises(RuntimeError, match="max_iter"):
+        graph.shortest_paths(chain, seeds, max_iter=2)
+    # a 3-hop chain needs exactly 3 relaxation rounds (+1 to observe
+    # the empty frontier): max_iter=4 converges
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(chain, seeds, max_iter=4).collect()
+    }
+    assert got == {0: 0, 1: 5, 2: 10, 3: 15}
+    bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="positive integer weights"):
+        graph.shortest_paths(bad, seeds)
