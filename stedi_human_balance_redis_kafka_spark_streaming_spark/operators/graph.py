@@ -946,6 +946,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 4,
+    telemetry: list | None = None,
     caches: list | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA) — the
@@ -986,6 +987,18 @@ def label_propagation(
     superseded round's blocks are released synchronously, exactly as
     in :func:`k_core`.  At 100 TB the round cost is PageRank's plus
     the vote count — no all-pairs shape anywhere.
+
+    CONVERGENCE TELEMETRY: fixed rounds are the deterministic choice
+    (synchronous LPA can 2-cycle, so a fixpoint probe may never fire),
+    but a caller at 100 TB should SEE whether labels were still moving
+    at the last round instead of trusting the constant.  Pass
+    ``telemetry=[]`` and the operator appends one int per round — the
+    number of nodes whose label changed that round (one node-keyed
+    join + partial-aggregable count of consecutive label frames, the
+    same probe shape as coreness' Σc).  ``telemetry[-1] > 0`` means
+    the communities had not stabilized; raise ``iters``.  The probe
+    runs one extra eager job per round, so leave ``telemetry=None``
+    (the default) when the report is not needed.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -1018,7 +1031,7 @@ def label_propagation(
             F.col("a").alias("node"), "lbl"
         )
         votes = nbr_votes.unionByName(lbl.select("node", "lbl"))
-        lbl = (
+        new_lbl = (
             votes.groupBy("node", "lbl")
             .agg(F.count("*").alias("votes"))
             .withColumn("__rn", F.row_number().over(rank_w))
@@ -1026,9 +1039,20 @@ def label_propagation(
             .select("node", "lbl")
             .localCheckpoint(eager=True)
         )
-        new_handle = checkpoint_handle(lbl)
+        new_handle = checkpoint_handle(new_lbl)
+        if telemetry is not None:
+            # consecutive-frame diff BEFORE the superseded round's
+            # blocks release: one node-keyed join, partial-agg count
+            moved = (
+                new_lbl.select("node", F.col("lbl").alias("new_lbl"))
+                .join(lbl.select("node", F.col("lbl").alias("old_lbl")), "node")
+                .filter(F.col("new_lbl") != F.col("old_lbl"))
+                .count()
+            )
+            telemetry.append(int(moved))
         live_handle.unpersist(False)
         live_handle = new_handle
+        lbl = new_lbl
     out = lbl.select("node", F.col("lbl").cast("long").alias("community"))
     sym.unpersist()
     if caches is not None:

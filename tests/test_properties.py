@@ -1473,3 +1473,26 @@ def test_shortest_paths_raises_past_max_iter_and_validates(spark):
     bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
     with _pytest.raises(ValueError, match="positive integer weights"):
         graph.shortest_paths(bad, seeds)
+
+
+def test_label_propagation_telemetry_converges_on_two_cliques(spark):
+    """On two disjoint triangles every node adopts its clique's minimum
+    id in round 1 and nothing moves afterwards — the telemetry list
+    must show exactly that ([>0, 0, 0, 0]), so a caller can detect
+    (non-)convergence instead of trusting the fixed round count."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    cliques = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    moved: list = []
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(cliques, iters=4, telemetry=moved).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    assert len(moved) == 4
+    assert moved[0] > 0 and moved[1:] == [0, 0, 0]
