@@ -642,13 +642,25 @@ def _coreness_hindex(
     return scope_caches(out, live_handle)
 
 
+def _pick_coreness_engine(max_degree: int, threshold: int) -> str:
+    """Engine decision for ``algorithm='auto'``: the h-index engine's
+    per-node rank window sorts one node's messages inside a single
+    partition, so its largest task is O(max_degree) — fine almost
+    always, a straggler/spill risk on a mega-hub graph.  Past the
+    threshold, pick the peel engine, whose every step is a
+    partial-aggregable degree rollup + node-keyed anti-joins (no
+    per-node frame ever assembled in one task)."""
+    return "peel" if max_degree >= threshold else "hindex"
+
+
 def coreness(
     edges: DataFrame,
     *,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 200,
-    algorithm: str = "hindex",
+    algorithm: str = "auto",
+    hub_degree_threshold: int = 5_000_000,
     caches: list | None = None,
 ) -> DataFrame:
     """Full core decomposition: every node's core NUMBER — the largest
@@ -660,10 +672,17 @@ def coreness(
     in :func:`k_core`).
 
     Two engines, identical output (property-tested equal, and the
-    registered query's SQL oracle replays the PEEL while the default
-    engine is h-index — cross-algorithm verification):
+    registered query's SQL oracle replays the PEEL while the usual
+    engine is h-index — cross-algorithm verification).
+    ``algorithm="auto"`` (the default) probes the max degree (one
+    partial-aggregable rollup over the cached canonical edges) and
+    picks h-index below ``hub_degree_threshold``, peel at or above it
+    — the h-index engine's one skew exposure is its per-node rank
+    window, whose largest task is O(max_degree); on a mega-hub graph
+    the all-partial-aggregable peel is the safe plan
+    (:func:`_pick_coreness_engine`):
 
-    - ``"hindex"`` (default): the h-index fixpoint iteration (Lü,
+    - ``"hindex"``: the h-index fixpoint iteration (Lü,
       Zhou, Zhang & Stanley, "The H-index of a network node and its
       relation to degree and coreness", Nat. Commun. 2016): c₀ = deg,
       c_{t+1}(v) = H({c_t(u) : u ~ v}) — the largest h such that ≥ h
@@ -672,8 +691,8 @@ def coreness(
       per-node ranked count; rounds = error-propagation depth (≤ peel
       rounds; measured 10 vs 16 on the sf0.1 trade graph).  The
       per-node H step ranks a node's messages inside one window
-      partition, so it is bounded by max degree — on a mega-hub graph
-      prefer ``"peel"``, whose every aggregate is partial-aggregable.
+      partition, so it is bounded by max degree — ``"auto"`` switches
+      to peel past ``hub_degree_threshold`` for exactly this reason.
     - ``"peel"``: the ascending-threshold cascade — run the k_core
       peel at k = 2, 3, … on the surviving subgraph; casualties of
       level k carry coreness k−1; no-op levels are JUMPED (min active
@@ -686,9 +705,10 @@ def coreness(
     per-round checkpoints synchronously (final frames ride the
     ``caches=`` seam).
     """
-    if algorithm not in ("hindex", "peel"):
+    if algorithm not in ("auto", "hindex", "peel"):
         raise ValueError(
-            f"algorithm must be 'hindex' or 'peel', got {algorithm!r}"
+            f"algorithm must be 'auto', 'hindex' or 'peel', got "
+            f"{algorithm!r}"
         )
     a, b = F.col(src), F.col(dst)
     und = (
@@ -703,6 +723,18 @@ def coreness(
     und.count()
     from ..session import checkpoint_handle, scope_caches
 
+    if algorithm == "auto":
+        max_deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .agg(F.max("deg"))
+            .first()[0]
+        )
+        algorithm = _pick_coreness_engine(
+            int(max_deg or 0), hub_degree_threshold
+        )
     if algorithm == "hindex":
         return _coreness_hindex(
             und, max_iter=max_iter, caches=caches
@@ -715,14 +747,20 @@ def coreness(
             .distinct()
         )
 
-    # Per removal round the loop runs exactly TWO jobs: the survivor-
-    # edge eager checkpoint, then the casualty frame's lazy checkpoint
-    # materialized by its own count.  Casualties are the ENDPOINT-SET
-    # DIFFERENCE of consecutive edge frames — this catches both the
-    # sub-k-degree nodes and the nodes isolated by their neighbors'
-    # removal (no edges left ⇒ absent from the new endpoint set), which
-    # the oracle removes as deg-0 members of the same level: identical
-    # coreness either way, one fewer tracked frame per round.
+    # Per removal round the loop runs three jobs: the casualty PROBE
+    # (weak.count() on the persisted sub-k frame — probed BEFORE any
+    # survivor materialization, so a no-op threshold level never pays
+    # an eager checkpoint), the survivor-edge eager checkpoint (whose
+    # two anti-joins read the already-persisted weak frame instead of
+    # recomputing the degree rollup twice, mirroring k_core), then the
+    # casualty frame's lazy checkpoint materialized by its own count.
+    # Casualties are the ENDPOINT-SET DIFFERENCE of consecutive edge
+    # frames — this catches both the sub-k-degree nodes and the nodes
+    # isolated by their neighbors' removal (no edges left ⇒ absent
+    # from the new endpoint set), which the oracle removes as deg-0
+    # members of the same level: identical coreness either way.
+    # weak nonempty ⟺ the endpoint diff is nonempty (removed nodes
+    # leave the endpoint set), so the weak count IS the jump probe.
     active = und
     live_handle = None
     casualty_frames: list[DataFrame] = []
@@ -736,7 +774,21 @@ def coreness(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        weak = deg.filter(F.col("deg") < k).select("node")
+        weak = deg.filter(F.col("deg") < k).select("node").persist()
+        if weak.count() == 0:
+            weak.unpersist()
+            # k-core reached.  Exhausted graph ⇒ done; else JUMP the
+            # threshold straight past the core's minimum degree d:
+            # every level in (k, d] would peel nothing (all degrees
+            # ≥ d), and the d+1 casualties carry coreness d either
+            # way — identical result, no no-op rounds burned on
+            # high-degree cores.  The SQL oracle mirrors the jump.
+            min_deg = deg.agg(F.min("deg")).first()[0]
+            if min_deg is None:  # no edges and no endpoints left
+                converged = True
+                break
+            k = int(min_deg) + 1
+            continue
         new_active = (
             active.join(
                 weak.withColumnRenamed("node", "u"), "u", "left_anti"
@@ -752,27 +804,14 @@ def coreness(
             .localCheckpoint(eager=False)
         )
         f_handle = checkpoint_handle(fallen)
-        if fallen.count() == 0:
-            f_handle.unpersist(False)
-            new_handle.unpersist(False)
-            # k-core reached.  Exhausted graph ⇒ done; else JUMP the
-            # threshold straight past the core's minimum degree d:
-            # every level in (k, d] would peel nothing (all degrees
-            # ≥ d), and the d+1 casualties carry coreness d either
-            # way — identical result, no no-op rounds burned on
-            # high-degree cores.  The SQL oracle mirrors the jump.
-            min_deg = deg.agg(F.min("deg")).first()[0]
-            if min_deg is None:  # no edges and no endpoints left
-                converged = True
-                break
-            k = int(min_deg) + 1
-            continue
+        fallen.count()  # materialize before the superseded round frees
         casualty_frames.append(fallen)
         casualty_handles.append(f_handle)
         if live_handle is not None:
             live_handle.unpersist(False)
         live_handle = new_handle
         active = new_active
+        weak.unpersist()
     if not converged:
         und.unpersist()
         for h in (*casualty_handles, live_handle):

@@ -1496,3 +1496,31 @@ def test_label_propagation_telemetry_converges_on_two_cliques(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
     assert len(moved) == 4
     assert moved[0] > 0 and moved[1:] == [0, 0, 0]
+
+
+def test_coreness_auto_engine_switch_on_hub_graph(spark):
+    """algorithm='auto' must pick peel on a mega-hub graph and hindex
+    otherwise (decision function unit-checked), with bit-identical
+    decompositions either way — the star fixture the hub caveat names:
+    a 6-leaf star (all coreness 1) welded to a triangle (coreness 2)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    assert graph._pick_coreness_engine(6, 3) == "peel"
+    assert graph._pick_coreness_engine(2, 3) == "hindex"
+    assert graph._pick_coreness_engine(5_000_000, 5_000_000) == "peel"
+
+    star = [(0, i) for i in range(1, 7)] + [(1, 2), (0, 1), (0, 2)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    expected = {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 1, 6: 1}
+    for kwargs in (
+        {"algorithm": "auto", "hub_degree_threshold": 3},   # -> peel
+        {"algorithm": "auto", "hub_degree_threshold": 100},  # -> hindex
+        {"algorithm": "peel"},
+        {"algorithm": "hindex"},
+    ):
+        got = {
+            r.node: r.coreness for r in graph.coreness(df, **kwargs).collect()
+        }
+        assert got == expected, kwargs
