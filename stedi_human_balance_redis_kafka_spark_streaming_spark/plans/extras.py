@@ -2690,6 +2690,124 @@ def events_cms_window_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, ev)
 
 
+_WATCH_MODULUS = 25     # watchlist sample: user_id % 25 == 0
+_WATCH_PHI_PERMILLE = 50
+
+
+@register(
+    "events_cms_watchlist",
+    # Mirrors the streaming watchlist monitor exactly: same md5 grid
+    # per hourly window, same min-over-depth point query for every
+    # watch key in every window, same phi-permille gate — plus the
+    # exact per-(window, key) counts only a batch pass can produce,
+    # verifying est_is_upper_bound and separating true heavies from
+    # CMS-overestimate false positives (one-sided error as data).
+    oracle=f"""
+    WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    e AS (
+      SELECT date_trunc('hour', ts) AS win_start, user_id FROM events
+    ),
+    watch AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id % {_WATCH_MODULUS} = 0
+    ),
+    cells AS (
+      SELECT win_start, seed, {_SQL_CMS_BUCKET} AS bucket FROM e, seeds
+    ),
+    grid AS (
+      SELECT win_start, seed, bucket, count(*) AS cnt
+      FROM cells GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT win_start, count(*) AS n_total FROM e GROUP BY 1),
+    probes AS (
+      SELECT user_id, seed, {_SQL_CMS_BUCKET} AS bucket FROM watch, seeds
+    ),
+    est AS (
+      SELECT t.win_start, p.user_id, t.n_total,
+             MIN(COALESCE(g.cnt, 0)) AS cms_est
+      FROM tot t CROSS JOIN probes p
+      LEFT JOIN grid g ON g.win_start = t.win_start
+                      AND g.seed = p.seed AND g.bucket = p.bucket
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT win_start, user_id, count(*) AS exact_cnt
+      FROM e GROUP BY 1, 2
+    )
+    SELECT est.win_start, est.user_id,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(est.n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+           est.cms_est >= COALESCE(x.exact_cnt, 0) AS est_is_upper_bound,
+           COALESCE(x.exact_cnt, 0) * 1000
+             >= {_WATCH_PHI_PERMILLE} * est.n_total AS is_true_heavy,
+           est.cms_est * 1000
+             >= {_WATCH_PHI_PERMILLE} * est.n_total AS is_heavy
+    FROM est
+    LEFT JOIN exact x ON x.win_start = est.win_start
+                     AND x.user_id = est.user_id
+    """,
+)
+def events_cms_watchlist(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    phi_permille: int = _WATCH_PHI_PERMILLE,
+    watch_modulus: int = _WATCH_MODULUS,
+) -> DataFrame:
+    """Batch form of the streaming CMS heavy-hitter WATCHLIST monitor
+    under the full oracle gate: the SAME operator body
+    (``windowed_cms_watchlist`` — per hourly window, every watch key
+    point-queried against that window's depth·width grid and flagged
+    at φ = 50‰ of window volume) on the bounded table, joined with the
+    exact per-(window, key) counts to verify the one-sided estimate
+    and separate true heavies from CMS false positives.
+
+    Scale shape: the monitor's stateful aggregate is ONE partial-
+    aggregable windowed count over depth·width+1 conditional cells
+    (state volume- and cardinality-independent); the watch probe is a
+    stateless broadcast join; only the batch-side exact verification
+    touches per-key counts, and only for windows × watch keys.
+    """
+    from ..operators import sketches  # noqa: F401 (bucket idiom shared)
+    from ..session import scope_caches
+    from ..streaming import stateful
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id")
+        .persist()
+    )
+    ev.count()
+    watch = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % watch_modulus == 0)
+        .distinct()
+    )
+    live = stateful.windowed_cms_watchlist(
+        ev, watch, phi_permille=phi_permille
+    )
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .select(F.col("w.start").alias("win_start"), "user_id", "exact_cnt")
+    )
+    x = F.coalesce(F.col("exact_cnt"), F.lit(0).cast("long"))
+    out = live.join(exact, ["win_start", "user_id"], "left").select(
+        "win_start",
+        "user_id",
+        "cms_est",
+        "n_total",
+        x.alias("exact_cnt"),
+        (F.col("cms_est") >= x).alias("est_is_upper_bound"),
+        (x * 1000 >= F.lit(phi_permille) * F.col("n_total")).alias(
+            "is_true_heavy"
+        ),
+        "is_heavy",
+    )
+    return scope_caches(out, ev)
+
+
 _HIST_LO_C = 0        # histogram domain in cents
 _HIST_W_C = 2_000     # 20.00-unit buckets
 _HIST_N = 30

@@ -4794,6 +4794,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # incoming label_propagation/bfs_hops/shortest_paths carry the
     # family while the five r07/r08-verified veterans rotate out
     "graph_pagerank_weighted",
+    "graph_triangle_count",
 )
 
 

@@ -1019,3 +1019,109 @@ def windowed_value_drift(
             (chi > threshold_e6).alias("drifted"),
         )
     )
+
+
+def windowed_cms_watchlist(
+    events: DataFrame,
+    watch: DataFrame,
+    *,
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    phi_permille: int = 50,
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Streaming heavy-hitter WATCHLIST monitor — the live composition
+    of the CMS grid (:func:`windowed_cms_grid`) with the probe the
+    batch ``events_cms_heavy_hitters`` runs offline: per closed
+    event-time window, each key of a bounded static ``watch`` frame is
+    point-queried against that window's Count-Min grid and flagged
+    when its estimate clears φ‰ of the window's volume.
+
+    The production split this encodes: heavy-hitter DISCOVERY over
+    unknown keys is the batch job's business (its candidate set is
+    bounded by 1/(φ−1/width), but assembling it needs the distinct-key
+    frame — unbounded state on a stream); the STREAMING side monitors
+    a bounded, versioned watchlist (the dim-table/config deployment
+    pattern) in hard-bounded state.  Order-independent and
+    deterministic, unlike Misra-Gries-style streaming top-k whose
+    summaries depend on arrival order.
+
+    Plan shape: ONE stateful operator — a windowed aggregate holding
+    the whole depth·width grid as conditional-count columns plus the
+    window total (state = depth·width+1 int64 per window-in-delay,
+    volume- AND cardinality-independent, watermark-evicted, partial-
+    aggregable map-side like any count).  The probe is STATELESS
+    projection after the aggregate: the grid row pivots into a cell
+    map, the watch frame (its ``depth`` buckets precomputed with the
+    same md5 idiom) joins broadcast-style on a literal key, and the
+    estimate is the min over the key's cells.
+
+    Output (append on window close): (win_start, <key_col>, cms_est,
+    n_total, is_heavy).  Batch dual under the full oracle gate:
+    plans/extras.py events_cms_watchlist (same operator body on the
+    bounded table + exact verification columns); stream==batch
+    asserted in tests/test_streaming.py.
+    """
+    from ..operators import sketches
+
+    d = sketches.CMS_DEPTH if depth is None else depth
+    w = sketches.CMS_WIDTH if width is None else width
+    k = F.col(key_col)
+    e = events.withWatermark("ts", watermark).select(
+        "ts",
+        *[
+            sketches._cms_bucket(s, k, w).alias(f"b{s}")
+            for s in range(d)
+        ],
+    )
+    agg = e.groupBy(F.window("ts", win).alias("w")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        *[
+            F.count(F.when(F.col(f"b{s}") == b, 1))
+            .cast("long")
+            .alias(f"c_{s}_{b}")
+            for s in range(d)
+            for b in range(w)
+        ],
+    )
+    cell_map = F.map_from_arrays(
+        F.array(*[F.lit(f"{s}:{b}") for s in range(d) for b in range(w)]),
+        F.array(*[F.col(f"c_{s}_{b}") for s in range(d) for b in range(w)]),
+    )
+    grid = agg.select(
+        F.col("w.start").alias("win_start"),
+        "n_total",
+        cell_map.alias("__cells"),
+        F.lit(1).alias("__j"),
+    )
+    probes = watch.select(
+        key_col,
+        *[
+            sketches._cms_bucket(s, k, w).cast("string").alias(f"wb{s}")
+            for s in range(d)
+        ],
+        F.lit(1).alias("__j"),
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("__cells"),
+                F.concat(F.lit(f"{s}:"), F.col(f"wb{s}")),
+            )
+            for s in range(d)
+        ]
+    )
+    return (
+        grid.join(probes, "__j")
+        .select(
+            "win_start",
+            key_col,
+            est.alias("cms_est"),
+            "n_total",
+            (est * 1000 >= F.lit(phi_permille) * F.col("n_total")).alias(
+                "is_heavy"
+            ),
+        )
+    )

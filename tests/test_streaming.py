@@ -1284,3 +1284,55 @@ def test_windowed_value_drift_matches_batch_and_flags(spark, tmp_path):
     for b in range(2, 11):
         n, p, chi, drifted = got[("2024-01-01T11:00:00", b)]
         assert (n, p) == (0, 0) and drifted  # ref mass vanished
+
+
+def test_windowed_cms_watchlist_stream_matches_batch(spark, tmp_path):
+    """Streaming heavy-hitter watchlist monitor: closed windows' report
+    rows (one per watch key) equal the batch dual on the same rows,
+    estimates upper-bound the exact per-window counts, and the phi
+    gate fires for the window's dominant key."""
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, user_id long"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "click", 25),
+        (2, _ts("2024-01-01T10:10:00"), "click", 25),  # heavy watch key
+        (3, _ts("2024-01-01T10:15:00"), "click", 25),
+        (4, _ts("2024-01-01T10:20:00"), "view", 50),
+        (5, _ts("2024-01-01T10:25:00"), "view", 9),    # not on watchlist
+    ]
+    b1 = [(6, _ts("2024-01-01T14:00:00"), "view", 1)]  # advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "cmsw", EV_SCHEMA, [b0, b1])
+    watch = spark.createDataFrame([(25,), (50,), (75,)], "user_id long")
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_cms_watchlist(sdf, watch, phi_permille=500),
+        f"cmsw_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    rows = [
+        r
+        for r in out.collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    ]
+    got = {
+        r.user_id: (r.cms_est, r.n_total, r.is_heavy) for r in rows
+    }
+    assert set(got) == {25, 50, 75}
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = {
+        r.user_id: (r.cms_est, r.n_total, r.is_heavy)
+        for r in stateful.windowed_cms_watchlist(
+            batch_df, watch, phi_permille=500
+        ).collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    }
+    assert got == expected
+    # one-sided estimates: exact counts in the closed window are 3/1/0
+    assert got[25][0] >= 3 and got[50][0] >= 1 and got[75][0] >= 0
+    assert all(v[1] == 5 for v in got.values())
+    # phi = 50% of 5 events -> the 3-event key must flag heavy
+    assert got[25][2]
