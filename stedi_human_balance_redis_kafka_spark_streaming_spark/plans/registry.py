@@ -4635,23 +4635,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q20_heavy_share_suppliers",
     "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
     "q8_market_share",
-    "q9_product_profit",
     "events_rolling_value",
     "lineitem_quality_checks",
     "order_price_quantiles_approx",
-    "curation_rebalance",
-    "events_funnel",
     "events_gapfill_rollup",
-    "events_retention_cohorts",
     "events_gapfill_locf",
-    "curation_upsample",
-    "curation_sample_quota",
     "text_chunk_sliding",
     "curation_sample_weighted",
     "text_chunk_dups",
-    "curation_split",
     # --- round-6 rotation: r04+r05 veterans with in-window siblings ---
     "q4_priority_semi",
     "q19_disjunctive_revenue",
@@ -4764,20 +4756,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # dedup/CC: clusters_star + the r08-verified SNM/edit/incremental
     # family carry it
     "dedup_multi_signal",
-    # new r09: batch dual of the streaming CMS grid monitor — rides
-    # behind the in-window events_cms_frequency (same sketch family)
-    # and events_hll_window_monitor (same windowed-monitor shape)
-    # until a future rotation hashes it
-    "events_cms_window_monitor",
-    # new r09 (late-session): community + reachability extensions of
-    # the graph family — ride behind the six in-window graph queries
-    # (pagerank x2, triangles, clustering, coreness, k-core/k-truss)
-    # until a future rotation hashes them
-    "graph_label_propagation",
-    "graph_bfs_hops",
-    # new r09 (late-session): sketch set-operations — rides behind the
-    # in-window sketch family (cms pair, hll monitor, reaggregate)
-    "events_hll_overlap",
+    # (the four r09 late-session newcomers — events_cms_window_monitor,
+    # graph_label_propagation, graph_bfs_hops, events_hll_overlap —
+    # were promoted into the window by the r10 rotation below)
     # --- round-10 rotation: r08+r09 veterans with in-window siblings
     # yield 15 slots to the twelve never-driver-hashed promotions
     # (events_cms_window_monitor, graph_label_propagation,
@@ -4795,6 +4776,26 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # family while the five r07/r08-verified veterans rotate out
     "graph_pagerank_weighted",
     "graph_triangle_count",
+    "graph_clustering_coeff",
+    "graph_kcore",
+    "graph_ktruss",
+    # dedup: the three carriers (simhash_pairs, embedding_recall,
+    # clusters_star) + multi_signal's in-window slot keep the family
+    # represented while the seven r08-verified SNM/prefix/edit/
+    # incremental veterans rotate out
+    "dedup_ngram_prefix",
+    "dedup_prefix_prune_eval",
+    "dedup_snm",
+    "dedup_snm_multipass",
+    "dedup_snm_recall_eval",
+    "dedup_incremental_lsh",
+    "dedup_edit_distance",
+    # embeddings drift trio: the events/orders drift gates
+    # (events_value_drift_bins, orders_profile_drift — both in-window)
+    # carry the drift machinery; both embedding gates were r08+r09-
+    # verified
+    "embeddings_silhouette",
+    "embeddings_centroid_drift",
 )
 
 

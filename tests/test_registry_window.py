@@ -53,3 +53,54 @@ def test_supplementary_counterparts_are_checked():
             f"{demoted} is demoted behind {carrier}, which is not in the "
             f"checked window"
         )
+
+
+def test_never_hashed_pool_shrinks_by_construction():
+    """Window-eviction regression guard (VERDICT r09 #7): the rotation
+    policy must retire the never-driver-hashed backlog by construction,
+    not by judge pressure.
+
+    Two asserts, driven by committed artifacts (CORRECTNESS_r*.json =
+    the first-hashed record; tests/data/registry_birth.json = the
+    first-registered record, derived from git history):
+
+    1. BACKLOG CAP: the count of never-hashed queries OUTSIDE the
+       current window must not exceed max(0, 28 - 12*(round - 9)) —
+       the r09 pool was 28, and each rotation must promote >= 12 until
+       it is empty (r10 <= 16, r11 <= 4, r12 0).
+    2. FRESHNESS: any query registered round 7 or later must sit in
+       the driver window within 4 rounds of registration (the backlog
+       exemption covers only the pre-r7 residue the cap is draining).
+    """
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(here)
+    birth = json.load(open(os.path.join(here, "data", "registry_birth.json")))
+    corr_files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    current_round = len(corr_files) + 1
+    hashed = set()
+    for f in corr_files:
+        hashed |= set(json.load(open(f)))
+
+    assert set(birth) >= set(NAMES), (
+        "new registrations must be added to tests/data/registry_birth.json "
+        f"with their birth round: {sorted(set(NAMES) - set(birth))}"
+    )
+    never = [q for q in NAMES if q not in hashed and q not in WINDOW]
+    cap = max(0, 28 - 12 * (current_round - 9))
+    assert len(never) <= cap, (
+        f"never-driver-hashed pool outside the window is {len(never)} > "
+        f"cap {cap} for round {current_round}; promote more queries in "
+        f"this round's rotation: {sorted(never)}"
+    )
+    stale = [
+        q for q in never
+        if birth[q] >= 7 and current_round - birth[q] >= 4
+    ]
+    assert not stale, (
+        f"queries registered r7+ must reach the window within 4 rounds; "
+        f"overdue: {[(q, birth[q]) for q in stale]}"
+    )
