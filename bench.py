@@ -72,6 +72,73 @@ def _fresh_session():
     return spark
 
 
+def _prev_timings() -> dict[str, float]:
+    """Per-query timings of the PREVIOUS committed bench run, parsed
+    from bench_stderr.log's '# name: Xs' lines — read from git HEAD
+    first, so the usual `2>bench_stderr.log` redirect (which truncates
+    the working-tree file before Python starts) cannot erase the
+    baseline mid-run; falls back to the working-tree file."""
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    txt = ""
+    try:
+        txt = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:bench_stderr.log"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
+    except Exception:
+        txt = ""
+    if not txt:
+        try:
+            with open(os.path.join(root, "bench_stderr.log")) as f:
+                txt = f.read()
+        except OSError:
+            return {}
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"^# (\S+): ([0-9.]+)s$", txt, re.M)
+    }
+
+
+def _report_vs_prev(timings: dict[str, float]) -> None:
+    """Cross-round drift attribution (VERDICT r09 'what's wrong' #3):
+    after the run, print the common-set total ratio vs the previous
+    committed log plus every >=1.2x / <=0.8x per-query mover — so an
+    unchanged-code drift is visible AS drift (session pressure) and an
+    isolated regression points at its query.  Stderr-only: the stdout
+    JSON contract is unchanged."""
+    prev = _prev_timings()
+    common = [n for n in timings if n in prev]
+    if not common:
+        print("# vs-prev: no previous log found", file=sys.stderr, flush=True)
+        return
+    cur_t = sum(timings[n] for n in common)
+    prev_t = sum(prev[n] for n in common)
+    print(
+        f"# vs-prev common-set total: {cur_t:.1f}s / {prev_t:.1f}s = "
+        f"{cur_t / prev_t:.3f}x over {len(common)} queries",
+        file=sys.stderr,
+        flush=True,
+    )
+    movers = [
+        (timings[n] / prev[n], n)
+        for n in common
+        if prev[n] >= 0.2  # sub-200ms baselines are pure noise
+        and (timings[n] >= 1.2 * prev[n] or timings[n] <= 0.8 * prev[n])
+    ]
+    for ratio, n in sorted(movers, reverse=True)[:20]:
+        print(
+            f"# vs-prev mover {n}: prev {prev[n]:.2f}s cur "
+            f"{timings[n]:.2f}s ratio {ratio:.2f}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
 def main() -> None:
     spark = _fresh_session()
 
@@ -104,6 +171,7 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    _report_vs_prev(timings)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
