@@ -393,3 +393,139 @@ def audio_energy(blobs: DataFrame) -> DataFrame:
         .repartition(par)
         .mapInPandas(_energy, ENERGY_SCHEMA)
     )
+
+
+PHASH_BITS = 64  # fixed: the fingerprint is carried as four 16-bit chunks
+
+PHASH_SCHEMA = "doc_id long, n_bytes long, c0 long, c1 long, c2 long, c3 long"
+
+
+def blockhash(blobs: DataFrame) -> DataFrame:
+    """Perceptual block-hash over the byte signal — the binary-modality
+    member of the dedup fingerprint family (text has SimHash/MinHash,
+    embeddings have IVF buckets; media blobs get the classic
+    blockhash/aHash): split each blob into 64 equal byte blocks and set
+    bit j when block j's mean exceeds the whole-blob mean.  Byte-VALUE
+    perturbations (re-encode noise, small in-place edits) flip few
+    bits; LENGTH changes shift every block boundary, so — exactly as
+    with real 2-D blockhash, which hashes a fixed-size resized image —
+    length normalization is the decode/resize stage's job
+    (:func:`resize_box`), not the hash's.
+
+    Exact integer arithmetic (bit j = block_sum·n > total·block_len —
+    no division), so the DuckDB oracle replays it bit-for-bit from the
+    blob hex.  int64-safe while 255·n² < 2⁶³ (n ≲ 190 MB per blob).
+    Empty blobs are dropped (no signal to hash; exact dedup handles
+    them by digest).
+
+    The 64-bit fingerprint is carried as FOUR 16-bit chunk values
+    (c0..c3, bit j lives in chunk j div 16 at position j mod 16): the
+    packed form would not fit a signed int64 without sign games, and
+    the pigeonhole pair join (:func:`phash_near_dup_pairs`) needs the
+    chunks anyway.
+
+    Whole-batch numpy in Arrow-batched ``mapInPandas`` (the module's
+    sanctioned shape): per batch, one concatenated prefix-sum array
+    answers all m·64 block sums via fancy-indexed gathers — no per-row
+    Python.  Output: (doc_id, n_bytes, c0..c3).
+    """
+
+    def _hash(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            lens0 = np.fromiter(
+                (len(b) for b in pdf["blob"]), dtype="int64", count=len(pdf)
+            )
+            pdf = pdf[lens0 > 0]
+            m = len(pdf)
+            if not m:
+                continue
+            blobs_ = pdf["blob"]
+            lens = lens0[lens0 > 0]
+            arr = np.frombuffer(b"".join(blobs_), dtype=np.uint8).astype(
+                "int64"
+            )
+            offs = np.zeros(m + 1, dtype="int64")
+            np.cumsum(lens, out=offs[1:])
+            pre = np.zeros(arr.size + 1, dtype="int64")
+            np.cumsum(arr, out=pre[1:])
+            j = np.arange(PHASH_BITS + 1, dtype="int64")
+            # per-doc block boundaries: offs[d] + (j * n_d) div 64
+            bnd = offs[:m, None] + (j[None, :] * lens[:, None]) // PHASH_BITS
+            bsum = pre[bnd[:, 1:]] - pre[bnd[:, :-1]]
+            blen = bnd[:, 1:] - bnd[:, :-1]
+            total = pre[offs[1:]] - pre[offs[:m]]
+            bits = (bsum * lens[:, None] > total[:, None] * blen).astype(
+                "int64"
+            )
+            w = 1 << np.arange(16, dtype="int64")
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": lens,
+            }
+            for t in range(4):
+                out[f"c{t}"] = (bits[:, 16 * t : 16 * t + 16] * w).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    par = blobs.sparkSession.sparkContext.defaultParallelism
+    return (
+        blobs.select("doc_id", "blob")
+        .repartition(par)
+        .mapInPandas(_hash, PHASH_SCHEMA)
+    )
+
+
+def phash_near_dup_pairs(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Binary-modality near-dup pairs by blockhash Hamming distance ≤
+    ``max_hamming`` — the media counterpart of dedup.simhash_pairs,
+    with the same pigeonhole completeness argument: a pair within
+    distance d ≤ 3 differs in ≤ 3 bits, which can touch at most 3 of
+    the fingerprint's four 16-bit chunks, so at least one chunk
+    matches exactly.  Candidates join on (chunk index, chunk value)
+    buckets — linear like a banded LSH, never all-pairs — then verify
+    with bit_count(xor) per chunk, making the result exactly the
+    brute-force Hamming ball (the DuckDB oracle runs brute force).
+
+    ``max_hamming`` > 3 would need more chunks than the four the
+    fingerprint carries (pigeonhole breaks) — RAISES rather than
+    silently missing pairs.  Output: (doc_a, doc_b, hamming).
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (the 4-chunk pigeonhole "
+            f"bound); got {max_hamming}"
+        )
+    fp = blockhash(blobs)
+    chunk_keys = [
+        F.concat(F.lit(f"{i}:"), F.col(f"c{i}").cast("string"))
+        for i in range(4)
+    ]
+    chunks = fp.select(
+        "doc_id",
+        *[f"c{i}" for i in range(4)],
+        F.explode(F.array(*chunk_keys)).alias("chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}"))
+        )
+        for i in range(4)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -4224,6 +4224,107 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_energy(blobs)
 
 
+_PHASH_INJECT_MOD = 50  # injected near-dup demo: perturb doc_id % 50 == 0
+
+
+@register(
+    "multimodal_phash_pairs",
+    # Brute-force Hamming ball over the replayed blockhash — the oracle
+    # recomputes every fingerprint from the blob hex (same integer
+    # bit rule: block_sum·n > total·block_len, block of byte k is
+    # ((k+1)·64−1) div n) and compares ALL pairs, so it cross-verifies
+    # the Spark side's pigeonhole candidate generation for completeness
+    # (the dedup_simhash_pairs pattern, binary modality).  The corpus
+    # carries injected same-length byte perturbations (first char
+    # substituted) of every 50th document — the re-encode-noise shape
+    # blockhash is designed to absorb.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'x' || substr(text, 2) FROM documents
+      WHERE doc_id % {_PHASH_INJECT_MOD} = 0
+    ),
+    h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM corpus
+    ), b AS (
+      SELECT doc_id, n, unnest(generate_series(1, CAST(n AS INT))) AS i
+      FROM h WHERE n > 0
+    ), v AS (
+      SELECT b.doc_id, b.n, (b.i * 64 - 1) // b.n AS j,
+             (strpos('0123456789ABCDEF', substr(h.hx, 2 * b.i - 1, 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h.hx, 2 * b.i, 1)) - 1 AS byte
+      FROM b JOIN h USING (doc_id)
+    ), blk AS (
+      SELECT doc_id, n, j, SUM(byte) AS bsum, COUNT(*) AS blen
+      FROM v GROUP BY 1, 2, 3
+    ), tot AS (SELECT doc_id, SUM(byte) AS total FROM v GROUP BY 1),
+    grid AS (
+      SELECT h.doc_id, h.n, g.j FROM h, generate_series(0, 63) AS g(j)
+      WHERE h.n > 0
+    ), bits AS (
+      SELECT g.doc_id, g.j,
+             CASE WHEN COALESCE(blk.bsum, 0) * g.n
+                       > t.total * COALESCE(blk.blen, 0)
+                  THEN 1 ELSE 0 END AS bit
+      FROM grid g JOIN tot t ON t.doc_id = g.doc_id
+      LEFT JOIN blk ON blk.doc_id = g.doc_id AND blk.j = g.j
+    ), f AS (
+      SELECT doc_id,
+           CAST(SUM(CASE WHEN j < 16 THEN bit * (1 << (j % 16))
+                    ELSE 0 END) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN j >= 16 AND j < 32 THEN bit * (1 << (j % 16))
+                    ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN j >= 32 AND j < 48 THEN bit * (1 << (j % 16))
+                    ELSE 0 END) AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN j >= 48 THEN bit * (1 << (j % 16))
+                    ELSE 0 END) AS BIGINT) AS c3
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+             AS BIGINT) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """,
+)
+def multimodal_phash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_hamming: int = 3,
+    inject_modulus: int = _PHASH_INJECT_MOD,
+) -> DataFrame:
+    """Binary-modality near-dup pairs: blockhash (64-bit perceptual
+    hash over the byte signal, operators/multimodal.py) + pigeonhole
+    Hamming join at d ≤ 3 — media dedup the way a training pipeline
+    runs it (text gets SimHash/MinHash, embeddings get IVF buckets,
+    blobs get the perceptual hash).  The demo corpus injects a
+    same-length byte perturbation (first char substituted) of every
+    50th document — the re-encode-noise class the hash absorbs; length
+    changes are the resize stage's job, exactly as with 2-D blockhash
+    over fixed-size resized images.
+
+    Scale shape: fingerprints are whole-batch numpy over Arrow batches
+    (one prefix-sum gather per batch); the pair join is banded on the
+    four 16-bit chunks (linear in collisions, never all-pairs) with
+    the exact bit_count verify; the oracle runs brute force, pinning
+    pigeonhole completeness every round.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.filter(F.col("doc_id") % inject_modulus == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = docs.unionByName(injected)
+    blobs = multimodal.attach_binary(corpus)
+    return multimodal.phash_near_dup_pairs(blobs, max_hamming=max_hamming)
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline: dedup → quality filter → sample → pack
 # --------------------------------------------------------------------------
@@ -4796,6 +4897,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # verified
     "embeddings_silhouette",
     "embeddings_centroid_drift",
+    # text: bpe_merges (the trainer, r08+r09-verified) keeps the BPE
+    # family's slot while its segmenter consumer yields to the new
+    # binary-modality phash pair query (multimodal_phash_pairs)
+    "text_bpe_segment",
 )
 
 

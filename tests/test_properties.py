@@ -1524,3 +1524,106 @@ def test_coreness_auto_engine_switch_on_hub_graph(spark):
             r.node: r.coreness for r in graph.coreness(df, **kwargs).collect()
         }
         assert got == expected, kwargs
+
+
+def _blockhash_replay(data: bytes, bits: int = 64) -> list[int]:
+    """Pure-Python integer replay of operators/multimodal.blockhash:
+    bit j = 1 iff block-j sum · n > total · block-j length, blocks are
+    the 64 equal splits [j·n div 64, (j+1)·n div 64).  Returns the four
+    16-bit chunk values."""
+    n = len(data)
+    total = sum(data)
+    out_bits = []
+    for j in range(bits):
+        s, e = (j * n) // bits, ((j + 1) * n) // bits
+        out_bits.append(1 if sum(data[s:e]) * n > total * (e - s) else 0)
+    return [
+        sum(out_bits[16 * m + t] << t for t in range(16)) for m in range(4)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    blobs=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=12
+    )
+)
+def test_blockhash_matches_integer_replay(spark, blobs):
+    """blockhash's whole-batch numpy prefix-sum path == an independent
+    pure-Python replay of the same integer formulas, empty blobs
+    dropped, n_bytes exact."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        multimodal,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "doc_id long, blob binary",
+    )
+    got = {
+        r.doc_id: (r.n_bytes, [r.c0, r.c1, r.c2, r.c3])
+        for r in multimodal.blockhash(df).collect()
+    }
+    expected = {
+        i: (len(b), _blockhash_replay(b))
+        for i, b in enumerate(blobs)
+        if len(b) > 0
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    d=st.integers(min_value=0, max_value=3),
+)
+def test_phash_pairs_pigeonhole_complete(spark, seed, d):
+    """The 4-chunk pigeonhole join finds EXACTLY the brute-force
+    Hamming ball at every d <= 3 — on a corpus of base blobs plus
+    same-length single-byte perturbations (the near-dup shape)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        multimodal,
+    )
+
+    base = [
+        bytes(((seed + i * 7 + k * 13) % 251) for k in range(40 + i))
+        for i in range(5)
+    ]
+    corpus = list(enumerate(base))
+    # same-length perturbations of each base blob
+    for i, b in enumerate(base):
+        mutated = bytearray(b)
+        mutated[seed % len(b)] = (mutated[seed % len(b)] + 40) % 256
+        corpus.append((100 + i, bytes(mutated)))
+    fps = {i: _blockhash_replay(b) for i, b in corpus}
+    ids = sorted(fps)
+    expected = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = sum(
+                bin(fa ^ fb).count("1")
+                for fa, fb in zip(fps[a], fps[b])
+            )
+            if ham <= d:
+                expected.add((a, b, ham))
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in corpus], "doc_id long, blob binary"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.phash_near_dup_pairs(df, max_hamming=d).collect()
+    }
+    assert got == expected
+
+
+def test_phash_pairs_rejects_oversized_radius(spark):
+    import pytest as _pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        multimodal,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"xy"))], "doc_id long, blob binary")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.phash_near_dup_pairs(df, max_hamming=4)
