@@ -301,3 +301,45 @@ def test_bloom_probe_applies_before_join_exchange(spark):
     assert "__bf" in plan or "get(" in plan
     lower = plan.lower()
     assert "hashjoin" in lower or "sortmergejoin" in lower
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_sq8_recall", "events_cms_watchlist",
+             "multimodal_phash_pairs", "events_cms_window_monitor",
+             "events_hll_overlap", "events_cms_heavy_hitters"]
+)
+def test_new_round10_queries_not_cartesian(spark, name):
+    # sq8's scoring stage and the watchlist probe crossJoin only
+    # BOUNDED broadcast sides (query set / watch keys / 1-row totals);
+    # the phash chunk self-join is an equi-join — never CartesianProduct
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_phash_pair_join_is_banded_equi_join(spark):
+    """The blockhash pair join must key on the chunk buckets (an
+    equi-join over corpus-sized sides) — a BroadcastNestedLoopJoin
+    would mean the pigeonhole degenerated to all-pairs."""
+    plan = _plan(spark, "multimodal_phash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    lower = plan.lower()
+    assert "hashjoin" in lower or "sortmergejoin" in lower
+
+
+def test_cms_watchlist_probe_is_broadcast(spark):
+    """The watch-key probe joins the per-window grid rows against the
+    bounded watch frame on a literal key — must plan broadcast-side
+    bounded, and the fact table must feed exactly the windowed
+    aggregate (no rangepartitioning of fact-sized data)."""
+    plan = _plan(spark, "events_cms_watchlist")
+    assert (
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_sq8_scoring_side_broadcasts_queries(spark):
+    """SQ8's O(n·q) scoring stage must broadcast the bounded query set
+    against the corpus-sized code view (the brute_force_topk shape) —
+    never shuffle the corpus against a per-query side."""
+    plan = _plan(spark, "ann_sq8_recall")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
