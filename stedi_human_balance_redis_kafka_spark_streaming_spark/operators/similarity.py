@@ -1407,6 +1407,45 @@ def centroid_silhouette(
     )
 
 
+def _sq8_recon(emb: DataFrame, dim: int) -> DataFrame:
+    """SQ8 encode + midpoint-reconstruct view (vec_id, r0..r{dim-1}):
+    values enter the e6 integer domain, the per-dim [mn, mx] train is
+    ONE partial-aggregable pass to a single broadcast row, per-dim
+    code = (xi−mn)·255 div (mx−mn), reconstruction = the bucket
+    midpoint mn + (2·code+1)·(mx−mn) div 510 (mn where mx == mn) —
+    all truncating integer division on non-negative operands, so the
+    SQL oracle replays it bit-for-bit.  Shared by :func:`sq8_topk`
+    (full-corpus scan) and :func:`ivfsq_topk` (probed buckets only).
+    At scale the stored artifact is the CODE (1 byte/dim — 8× less IO
+    than full vectors); recon is the scoring-time view of it."""
+    v = F.col("embedding").cast("array<double>")
+    xi = emb.select(
+        "vec_id",
+        *[
+            F.round(v[i] * 1_000_000).cast("long").alias(f"x{i}")
+            for i in range(dim)
+        ],
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    xi = xi.repartition(par)
+    mm = xi.agg(
+        *[F.min(f"x{i}").alias(f"mn{i}") for i in range(dim)],
+        *[F.max(f"x{i}").alias(f"mx{i}") for i in range(dim)],
+    )
+    recon_cols = []
+    for i in range(dim):
+        mid = F.expr(
+            f"mn{i} + (2 * ((x{i} - mn{i}) * 255 div (mx{i} - mn{i})) + 1)"
+            f" * (mx{i} - mn{i}) div 510"
+        )
+        recon_cols.append(
+            F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.col(f"mn{i}"))
+            .otherwise(mid)
+            .alias(f"r{i}")
+        )
+    return xi.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
+
+
 def sq8_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -1450,35 +1489,7 @@ def sq8_topk(
     if shortlist < k:
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     dim = embedding_dim(emb)
-    v = F.col("embedding").cast("array<double>")
-    xi = emb.select(
-        "vec_id",
-        *[
-            F.round(v[i] * 1_000_000).cast("long").alias(f"x{i}")
-            for i in range(dim)
-        ],
-    )
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    xi = xi.repartition(par)
-    mm = xi.agg(
-        *[F.min(f"x{i}").alias(f"mn{i}") for i in range(dim)],
-        *[F.max(f"x{i}").alias(f"mx{i}") for i in range(dim)],
-    )
-    # encode + reconstruct map-side under the broadcast train row; the
-    # stored artifact at scale is the CODE (1 byte/dim) — recon is the
-    # scoring-time view of it
-    recon_cols = []
-    for i in range(dim):
-        mid = F.expr(
-            f"mn{i} + (2 * ((x{i} - mn{i}) * 255 div (mx{i} - mn{i})) + 1)"
-            f" * (mx{i} - mn{i}) div 510"
-        )
-        recon_cols.append(
-            F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.col(f"mn{i}"))
-            .otherwise(mid)
-            .alias(f"r{i}")
-        )
-    recon = xi.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
+    recon = _sq8_recon(emb, dim)
     q = queries.select(
         "query_id",
         *[
@@ -1504,6 +1515,123 @@ def sq8_topk(
     )
     # exact re-rank: full vectors touched only for shortlist x q rows
     e = _flat(emb, "vec_id", "d", dim)
+    qf = queries.select(
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    cos = F.round(
+        flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")),
+        round_digits,
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        short.join(e, "vec_id")
+        .join(F.broadcast(qf), "query_id")
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfsq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    centroid_modulus: int = 50,
+    nprobe: int = 2,
+    shortlist: int = 30,
+    round_digits: int = 6,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-SQ8: scalar-quantized codes stored WITHIN IVF buckets — the
+    FAISS ``IVFx,SQ8`` layout, completing the composition matrix next
+    to :func:`ivfpq_topk` (IVFx,PQy).  A query probes its ``nprobe``
+    nearest coarse centroids, scores ONLY the probed buckets' SQ8
+    reconstructions (the same exact-int64 asymmetric dot as
+    :func:`sq8_topk`), and exactly re-ranks the top-``shortlist``
+    survivors.
+
+    Why this member: where PQ compresses to n_sub codebook ids (lossy
+    across dimensions), SQ8 keeps per-dimension fidelity at 1 byte/dim
+    — so the approximate ranking is nearly exact and the composition's
+    recall is bounded by the IVF probe alone (measured: equal to
+    ivf_topk's recall at equal nprobe, while scanning 8×-narrower
+    data).  The right index when memory allows 1 byte/dim and recall
+    matters more than the deeper PQ compression.
+
+    Scale shape: bucket assignment is the shared ingest-time build
+    (cache key identical to ivf_topk's — one assignment serves both
+    layouts); the [mn, mx] train is one partial-aggregable pass; the
+    probe set and the e6-quantized query block are bounded broadcasts
+    joined to the code view on cid — the corpus-sized code table never
+    shuffles; only shortlist·q rows reach the exact re-rank.
+    Output: (query_id, vec_id, cos_sim, rank), rank 1..k.
+    """
+    if shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    dim = embedding_dim(emb)
+    e = _flat(emb, "vec_id", "d", dim)
+    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("nrm").alias("cnrm"),
+        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    )
+    assigned = assign_nearest_centroid(e, cents, dim, round_digits)
+    buckets = assigned.select("vec_id", "cid")
+    if cache_key is not None:
+        # identical entry to ivf_topk/ivfpq_topk at equal params — one
+        # ingest-time assignment serves every bucketed layout
+        buckets = _cached_build(
+            buckets,
+            ("ivf_assign", cache_key, centroid_modulus, 0, 1, round_digits),
+        )
+    recon_b = _sq8_recon(emb, dim).join(buckets, "vec_id")
+
+    q = queries.select(
+        "query_id",
+        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
+        *flatten(F.col("qv"), "q", dim),
+    )
+    cos_probe = F.round(
+        flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")),
+        round_digits,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "cid", cos_probe.alias("cos_c"))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "cid")
+    )
+    qe = queries.select(
+        "query_id",
+        *[
+            F.round(F.col("qv")[i] * 1_000_000).cast("long").alias(f"q{i}")
+            for i in range(dim)
+        ],
+    )
+    probe_q = probes.join(qe, "query_id")  # bounded × bounded
+    ip = F.col("q0") * F.col("r0")
+    for i in range(1, dim):
+        ip = ip + F.col(f"q{i}") * F.col(f"r{i}")
+    scored = (
+        recon_b.join(F.broadcast(probe_q), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ip.alias("ip"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
     qf = queries.select(
         "query_id",
         norm_unrolled(F.col("qv"), dim).alias("qnrm"),

@@ -3040,9 +3040,11 @@ _SQ8_SHORTLIST = 30
 # so DuckDB's floor `//` == Spark's truncating `div`), and the
 # approximate score is a 64-term int64 dot product — no float until the
 # exact re-rank's rounded cosine, so the shortlist sets are identical.
-_SQL_SQ8_TOPK = f"""
-    WITH e AS ({_SQL_EMB}),
-    xi AS (
+# Shared SQ8 CTE fragment (expects ``e(vec_id, v)``): the e6 quantize,
+# per-dim [mn, mx] train, midpoint reconstruction, and the e6 query
+# block — consumed by both the full-scan (ann_sq8_recall) and the
+# bucket-restricted (ann_ivfsq_recall) oracles.
+_SQL_SQ8_COMMON = f"""xi AS (
       SELECT vec_id,
              list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS xe
       FROM e
@@ -3068,7 +3070,11 @@ _SQL_SQ8_TOPK = f"""
       SELECT vec_id AS query_id,
              list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
       FROM e WHERE vec_id % {_ANN_QUERY_MODULUS} = 0
-    ),
+    )"""
+
+_SQL_SQ8_TOPK = f"""
+    WITH e AS ({_SQL_EMB}),
+    {_SQL_SQ8_COMMON},
     scored AS (
       SELECT q.query_id, r.vec_id,
              list_sum(list_transform(generate_series(1, {_EMB_DIM}),
@@ -3139,6 +3145,110 @@ def ann_sq8_recall(
     sq = similarity.sq8_topk(emb, q, k=10, shortlist=shortlist).select(
         "query_id", "vec_id"
     )
+    return (
+        bf.join(sq, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"), F.lit(10).cast("int").alias("k"))
+    )
+
+
+@register(
+    "ann_ivfsq_recall",
+    # recall@10 of the COMPOSED IVF-SQ8 index (SQ8 codes within IVF
+    # buckets — the FAISS IVFx,SQ8 layout next to ann_ivfpq_recall's
+    # IVFx,PQy): probe 2 coarse centroids, int64-ADC over the probed
+    # buckets' midpoint reconstructions only, exact top-30 re-rank.
+    # SQ8's per-dimension fidelity makes the approximate ranking
+    # near-exact, so the composition's recall equals the IVF probe
+    # bound (ann_ivf_recall's value) while scanning 8x-narrower data.
+    # Every stage deterministic and mirrored: same coarse assignment
+    # (rounded cosine, arank=1), same probe rule, same exact-integer
+    # SQ8 pipeline as ann_sq8_recall.
+    oracle=f"""
+    WITH bf AS ({_SQL_BF_TOPK.format(emb=_SQL_EMB, cos_eq=_SQL_COS.format(a="e.v", b="q.qv"))}),
+    ivfsq AS (
+      WITH e AS ({_SQL_EMB}),
+      {_SQL_SQ8_COMMON},
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {_CENTROID_MODULUS} = 0),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_SQL_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC
+                 ) AS arank
+          FROM e CROSS JOIN c
+        ) WHERE arank = 1
+      ),
+      qn AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+      probes AS (
+        SELECT query_id, cid FROM (
+          SELECT qn.query_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY qn.query_id
+                   ORDER BY {_SQL_COS.format(a="qn.qv", b="c.cv")} DESC, c.cid ASC
+                 ) AS prank
+          FROM qn CROSS JOIN c
+        ) WHERE prank <= 2
+      ),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+                 i -> qx.qe[i] * r.rv[i])) AS ip
+        FROM assign a
+        JOIN probes p ON p.cid = a.cid AND a.vec_id != p.query_id
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN qx ON qx.query_id = p.query_id
+      ),
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= {_SQ8_SHORTLIST}
+      ),
+      rr AS (
+        SELECT s.query_id, a.vec_id,
+               {_SQL_COS.format(a="a.v", b="qn.qv")} AS cos_sim
+        FROM short s
+        JOIN e a ON a.vec_id = s.vec_id
+        JOIN qn ON qn.query_id = s.query_id
+      ), r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM rr
+      )
+      SELECT query_id, vec_id FROM r WHERE rank <= 10
+    )
+    SELECT bf.query_id, COUNT(*) AS n_overlap, 10 AS k
+    FROM bf JOIN ivfsq ON bf.query_id = ivfsq.query_id
+                      AND bf.vec_id = ivfsq.vec_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_ivfsq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_modulus: int = _ANN_QUERY_MODULUS,
+    centroid_modulus: int = _CENTROID_MODULUS,
+    nprobe: int = 2,
+    shortlist: int = _SQ8_SHORTLIST,
+) -> DataFrame:
+    """recall@10 of the composed IVF-SQ8 index vs brute force — the
+    scan shrinks to the probed buckets AND every scanned vector is a
+    1-byte/dim code, with recall bounded by the IVF probe alone (SQ8's
+    per-dim fidelity is near-lossless at a 3x-k shortlist)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_modulus(emb, query_modulus)
+    bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
+    sq = similarity.ivfsq_topk(
+        emb, q, k=10, centroid_modulus=centroid_modulus, nprobe=nprobe,
+        shortlist=shortlist,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
+    ).select("query_id", "vec_id")
     return (
         bf.join(sq, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -4901,6 +5011,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # family's slot while its segmenter consumer yields to the new
     # binary-modality phash pair query (multimodal_phash_pairs)
     "text_bpe_segment",
+    # profiling: the drift gate (orders_profile_drift, in-window) runs
+    # the profile on BOTH snapshots, so the standalone profile yields
+    # its slot to the new composed IVF-SQ8 recall eval
+    "orders_profile",
 )
 
 

@@ -343,3 +343,12 @@ def test_sq8_scoring_side_broadcasts_queries(spark):
     never shuffle the corpus against a per-query side."""
     plan = _plan(spark, "ann_sq8_recall")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfsq_candidate_restriction_is_broadcast(spark):
+    """IVF-SQ8's probe set (with the e6 query block folded in) must be
+    the broadcast side of the bucket-restriction join — the corpus-
+    sized SQ8 code view never shuffles against a per-query side."""
+    plan = _plan(spark, "ann_ivfsq_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1627,3 +1627,32 @@ def test_phash_pairs_rejects_oversized_radius(spark):
     df = spark.createDataFrame([(1, bytearray(b"xy"))], "doc_id long, blob binary")
     with _pytest.raises(ValueError, match="pigeonhole"):
         multimodal.phash_near_dup_pairs(df, max_hamming=4)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_ivfsq_with_all_probes_equals_sq8(spark, seed):
+    """Probing every coarse bucket makes the IVF restriction vacuous:
+    ivfsq_topk must then equal the full-scan sq8_topk exactly — the
+    composition's only approximation over SQ8 is the probe set."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (i, [float(((i * 31 + j * 17 + seed) % 21) - 10) / 10.0 for j in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.queries_by_modulus(emb, 10)
+    full = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.sq8_topk(emb, q, k=4, shortlist=8).collect()
+    )
+    ivfsq = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.ivfsq_topk(
+            emb, q, k=4, centroid_modulus=5, nprobe=4, shortlist=8
+        ).collect()
+    )
+    assert ivfsq == full
