@@ -1125,3 +1125,67 @@ def windowed_cms_watchlist(
             ),
         )
     )
+
+
+def streaming_phash_flags(
+    blobs: DataFrame,
+    index_blobs: DataFrame,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Ingest-time BINARY-modality near-dup flagging against a static
+    corpus index — the perceptual twin of the LSH text probe
+    (:func:`streaming_near_dup_flags`): each arriving blob is
+    blockhash-fingerprinted (operators/multimodal.blockhash — no
+    corpus-wide train, so the fingerprint is a pure function of the
+    blob's own bytes: fully stateless and streaming-safe) and its four
+    16-bit chunk keys probe the already-ingested corpus's chunk index.
+
+    Unlike the LSH flags (candidates only; Jaccard verify is
+    batch-side), the Hamming verify here is an exact per-row
+    bit_count over the joined fingerprints, so the emitted rows ARE
+    verified pairs within ``max_hamming`` — one row per chunk
+    collision (consumers dedup on (doc_id, index_doc_id); a streaming
+    dropDuplicates without watermark would grow state unboundedly, so
+    the operator does not).
+
+    Same stream-static shape: the fingerprint stage is Arrow-batched
+    ``mapInPandas`` (stateless), the static chunk index is bounded by
+    the indexed corpus and re-planned per micro-batch (Catalyst
+    broadcasts it when small).  Append mode, no watermark, zero state.
+    Output: (doc_id, index_doc_id, chunk, hamming).
+
+    Batch/streaming duality: on a batch ``blobs`` this equals the
+    plain chunk-equality join + verify (stream==batch tested).
+    """
+    from ..operators import multimodal
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (the 4-chunk pigeonhole "
+            f"bound); got {max_hamming}"
+        )
+
+    def chunk_rows(df: DataFrame, id_alias: str) -> DataFrame:
+        fp = multimodal.blockhash(df)
+        keys = [
+            F.concat(F.lit(f"{i}:"), F.col(f"c{i}").cast("string"))
+            for i in range(4)
+        ]
+        return fp.select(
+            F.col("doc_id").alias(id_alias),
+            *[F.col(f"c{i}").alias(f"{id_alias[0]}c{i}") for i in range(4)],
+            F.explode(F.array(*keys)).alias("chunk"),
+        )
+
+    idx = chunk_rows(index_blobs, "index_doc_id").distinct()
+    ham = sum(
+        F.bit_count(F.col(f"dc{i}").bitwiseXOR(F.col(f"ic{i}")))
+        for i in range(4)
+    ).cast("long")
+    return (
+        chunk_rows(blobs, "doc_id")
+        .join(idx, "chunk")
+        .filter(ham <= max_hamming)
+        .select("doc_id", "index_doc_id", "chunk", ham.alias("hamming"))
+    )

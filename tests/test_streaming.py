@@ -1336,3 +1336,56 @@ def test_windowed_cms_watchlist_stream_matches_batch(spark, tmp_path):
     assert all(v[1] == 5 for v in got.values())
     # phi = 50% of 5 events -> the 3-event key must flag heavy
     assert got[25][2]
+
+
+def test_streaming_phash_flags_stream_static_matches_batch(spark, tmp_path):
+    """Ingest-time perceptual flagging: an arriving same-length byte
+    perturbation of an indexed blob must collide on at least one
+    fingerprint chunk and pass the exact Hamming verify; a novel blob
+    passes clean; and the streaming stream-static join must equal the
+    batch run of the same operator."""
+    base = bytes(((i * 7 + 13) % 251) for i in range(120))
+    near = bytearray(base)
+    near[5] = (near[5] + 60) % 256          # same-length value tweak
+    novel = bytes(((i * 11 + 5) % 241) for i in range(97))
+    index_df = spark.createDataFrame(
+        [(100, bytearray(base)), (101, bytearray(novel))],
+        "doc_id long, blob binary",
+    )
+    # The novel blob must be SHAPE-novel, not just value-novel: two
+    # linear byte ramps hash alike (blockhash sees block-vs-mean
+    # structure), so the clean fixture is hash-generated noise.
+    import hashlib
+
+    noise = bytes(
+        hashlib.sha256(bytes([0, i])).digest()[0] for i in range(150)
+    )
+    new_rows = [
+        (1, bytes(near)),   # near dup of 100
+        (2, noise),         # shape-novel
+    ]
+    batch_df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in new_rows], "doc_id long, blob binary"
+    )
+
+    expected = sorted(
+        (r.doc_id, r.index_doc_id, r.chunk, r.hamming)
+        for r in stateful.streaming_phash_flags(batch_df, index_df).collect()
+    )
+    assert any(d == 1 and x == 100 for d, x, _, _ in expected)
+    assert all(h <= 3 for _, _, _, h in expected)
+    assert all(d != 2 for d, _, _, _ in expected)  # novel passes clean
+
+    path = str(tmp_path / "phash_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_phash_flags(sdf, index_df),
+        f"phf_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.doc_id, r.index_doc_id, r.chunk, r.hamming) for r in out.collect()
+    )
+    assert got == expected
