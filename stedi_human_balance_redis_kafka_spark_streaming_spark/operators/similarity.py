@@ -1651,3 +1651,55 @@ def ivfsq_topk(
         .withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    refs: DataFrame,
+    *,
+    threshold: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-based benchmark decontamination — the SEMANTIC
+    complement of the n-gram overlap gate (operators/curation.py
+    decontaminate): flag every corpus vector whose cosine against ANY
+    reference (benchmark/eval-set) vector reaches ``threshold``.
+    Paraphrased or lightly-rewritten eval leakage shares no n-grams
+    but sits next to the benchmark in embedding space — a production
+    training pipeline runs BOTH gates.
+
+    ``refs``: (vec_id, v) — bounded by construction (eval sets are
+    small), so it broadcasts and the scoring stage is one map-side
+    O(n·|refs|) pass over the corpus followed by a partial-aggregable
+    MAX per corpus vector — no shuffle of scored pairs, no window, no
+    all-pairs over the corpus.  Cosines round to ``round_digits``
+    before the MAX (the engine FP policy), so the flag is bit-stable
+    and SQL-mirrorable.
+
+    Output: (vec_id, max_cos, contaminated) — one row per corpus
+    vector; downstream either drops flagged rows or routes them to
+    review, exactly like the n-gram gate.
+    """
+    dim = embedding_dim(corpus)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    e = _flat(corpus, "vec_id", "d", dim).repartition(par)
+    r = refs.select(
+        F.col("vec_id").alias("ref_id"),
+        norm_unrolled(F.col("v"), dim).alias("rnrm"),
+        *flatten(F.col("v"), "r", dim),
+    )
+    cos = F.round(
+        flat_dot("d", "r", dim) / (F.col("nrm") * F.col("rnrm")),
+        round_digits,
+    )
+    return (
+        e.crossJoin(F.broadcast(r))
+        .select("vec_id", cos.alias("cos_sim"))
+        .groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -3256,6 +3256,57 @@ def ann_ivfsq_recall(
     )
 
 
+_SEMDECON_TAU = 0.25  # cosine gate; flags 61/495 corpus vectors at sf0.01
+
+
+@register(
+    "curation_semantic_decontaminate",
+    # Embedding-space eval-leakage gate mirrored exactly: the same
+    # rounded cosine per (corpus, benchmark) pair, MAX per corpus
+    # vector (identical rounded doubles on both engines, so the MAX
+    # and the threshold flag are bit-stable).
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    bench AS (SELECT vec_id, v FROM e
+              WHERE vec_id % {_ANN_QUERY_MODULUS} = 0),
+    corpus AS (SELECT vec_id, v FROM e
+               WHERE vec_id % {_ANN_QUERY_MODULUS} <> 0),
+    s AS (
+      SELECT c.vec_id, MAX({_SQL_COS.format(a="c.v", b="b.v")}) AS max_cos
+      FROM corpus c CROSS JOIN bench b GROUP BY 1
+    )
+    SELECT vec_id, max_cos, max_cos >= {_SEMDECON_TAU} AS contaminated
+    FROM s
+    """,
+)
+def curation_semantic_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _SEMDECON_TAU,
+    bench_modulus: int = _ANN_QUERY_MODULUS,
+) -> DataFrame:
+    """Semantic benchmark decontamination (operators/similarity.py
+    semantic_decontaminate): every corpus embedding scored against the
+    bounded benchmark set (the vec_id % 100 stand-in), flagged when
+    its max cosine reaches τ = 0.25 — the embedding-space complement
+    of the n-gram `curation_decontaminate` gate, catching paraphrased
+    eval leakage that shares no n-grams.
+
+    Scale shape: the benchmark side is bounded → broadcast; scoring is
+    one map-side O(n·|bench|) pass + a partial-aggregable MAX per
+    corpus vector — the corpus never shuffles scored pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % bench_modulus != 0)
+    refs = emb.filter(F.col("vec_id") % bench_modulus == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return similarity.semantic_decontaminate(
+        corpus, refs, threshold=threshold
+    )
+
+
 @register(
     "ann_label_purity",
     # Embedding-quality diagnostic: does the vector space respect the
@@ -5015,6 +5066,11 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # the profile on BOTH snapshots, so the standalone profile yields
     # its slot to the new composed IVF-SQ8 recall eval
     "orders_profile",
+    # sketches: five CMS/HLL sketch queries remain in-window
+    # (cms_frequency, cms_heavy_hitters, cms_window_monitor,
+    # cms_watchlist, hll_overlap) — the r07-r09-verified HLL window
+    # monitor yields its slot to the new semantic decontamination gate
+    "events_hll_window_monitor",
 )
 
 

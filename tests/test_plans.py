@@ -352,3 +352,14 @@ def test_ivfsq_candidate_restriction_is_broadcast(spark):
     plan = _plan(spark, "ann_ivfsq_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_decontaminate_refs_broadcast(spark):
+    """The benchmark side must broadcast (BNLJ over the bounded refs is
+    the intended O(n·|refs|) map-side pass) — never CartesianProduct,
+    and the per-vector MAX must be a partial-aggregable HashAggregate,
+    not a window."""
+    plan = _plan(spark, "curation_semantic_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan

@@ -1656,3 +1656,42 @@ def test_ivfsq_with_all_probes_equals_sq8(spark, seed):
         ).collect()
     )
     assert ivfsq == full
+
+
+def test_semantic_decontaminate_flags_and_monotone(spark):
+    """A corpus vector identical to a benchmark vector scores
+    max_cos = 1.0 and flags; lowering the threshold only ADDS flags
+    (gate monotonicity); every corpus vector gets exactly one row."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    ref_v = [float(((j * 5 + 1) % 11) - 5) / 5.0 for j in range(8)]
+    rows = [
+        (1, ref_v),  # exact leak
+        (2, [-x for x in ref_v]),  # anti-correlated
+        (3, [float(((j * 7 + 3) % 13) - 6) / 6.0 for j in range(8)]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    refs = spark.createDataFrame(
+        [(100, ref_v)], "vec_id long, v array<double>"
+    )
+    strict = {
+        r.vec_id: (r.max_cos, r.contaminated)
+        for r in similarity.semantic_decontaminate(
+            corpus, refs, threshold=0.99
+        ).collect()
+    }
+    assert set(strict) == {1, 2, 3}
+    assert strict[1] == (1.0, True)
+    assert not strict[2][1]
+    loose_flags = {
+        r.vec_id
+        for r in similarity.semantic_decontaminate(
+            corpus, refs, threshold=-1.0
+        ).collect()
+        if r.contaminated
+    }
+    strict_flags = {k for k, (_, c) in strict.items() if c}
+    assert strict_flags <= loose_flags
+    assert loose_flags == {1, 2, 3}
