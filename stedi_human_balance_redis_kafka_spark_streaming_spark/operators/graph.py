@@ -1304,3 +1304,223 @@ def shortest_paths(
         caches.append(live_handle)
         return out
     return scope_caches(out, live_handle)
+
+
+def _reach_set(
+    adj: DataFrame, seeds: DataFrame, *, max_iter: int
+) -> tuple[DataFrame, list]:
+    """Forward-reachable node set (seed included) over a directed
+    adjacency ``adj(a, b)`` — delegates to :func:`bfs_distances`
+    (hop distances discarded), so the frontier bookkeeping and
+    checkpoint lifecycle are the tested ones.  Returns (nodes frame,
+    handles) — the CALLER releases the handles once every consumer of
+    the frame has materialized."""
+    held: list = []
+    dist = bfs_distances(
+        adj, seeds, src="a", dst="b", directed=True,
+        max_iter=max_iter, caches=held,
+    )
+    return dist.select("node"), held
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    caches: list | None = None,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the directed
+    membership primitive the undirected planes (connected components in
+    operators/curation.py) cannot answer: u and v share an SCC iff
+    each reaches the other.  The cycle detector behind circular-trade
+    rings, mutual-citation cores, and feedback-loop detection in
+    dependency graphs.
+
+    Output: (node, scc) — scc = the component's minimum node id (the
+    CC labeling convention).  Isolated nodes never appear in an edge
+    list and are not represented.
+
+    Algorithm — iterative TRIM + forward-backward peeling with
+    deterministic pivots (the parallel-SCC standard, e.g. Fleischer/
+    Hendrickson/Pinar FW-BW; coloring variants differ only in pivot
+    choice):
+
+    - TRIM: a node with no in-edges or no out-edges WITHIN the
+      remaining subgraph can sit on no cycle → remove its edges and
+      cascade to a fixpoint.  One partial-aggregable (has_out, has_in)
+      flags rollup + node-keyed anti-joins per round; the emptiness /
+      casualty-count / next-pivot probes share ONE aggregate job.
+      Trimmed-away nodes need no bookkeeping: every node never
+      captured by a pivot component is a singleton SCC by
+      construction, so singletons fall out of one anti-join of the
+      INITIAL node set against the pivot components at the end.
+    - PIVOT: the minimum remaining node id (deterministic — no random
+      pivots, so every run and the property-test replay agree); its
+      SCC is FWD(pivot) ∩ BWD(pivot), labeled by the pivot itself
+      (the pivot IS the minimum remaining id, hence the component's
+      min).  Both reachability passes run as ONE tagged frontier
+      expansion over a direction-namespaced node space (fwd nodes at
+      2n, bwd at 2n+1 — the graph_bfs_hops idiom), so rounds =
+      max(fwd, bwd) depth, not their sum.  Pivot removal can never
+      isolate a non-member (a survivor with edges only to/from the
+      component would be mutually reachable with the pivot — i.e. a
+      member), so no casualty scan is needed there either.
+
+    Scale shape: every stage is node-keyed joins / partial-aggregable
+    degree counts; the reach sets are frontier expansions
+    (:func:`bfs_distances`); no all-pairs, no windows.  Pivot rounds =
+    number of non-trivial SCCs remaining after trims (each pivot
+    retires one component) — the right tool for graphs whose cycle
+    cores are few and large (the common shape after trimming); RAISES
+    past ``max_iter`` rather than returning a partial labeling.
+
+    Determinism + cross-algorithm verification: the registered
+    oracle (plans/extras.py graph_scc) computes mutual reachability
+    through a recursive-CTE transitive closure — an INDEPENDENT
+    algorithm, per the coreness h-index/peel pattern.
+    """
+    from ..session import checkpoint_handle, scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    remaining = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live_handle = checkpoint_handle(remaining)
+    spark = edges.sparkSession
+
+    def endpoints(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col("a").alias("node"))
+            .unionByName(df.select(F.col("b").alias("node")))
+            .distinct()
+        )
+
+    nodes0 = endpoints(remaining).localCheckpoint(eager=True)
+    nodes0_handle = checkpoint_handle(nodes0)
+    comp_frames: list[DataFrame] = []
+    comp_handles: list = []
+    converged = False
+    pivot = None
+    for _ in range(max_iter):
+        # --- TRIM to a fixpoint: in-deg 0 or out-deg 0 ⇒ cycle-free ---
+        while True:
+            flags = (
+                remaining.select(
+                    F.col("a").alias("node"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                )
+                .unionByName(
+                    remaining.select(
+                        F.col("b").alias("node"),
+                        F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
+                    )
+                )
+                .groupBy("node")
+                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                .persist()
+            )
+            trimmable = (F.col("o") == 0) | (F.col("i") == 0)
+            stats = flags.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(trimmable, 1).otherwise(0)).alias("ntrim"),
+                F.min("node").alias("mn"),
+            ).first()
+            if stats["n"] == 0:
+                flags.unpersist()
+                converged = True
+                break
+            if stats["ntrim"] == 0:
+                # trim fixpoint: the next pivot (min remaining id)
+                # rides out of the SAME stats aggregate — no extra job
+                pivot = int(stats["mn"])
+                flags.unpersist()
+                break
+            trimmed = flags.filter(trimmable).select("node")
+            new_r = (
+                remaining.join(
+                    trimmed.withColumnRenamed("node", "a"), "a", "left_anti"
+                )
+                .join(
+                    trimmed.withColumnRenamed("node", "b"), "b", "left_anti"
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_h = checkpoint_handle(new_r)
+            live_handle.unpersist(False)
+            remaining, live_handle = new_r, new_h
+            flags.unpersist()
+        if converged:
+            break
+        # --- PIVOT: SCC = FWD ∩ BWD, one tagged BFS for both sides ---
+        tagged = remaining.select(
+            (F.col("a") * 2).alias("a"), (F.col("b") * 2).alias("b")
+        ).unionByName(
+            remaining.select(
+                (F.col("b") * 2 + 1).alias("a"),
+                (F.col("a") * 2 + 1).alias("b"),
+            )
+        )
+        seeds = spark.createDataFrame(
+            [(pivot * 2,), (pivot * 2 + 1,)], "node long"
+        )
+        reach, held = _reach_set(tagged, seeds, max_iter=max_iter)
+        fwd = reach.filter(F.col("node") % 2 == 0).select(
+            F.expr("node div 2").alias("node")
+        )
+        bwd = reach.filter(F.col("node") % 2 == 1).select(
+            F.expr("node div 2").alias("node")
+        )
+        comp = (
+            fwd.join(bwd, "node")
+            .select("node", F.lit(int(pivot)).cast("long").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        comp_frames.append(comp)
+        comp_handles.append(checkpoint_handle(comp))
+        new_r = (
+            remaining.join(
+                comp.select(F.col("node").alias("a")), "a", "left_anti"
+            )
+            .join(comp.select(F.col("node").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        new_h = checkpoint_handle(new_r)
+        live_handle.unpersist(False)
+        remaining, live_handle = new_r, new_h
+        for h in held:
+            h.unpersist(False)
+    live_handle.unpersist(False)  # the final (empty) edge checkpoint
+    if not converged:
+        for h in (*comp_handles, nodes0_handle):
+            h.unpersist(False)
+        raise RuntimeError(
+            f"strongly_connected_components did not exhaust the graph "
+            f"within max_iter={max_iter} trim+pivot rounds; raise max_iter"
+        )
+    # Singletons by construction: every initial node not in any pivot
+    # component (trimmed nodes and isolated-by-trim nodes alike are
+    # provably cycle-free — a cycle member always keeps in/out >= 1
+    # within the remaining subgraph, so trims can never remove one).
+    if comp_frames:
+        comps = comp_frames[0]
+        for f in comp_frames[1:]:
+            comps = comps.unionByName(f)
+        singles = nodes0.join(comps.select("node"), "node", "left_anti")
+    else:
+        comps = spark.createDataFrame([], "node long, scc long")
+        singles = nodes0
+    out = comps.unionByName(
+        singles.select("node", F.col("node").cast("long").alias("scc"))
+    )
+    handles = [*comp_handles, nodes0_handle]
+    if caches is not None:
+        caches.extend(handles)
+        return out
+    return scope_caches(out, *handles)

@@ -3549,6 +3549,104 @@ def graph_shortest_paths(
 
 
 @register(
+    "graph_scc",
+    # CROSS-ALGORITHM verification (the coreness pattern): Spark runs
+    # trim + forward-backward pivot peeling; the oracle computes the
+    # same partition through an INDEPENDENT algorithm — a recursive-CTE
+    # transitive closure, mutual reachability, min-id per node.  The
+    # UNION-dedup closure is n² rows at worst (25 nations here).
+    oracle=f"""
+    WITH RECURSIVE ed AS MATERIALIZED (
+      SELECT n1 AS a, n2 AS b FROM (
+        SELECT n1, n2, row_number() OVER (PARTITION BY n1
+                                          ORDER BY cnt DESC, n2 ASC) AS rk
+        FROM (
+          SELECT s.s_nationkey AS n1, c.c_nationkey AS n2, count(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE s.s_nationkey <> c.c_nationkey
+          GROUP BY 1, 2)
+      ) WHERE rk <= 2
+    ), reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ed e ON e.a = r.b
+    ), mutual AS (
+      SELECT r1.a AS u, r1.b AS v
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ), nodes AS (
+      SELECT a AS node FROM ed UNION SELECT b FROM ed
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(m) AS BIGINT) AS scc
+    FROM (
+      SELECT node, node AS m FROM nodes
+      UNION ALL
+      SELECT u AS node, v AS m FROM mutual
+    ) GROUP BY node
+    """,
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED top-2 trade
+    backbone (operators/graph.py strongly_connected_components):
+    supplier nation → its two highest-volume customer nations, so an
+    SCC is a circular-trade bloc — every member both supplies and is
+    supplied by the bloc, directly or transitively (18 components at
+    sf0.01: one 8-nation cycle core + 17 feeder singletons).  The
+    directed membership answer the undirected CC engines cannot give.
+
+    Scale shape: TRIM rounds are the k_core peel shape
+    (partial-aggregable degree checks + node-keyed anti-joins) and
+    retire every acyclic feeder; each PIVOT round runs two
+    frontier-expansion reachability passes (bfs_distances) and retires
+    one cycle core — rounds = #non-trivial SCCs, the right tool for
+    graphs whose cycle cores are few and large.  Oracle: independent
+    mutual-reachability closure (cross-algorithm, like coreness).
+    """
+    from pyspark.sql import Window
+
+    from ..operators import graph
+    from ..session import scope_caches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pair_cnt = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("n1"),
+            F.col("c_nationkey").alias("n2"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_w = Window.partitionBy("n1").orderBy(F.desc("cnt"), F.asc("n2"))
+    backbone = (
+        pair_cnt.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("n1").cast("long").alias("src"),
+            F.col("n2").cast("long").alias("dst"),
+        )
+    )
+    held: list = []
+    out = graph.strongly_connected_components(backbone, caches=held)
+    return scope_caches(out, *held)
+
+
+@register(
     "events_hll_overlap",
     # Sketch SET-OPERATION estimation: per-type visitor-day HLL
     # sketches answer pairwise |A∪B| (merged sketch) and |A∩B|

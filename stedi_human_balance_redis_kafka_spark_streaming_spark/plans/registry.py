@@ -5071,6 +5071,10 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # cms_watchlist, hll_overlap) — the r07-r09-verified HLL window
     # monitor yields its slot to the new semantic decontamination gate
     "events_hll_window_monitor",
+    # curation: split/rebalance/upsample/sample_quota (all promoted
+    # r10) carry the family while the r07-r09-verified quality scorer
+    # yields its slot to the new directed-SCC graph query
+    "curation_quality_score",
 )
 
 

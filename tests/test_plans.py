@@ -363,3 +363,9 @@ def test_semantic_decontaminate_refs_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_graph_scc_not_cartesian(spark):
+    # trim + FW-BW peeling: degree checks, anti-joins, and frontier
+    # expansions only — never CartesianProduct in the final plan
+    assert "CartesianProduct" not in _plan(spark, "graph_scc")

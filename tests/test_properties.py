@@ -1695,3 +1695,81 @@ def test_semantic_decontaminate_flags_and_monotone(spark):
     strict_flags = {k for k, (_, c) in strict.items() if c}
     assert strict_flags <= loose_flags
     assert loose_flags == {1, 2, 3}
+
+
+def _scc_kosaraju(edges):
+    """Reference SCC partition via Kosaraju's two-pass DFS, labeling
+    each component by its minimum node id."""
+    import collections
+
+    fwd, bwd = collections.defaultdict(list), collections.defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        fwd[a].append(b)
+        bwd[b].append(a)
+        nodes.update((a, b))
+    order, seen = [], set()
+    for s in sorted(nodes):
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            n, it = stack[-1]
+            advanced = False
+            for m in it:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append((m, iter(fwd[m])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(n)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members, stack = [], [s]
+        comp[s] = None
+        while stack:
+            n = stack.pop()
+            members.append(n)
+            for m in bwd[n]:
+                if m not in comp:
+                    comp[m] = None
+                    stack.append(m)
+        label = min(members)
+        for m in members:
+            comp[m] = label
+    return comp
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scc_matches_kosaraju(spark, edges):
+    """Trim + forward-backward pivot peeling == textbook Kosaraju:
+    identical component partition with min-id labels, self-loop-only
+    nodes absent (no surviving edges), on arbitrary random digraphs."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    expected = _scc_kosaraju(edges)
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in graph.strongly_connected_components(df).collect()
+    }
+    assert got == expected
