@@ -4890,22 +4890,6 @@ SUPPLEMENTARY_QUERIES: dict[str, str] = {
 EXTENDED_QUERIES: tuple[str, ...] = (
     "q12_priority_lines",
     "q17_small_quantity_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q20_heavy_share_suppliers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "events_rolling_value",
-    "lineitem_quality_checks",
-    "order_price_quantiles_approx",
-    "events_gapfill_rollup",
-    "events_gapfill_locf",
-    "text_chunk_sliding",
-    "curation_sample_weighted",
-    "text_chunk_dups",
     # --- round-6 rotation: r04+r05 veterans with in-window siblings ---
     "q4_priority_semi",
     "q19_disjunctive_revenue",
@@ -5075,6 +5059,60 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # r10) carry the family while the r07-r09-verified quality scorer
     # yields its slot to the new directed-SCC graph query
     "curation_quality_score",
+    # --- round-11 rotation: the FULL never-driver-hashed backlog (16
+    # queries, all pre-r7 residue) promotes this round, draining the
+    # pool to ZERO one round ahead of the r12 cap
+    # (tests/test_registry_window.py ratchet: r11 cap 4, r12 cap 0).
+    # Sixteen r09+r10-verified veterans with in-window family siblings
+    # yield their slots; every demotion below stays green in the
+    # dtype-faithful local parity suite (tests/test_oracle_parity.py
+    # runs all registered queries every round). ---
+    # ANN: ivf_spill_recall (carrier of the remapped brute-force dual)
+    # + sq8/ivfsq recalls (first-hashed r10, staying for their second
+    # confirmation round) carry the family
+    "ann_range_search",
+    "ann_label_purity",
+    # text: the incoming chunking pair (text_chunk_sliding /
+    # text_chunk_dups — the family's last never-hashed members) takes
+    # the family's window slots from the r09+r10-verified spans/pii/lm
+    # trio and the twice-confirmed BPE trainer (its segmenter dual
+    # rotated out r10 behind it; both stay parity-green)
+    "text_shared_spans",
+    "text_pii_scrub",
+    "text_lm_score",
+    "text_bpe_merges",
+    # multimodal: resize_box (carrier of frame_sample) + phash_pairs
+    # (first-hashed r10) carry the family
+    "multimodal_audio_energy",
+    # TPC-H: the q-family batch-rotation plan COMPLETES this round —
+    # all 8 remaining never-hashed q-shapes (q8/q13/q14/q15/q16/q18/
+    # q20/q21) promote at once; q6 (r09+r10-verified) + the r10 pair
+    # q2/q9 (staying for confirmation) carry the verified veterans
+    "q6_forecast_revenue",
+    # events: session_window/cube/approx_distinct (carriers) + the r10
+    # funnel/retention/CMS/HLL cohort carry the family while the
+    # incoming rolling_value + gapfill pair take the time-series slots
+    "events_asof_last_order",
+    # lineitem/orders: the incoming lineitem_quality_checks +
+    # order_price_quantiles_approx take over from the r09+r10-verified
+    # join-strategy pair (bloom prune / salted join), whose plan-shape
+    # claims remain pinned by tests/test_plans.py
+    "lineitem_bloom_prune_revenue",
+    "orders_salted_join_revenue",
+    # graph: label_propagation/bfs_hops/shortest_paths/scc (first-
+    # hashed r10, staying for confirmation) carry the family; the
+    # r09+r10-verified personalized-pagerank and coreness yield
+    "graph_pagerank_personalized",
+    "graph_coreness",
+    # sketches: cms_window_monitor/cms_watchlist/hll_overlap (first-
+    # hashed r10) carry the family; the r09+r10-verified CMS pair
+    # yields
+    "events_cms_frequency",
+    "events_cms_heavy_hitters",
+    # drift: orders_profile_drift (r08-r10 triple-verified) KEEPS the
+    # family's in-window slot; the value-bins twin (same binning
+    # machinery, r08-r10 triple-verified) yields
+    "events_value_drift_bins",
 )
 
 
