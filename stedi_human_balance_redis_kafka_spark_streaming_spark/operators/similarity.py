@@ -1407,7 +1407,9 @@ def centroid_silhouette(
     )
 
 
-def _sq8_recon(emb: DataFrame, dim: int) -> DataFrame:
+def _sq8_recon(
+    emb: DataFrame, dim: int, cache_key: str | None = None
+) -> DataFrame:
     """SQ8 encode + midpoint-reconstruct view (vec_id, r0..r{dim-1}):
     values enter the e6 integer domain, the per-dim [mn, mx] train is
     ONE partial-aggregable pass to a single broadcast row, per-dim
@@ -1416,8 +1418,16 @@ def _sq8_recon(emb: DataFrame, dim: int) -> DataFrame:
     all truncating integer division on non-negative operands, so the
     SQL oracle replays it bit-for-bit.  Shared by :func:`sq8_topk`
     (full-corpus scan) and :func:`ivfsq_topk` (probed buckets only).
-    At scale the stored artifact is the CODE (1 byte/dim — 8× less IO
-    than full vectors); recon is the scoring-time view of it."""
+
+    The stored artifact IS the code: with ``cache_key`` set, the
+    (vec_id, code0..) table and the single [mn, mx] row ride the
+    ingest-time build cache (VERDICT r10 #2 — previously both
+    retrained on every call), invalidated by corpus fingerprint
+    exactly like the shared IVF assignment, and an over-cap corpus
+    degrades to the live one-pass plan via ``_cached_build``'s
+    LIMIT gate.  At scale this is the point of SQ8: scoring scans the
+    1-byte/dim code table (8× less IO than float64 vectors); recon is
+    the scoring-time view of the cached codes."""
     v = F.col("embedding").cast("array<double>")
     xi = emb.select(
         "vec_id",
@@ -1432,18 +1442,29 @@ def _sq8_recon(emb: DataFrame, dim: int) -> DataFrame:
         *[F.min(f"x{i}").alias(f"mn{i}") for i in range(dim)],
         *[F.max(f"x{i}").alias(f"mx{i}") for i in range(dim)],
     )
+    code_cols = [
+        F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"(x{i} - mn{i}) * 255 div (mx{i} - mn{i})")
+        )
+        .alias(f"k{i}")
+        for i in range(dim)
+    ]
+    codes = xi.crossJoin(F.broadcast(mm)).select("vec_id", *code_cols)
+    if cache_key is not None:
+        mm = _cached_build(mm, ("sq8_minmax", cache_key, dim))
+        codes = _cached_build(codes, ("sq8_codes", cache_key, dim))
     recon_cols = []
     for i in range(dim):
         mid = F.expr(
-            f"mn{i} + (2 * ((x{i} - mn{i}) * 255 div (mx{i} - mn{i})) + 1)"
-            f" * (mx{i} - mn{i}) div 510"
+            f"mn{i} + (2 * k{i} + 1) * (mx{i} - mn{i}) div 510"
         )
         recon_cols.append(
             F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.col(f"mn{i}"))
             .otherwise(mid)
             .alias(f"r{i}")
         )
-    return xi.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
+    return codes.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
 
 
 def sq8_topk(
@@ -1453,6 +1474,7 @@ def sq8_topk(
     *,
     shortlist: int = 30,
     round_digits: int = 6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8) approximate top-k — the fourth index
     family next to brute force, IVF, and PQ: every dimension compresses
@@ -1489,7 +1511,7 @@ def sq8_topk(
     if shortlist < k:
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     dim = embedding_dim(emb)
-    recon = _sq8_recon(emb, dim)
+    recon = _sq8_recon(emb, dim, cache_key)
     q = queries.select(
         "query_id",
         *[
@@ -1589,7 +1611,7 @@ def ivfsq_topk(
             buckets,
             ("ivf_assign", cache_key, centroid_modulus, 0, 1, round_digits),
         )
-    recon_b = _sq8_recon(emb, dim).join(buckets, "vec_id")
+    recon_b = _sq8_recon(emb, dim, cache_key).join(buckets, "vec_id")
 
     q = queries.select(
         "query_id",

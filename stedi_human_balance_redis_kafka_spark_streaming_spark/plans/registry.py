@@ -3142,9 +3142,10 @@ def ann_sq8_recall(
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
     bf = _ann_truth(spark, sf_dir, k=10, query_modulus=query_modulus)
-    sq = similarity.sq8_topk(emb, q, k=10, shortlist=shortlist).select(
-        "query_id", "vec_id"
-    )
+    sq = similarity.sq8_topk(
+        emb, q, k=10, shortlist=shortlist,
+        cache_key=table_fingerprint(sf_dir, "embeddings"),
+    ).select("query_id", "vec_id")
     return (
         bf.join(sq, ["query_id", "vec_id"])
         .groupBy("query_id")

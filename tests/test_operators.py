@@ -740,6 +740,29 @@ def test_index_build_cache_bit_identical_and_scoped(vec_corpus):
     assert len(keys) == 2 and other is not None
 
 
+def test_sq8_build_artifacts_ride_the_cache(vec_corpus):
+    """VERDICT r10 #2: the SQ8 stored artifact is the 1-byte code table
+    + the [mn, mx] row — with a cache_key both land in the build cache
+    on first use and the cached pass returns bit-identical top-k
+    (ann_sq8_recall's hash must not move)."""
+    key = "test-sq8-corpus"
+    for k in [k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]:
+        del similarity._INDEX_BUILD_CACHE[k]
+    q = similarity.queries_by_modulus(vec_corpus, 7)
+    fresh = sorted(map(tuple, similarity.sq8_topk(
+        vec_corpus, q, k=5, shortlist=8, cache_key=key).collect()))
+    kinds = {k[0] for k in similarity._INDEX_BUILD_CACHE if k[1] == key}
+    assert kinds == {"sq8_codes", "sq8_minmax"}
+    cached = sorted(map(tuple, similarity.sq8_topk(
+        vec_corpus, q, k=5, shortlist=8, cache_key=key).collect()))
+    assert cached == fresh
+    # no cache_key -> no cache engagement (ad-hoc frames always retrain)
+    nokey = sorted(map(tuple, similarity.sq8_topk(
+        vec_corpus, q, k=5, shortlist=8).collect()))
+    assert nokey == fresh
+    assert len([k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]) == 2
+
+
 def test_index_build_cache_lru_eviction(monkeypatch):
     """The MEMORY tier is LRU-bounded: overfilling past MAX_ENTRIES
     evicts the least-recently-used key; touching a key refreshes it.
