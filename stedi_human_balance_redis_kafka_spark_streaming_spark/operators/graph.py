@@ -1329,6 +1329,8 @@ def strongly_connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    bfs_max_iter: int = 100,
+    algorithm: str = "auto",
     caches: list | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph — the directed
@@ -1356,25 +1358,53 @@ def strongly_connected_components(
       captured by a pivot component is a singleton SCC by
       construction, so singletons fall out of one anti-join of the
       INITIAL node set against the pivot components at the end.
-    - PIVOT: the minimum remaining node id (deterministic — no random
-      pivots, so every run and the property-test replay agree); its
-      SCC is FWD(pivot) ∩ BWD(pivot), labeled by the pivot itself
-      (the pivot IS the minimum remaining id, hence the component's
-      min).  Both reachability passes run as ONE tagged frontier
-      expansion over a direction-namespaced node space (fwd nodes at
-      2n, bwd at 2n+1 — the graph_bfs_hops idiom), so rounds =
-      max(fwd, bwd) depth, not their sum.  Pivot removal can never
-      isolate a non-member (a survivor with edges only to/from the
-      component would be mutually reachable with the pivot — i.e. a
-      member), so no casualty scan is needed there either.
+    - PIVOT (``algorithm="fwbw"``): the minimum remaining node id
+      (deterministic — no random pivots, so every run and the
+      property-test replay agree); its SCC is FWD(pivot) ∩ BWD(pivot),
+      labeled by the pivot itself (the pivot IS the minimum remaining
+      id, hence the component's min).  Both reachability passes run as
+      ONE tagged frontier expansion over a direction-namespaced node
+      space (fwd nodes at 2n, bwd at 2n+1 — the graph_bfs_hops idiom;
+      decode is two's-complement bit ops, ``node & 1`` /
+      ``shiftright(node, 1)``, so NEGATIVE node ids round-trip — sign-
+      following ``%``/``div`` would silently drop them, ADVICE r10).
+      Pivot removal can never isolate a non-member (a survivor with
+      edges only to/from the component would be mutually reachable
+      with the pivot — i.e. a member), so no casualty scan is needed.
+    - COLORING (``algorithm="coloring"``): one round retires EVERY
+      root SCC at once (Orzan-style min-label coloring, the multi-
+      pivot member of the FW-BW family).  Min-label forward closure
+      colors each node with the smallest id that reaches it; nodes
+      with ``color == node`` are roots, and a root r's SCC is exactly
+      the backward reach of r through nodes of color r (every node on
+      a member→r path must hold color r: a smaller-id intruder
+      reaching that path would also reach r and un-root it).  Color
+      classes are edge-disjoint after the same-color filter, so ONE
+      multi-seed :func:`bfs_distances` pass over the reversed
+      within-class edges serves every root simultaneously.  Retires
+      >= #roots components per round — the many-small-SCC shape
+      (thousands of short cycles) that costs FW-BW one driver-
+      synchronized round EACH resolves in O(1) coloring rounds.
+    - ``algorithm="auto"`` (default) measures instead of guessing
+      (the coreness engine-probe pattern): the first post-trim round
+      runs one FW-BW pivot — if its component covered at least half
+      of the remaining nodes the graph has the few-large-cores shape
+      and FW-BW continues; otherwise the engine switches to coloring
+      for the remaining rounds.  Any prefix of retired components is
+      valid under either engine (both peel whole SCCs off the same
+      remaining subgraph), so the mid-stream switch cannot change the
+      labeling.
 
     Scale shape: every stage is node-keyed joins / partial-aggregable
     degree counts; the reach sets are frontier expansions
-    (:func:`bfs_distances`); no all-pairs, no windows.  Pivot rounds =
-    number of non-trivial SCCs remaining after trims (each pivot
-    retires one component) — the right tool for graphs whose cycle
-    cores are few and large (the common shape after trimming); RAISES
-    past ``max_iter`` rather than returning a partial labeling.
+    (:func:`bfs_distances`) and the coloring fixpoint is a node-keyed
+    min-message round; no all-pairs, no windows.  ``max_iter`` bounds
+    the OUTER trim+peel rounds (fwbw: one non-trivial SCC each;
+    coloring: all current roots each); ``bfs_max_iter`` separately
+    bounds the inner reachability/propagation depth (a deep graph is
+    not a many-components graph — ADVICE r10 flagged the shared
+    bound).  RAISES past either bound rather than returning a partial
+    labeling.
 
     Determinism + cross-algorithm verification: the registered
     oracle (plans/extras.py graph_scc) computes mutual reachability
@@ -1383,6 +1413,12 @@ def strongly_connected_components(
     """
     from ..session import checkpoint_handle, scope_caches
 
+    if algorithm not in ("auto", "fwbw", "coloring"):
+        raise ValueError(
+            f"algorithm must be 'auto', 'fwbw' or 'coloring', got "
+            f"{algorithm!r}"
+        )
+    engine = algorithm
     a, b = F.col(src), F.col(dst)
     remaining = (
         edges.select(a.alias("a"), b.alias("b"))
@@ -1458,30 +1494,134 @@ def strongly_connected_components(
             flags.unpersist()
         if converged:
             break
-        # --- PIVOT: SCC = FWD ∩ BWD, one tagged BFS for both sides ---
-        tagged = remaining.select(
-            (F.col("a") * 2).alias("a"), (F.col("b") * 2).alias("b")
-        ).unionByName(
-            remaining.select(
-                (F.col("b") * 2 + 1).alias("a"),
-                (F.col("a") * 2 + 1).alias("b"),
+        held: list = []
+        if engine in ("fwbw", "auto"):
+            # --- PIVOT: SCC = FWD ∩ BWD, one tagged BFS both sides ---
+            # Direction namespace 2n / 2n+1; decode with two's-
+            # complement bit ops (node & 1, shiftright(node, 1)) so
+            # negative node ids round-trip exactly — Spark's % returns
+            # negative remainders and div truncates toward zero, which
+            # silently dropped negative ids from the bwd set.
+            tagged = remaining.select(
+                (F.col("a") * 2).alias("a"), (F.col("b") * 2).alias("b")
+            ).unionByName(
+                remaining.select(
+                    (F.col("b") * 2 + 1).alias("a"),
+                    (F.col("a") * 2 + 1).alias("b"),
+                )
             )
-        )
-        seeds = spark.createDataFrame(
-            [(pivot * 2,), (pivot * 2 + 1,)], "node long"
-        )
-        reach, held = _reach_set(tagged, seeds, max_iter=max_iter)
-        fwd = reach.filter(F.col("node") % 2 == 0).select(
-            F.expr("node div 2").alias("node")
-        )
-        bwd = reach.filter(F.col("node") % 2 == 1).select(
-            F.expr("node div 2").alias("node")
-        )
-        comp = (
-            fwd.join(bwd, "node")
-            .select("node", F.lit(int(pivot)).cast("long").alias("scc"))
-            .localCheckpoint(eager=True)
-        )
+            seeds = spark.createDataFrame(
+                [(pivot * 2,), (pivot * 2 + 1,)], "node long"
+            )
+            reach, held = _reach_set(tagged, seeds, max_iter=bfs_max_iter)
+            fwd = reach.filter(F.expr("node & 1") == 0).select(
+                F.expr("shiftright(node, 1)").alias("node")
+            )
+            bwd = reach.filter(F.expr("node & 1") == 1).select(
+                F.expr("shiftright(node, 1)").alias("node")
+            )
+            comp = (
+                fwd.join(bwd, "node")
+                .select(
+                    "node", F.lit(int(pivot)).cast("long").alias("scc")
+                )
+                .localCheckpoint(eager=True)
+            )
+            if engine == "auto":
+                # Engine probe (the coreness auto pattern, but
+                # MEASURED on this graph rather than a static
+                # threshold): if the first pivot's component covers
+                # < half of the remaining nodes, many components
+                # remain and one-SCC-per-round FW-BW would burn a
+                # driver round each — switch to coloring, which
+                # retires every current root SCC per round.  Any
+                # prefix of retired components is valid under either
+                # engine, so the switch cannot change the labeling.
+                engine = (
+                    "fwbw"
+                    if 2 * comp.count() >= int(stats["n"])
+                    else "coloring"
+                )
+        else:
+            # --- COLORING: retire every root SCC in one round ---
+            # 1) min-label forward closure: color(v) = min{u : u →* v}
+            nodes_rem = endpoints(remaining)
+            colors = (
+                nodes_rem.select(
+                    "node", F.col("node").alias("color")
+                ).localCheckpoint(eager=True)
+            )
+            c_handle = checkpoint_handle(colors)
+            colored = False
+            for _ in range(bfs_max_iter):
+                msgs = (
+                    colors.join(
+                        remaining, colors["node"] == remaining["a"]
+                    )
+                    .select(F.col("b").alias("node"), "color")
+                    .groupBy("node")
+                    .agg(F.min("color").alias("mc"))
+                )
+                new_c = (
+                    colors.join(msgs, "node", "left")
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("color"), F.coalesce("mc", "color")
+                        ).alias("color"),
+                        (
+                            F.coalesce("mc", F.col("color"))
+                            < F.col("color")
+                        ).alias("changed"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                new_ch = checkpoint_handle(new_c)
+                n_changed = new_c.filter(F.col("changed")).count()
+                c_handle.unpersist(False)
+                colors, c_handle = new_c, new_ch
+                if n_changed == 0:
+                    colored = True
+                    break
+            if not colored:
+                c_handle.unpersist(False)
+                live_handle.unpersist(False)
+                for h in (*comp_handles, nodes0_handle):
+                    h.unpersist(False)
+                raise RuntimeError(
+                    f"strongly_connected_components: min-label "
+                    f"coloring did not reach its fixpoint within "
+                    f"bfs_max_iter={bfs_max_iter} propagation rounds; "
+                    f"raise bfs_max_iter (label chain depth exceeds "
+                    f"the bound)"
+                )
+            # 2) roots + backward reach through same-color nodes only;
+            #    classes are edge-disjoint after the color filter, so
+            #    one multi-seed BFS serves every root at once.
+            roots = colors.filter(
+                F.col("color") == F.col("node")
+            ).select("node")
+            ca = colors.select(
+                F.col("node").alias("a"), F.col("color").alias("ca")
+            )
+            cb = colors.select(
+                F.col("node").alias("b"), F.col("color").alias("cb")
+            )
+            rev_within = (
+                remaining.join(ca, "a")
+                .join(cb, "b")
+                .filter(F.col("ca") == F.col("cb"))
+                .select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            reach, held = _reach_set(
+                rev_within, roots, max_iter=bfs_max_iter
+            )
+            comp = (
+                reach.join(colors.select("node", "color"), "node")
+                .select("node", F.col("color").cast("long").alias("scc"))
+                .localCheckpoint(eager=True)
+            )
+            held.append(c_handle)
         comp_frames.append(comp)
         comp_handles.append(checkpoint_handle(comp))
         new_r = (
@@ -1502,7 +1642,9 @@ def strongly_connected_components(
             h.unpersist(False)
         raise RuntimeError(
             f"strongly_connected_components did not exhaust the graph "
-            f"within max_iter={max_iter} trim+pivot rounds; raise max_iter"
+            f"within max_iter={max_iter} trim+peel rounds "
+            f"(engine={engine}); raise max_iter, or use "
+            f"algorithm='coloring' if many small SCCs remain"
         )
     # Singletons by construction: every initial node not in any pivot
     # component (trimmed nodes and isolated-by-trim nodes alike are

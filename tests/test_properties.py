@@ -1751,8 +1751,8 @@ def _scc_kosaraju(edges):
 @given(
     edges=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=7),
-            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=-3, max_value=7),
+            st.integers(min_value=-3, max_value=7),
         ),
         min_size=1,
         max_size=20,
@@ -1761,7 +1761,9 @@ def _scc_kosaraju(edges):
 def test_scc_matches_kosaraju(spark, edges):
     """Trim + forward-backward pivot peeling == textbook Kosaraju:
     identical component partition with min-id labels, self-loop-only
-    nodes absent (no surviving edges), on arbitrary random digraphs."""
+    nodes absent (no surviving edges), on arbitrary random digraphs —
+    including NEGATIVE node ids (ADVICE r10: the direction-tag decode
+    must be two's-complement, not sign-following % / div)."""
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
         graph,
     )
@@ -1773,3 +1775,81 @@ def test_scc_matches_kosaraju(spark, edges):
         for r in graph.strongly_connected_components(df).collect()
     }
     assert got == expected
+
+
+def test_scc_negative_ids_both_engines(spark):
+    """Two 2-cycles over negative ids, bridged one-way: both engines
+    label {-5,-3} by -5 and {-1,4} by -1.  Exercises the tagged-BFS
+    decode (fwbw) and the min-color closure (coloring) on ids where
+    Spark's % yields negative remainders."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    edges = [(-3, -5), (-5, -3), (-1, 4), (4, -1), (-5, 4)]
+    expected = _scc_kosaraju(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for algo in ("fwbw", "coloring"):
+        got = {
+            r.node: r.scc
+            for r in graph.strongly_connected_components(
+                df, algorithm=algo
+            ).collect()
+        }
+        assert got == expected, algo
+
+
+def test_scc_many_small_components_bounded_rounds(spark):
+    """VERDICT r10 #3: a many-small-SCC graph (120 disjoint 2-cycles)
+    must resolve in O(1) OUTER rounds under the default auto engine —
+    one fwbw probe round, then a single coloring round retires every
+    remaining root SCC at once.  Pure fwbw needs one driver round per
+    component and must RAISE at the same max_iter."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    n = 120
+    edges = []
+    for i in range(n):
+        edges += [(2 * i, 2 * i + 1), (2 * i + 1, 2 * i)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in graph.strongly_connected_components(
+            df, max_iter=6
+        ).collect()
+    }
+    assert got == {2 * i + j: 2 * i for i in range(n) for j in (0, 1)}
+    with pytest.raises(RuntimeError, match="coloring"):
+        graph.strongly_connected_components(
+            df, max_iter=6, algorithm="fwbw"
+        ).collect()
+
+
+def test_scc_deep_graph_uses_bfs_bound_not_outer_bound(spark):
+    """ADVICE r10: reach depth must be bounded by bfs_max_iter, not by
+    the outer trim+peel budget — a single 12-cycle (one SCC, depth 12)
+    must succeed at max_iter=3 with the default inner bound, and the
+    inner bound's failure message must name bfs_max_iter."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    cyc = [(i, (i + 1) % 12) for i in range(12)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in graph.strongly_connected_components(
+            df, max_iter=3
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+    with pytest.raises(RuntimeError, match="max_iter"):
+        graph.strongly_connected_components(
+            df, max_iter=3, bfs_max_iter=4
+        ).collect()
