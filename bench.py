@@ -72,6 +72,42 @@ def _fresh_session():
     return spark
 
 
+def _env_fingerprint(spark) -> dict:
+    """Machine/JVM fingerprint for the BENCH json header (VERDICT r10
+    #6): cross-round comparisons need to separate machine drift (the
+    uniform ~1.1× r09→r10 shift on untouched queries) from plan drift.
+    Everything here is cheap to read and stable within one run."""
+    import multiprocessing
+    import platform
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    rt = jvm.java.lang.Runtime.getRuntime()
+    fp = {
+        "python": platform.python_version(),
+        "spark": spark.version,
+        "java": str(jvm.System.getProperty("java.version")),
+        "max_heap_mb": int(rt.maxMemory() // (1024 * 1024)),
+        "jvm_cpus": int(rt.availableProcessors()),
+        "os_cpus": multiprocessing.cpu_count(),
+        "load_1m": round(os.getloadavg()[0], 2),
+        "master": sc.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    # container caps (cgroup v2): "max" = unbounded; absent file = not
+    # containerized / cgroup v1 — omit rather than guess
+    for key, path in (
+        ("cgroup_cpu_max", "/sys/fs/cgroup/cpu.max"),
+        ("cgroup_mem_max", "/sys/fs/cgroup/memory.max"),
+    ):
+        try:
+            with open(path) as f:
+                fp[key] = f.read().strip()
+        except OSError:
+            pass
+    return fp
+
+
 def _prev_timings() -> dict[str, float]:
     """Per-query timings of the PREVIOUS committed bench run, parsed
     from bench_stderr.log's '# name: Xs' lines — read from git HEAD
@@ -120,7 +156,9 @@ def _report_vs_prev(timings: dict[str, float]) -> None:
     prev_t = sum(prev[n] for n in common)
     print(
         f"# vs-prev common-set total: {cur_t:.1f}s / {prev_t:.1f}s = "
-        f"{cur_t / prev_t:.3f}x over {len(common)} queries",
+        f"{cur_t / prev_t:.3f}x over {len(common)} queries "
+        f"(uniform shifts = machine drift; compare the '# env:' "
+        f"fingerprint lines of the two logs)",
         file=sys.stderr,
         flush=True,
     )
@@ -141,6 +179,10 @@ def _report_vs_prev(timings: dict[str, float]) -> None:
 
 def main() -> None:
     spark = _fresh_session()
+    env = _env_fingerprint(spark)
+    # stderr copy so the committed bench_stderr.log carries the
+    # fingerprint next to the per-query lines the movers table reads
+    print(f"# env: {json.dumps(env)}", file=sys.stderr, flush=True)
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -181,6 +223,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR,
+                "env": env,
             }
         ),
         flush=True,

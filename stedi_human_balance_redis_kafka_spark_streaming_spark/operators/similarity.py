@@ -1699,8 +1699,16 @@ def semantic_decontaminate(
     and SQL-mirrorable.
 
     Output: (vec_id, max_cos, contaminated) — one row per corpus
-    vector; downstream either drops flagged rows or routes them to
-    review, exactly like the n-gram gate.
+    vector, INCLUDING when ``refs`` is empty (ADVICE r10: the old
+    crossJoin dropped every corpus row on an empty eval set, making a
+    misconfigured refs source look like a fully-clean corpus that
+    vanished).  The scoring join is a broadcast LEFT outer on a true
+    condition — identical pairing to the crossJoin when refs is
+    non-empty, a null score row per corpus vector when it is — so
+    max_cos is null and contaminated is false for every row under an
+    empty eval set, and the plan keeps the single map-side pass +
+    partial-aggregable MAX (no extra corpus shuffle a re-join would
+    cost).
     """
     dim = embedding_dim(corpus)
     par = corpus.sparkSession.sparkContext.defaultParallelism
@@ -1715,13 +1723,15 @@ def semantic_decontaminate(
         round_digits,
     )
     return (
-        e.crossJoin(F.broadcast(r))
+        e.join(F.broadcast(r), F.lit(True), "left")
         .select("vec_id", cos.alias("cos_sim"))
         .groupBy("vec_id")
         .agg(F.max("cos_sim").alias("max_cos"))
         .select(
             "vec_id",
             "max_cos",
-            (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+            F.coalesce(
+                F.col("max_cos") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
         )
     )

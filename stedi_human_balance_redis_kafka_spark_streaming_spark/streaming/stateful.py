@@ -1157,6 +1157,23 @@ def streaming_phash_flags(
 
     Batch/streaming duality: on a batch ``blobs`` this equals the
     plain chunk-equality join + verify (stream==batch tested).
+
+    Index refresh — the versioned-swap contract (the CMS watchlist's
+    dim-table deployment pattern, :func:`windowed_cms_watchlist`):
+    the chunk index is a static frame captured at query START, so an
+    ingest pipeline refreshes it by RESTARTING the query against the
+    new index version, not by mutating a running one.  The operator
+    is built to make that swap free: it holds ZERO streaming state
+    (stateless fingerprint + stream-static join, no watermark, no
+    aggregation), so a restart replays nothing and loses nothing —
+    the file/Kafka source's checkpoint resumes exactly after the last
+    committed micro-batch, and every later arrival probes the new
+    index.  Rows already emitted against the old version stay valid
+    (they were verified pairs against the corpus as of their ingest
+    time — the append-sink semantics an audit log wants).  Tested in
+    tests/test_streaming.py::test_streaming_phash_index_version_swap:
+    same checkpoint + same source, index v1 → stop → index v2, no
+    reprocessing, new arrivals match only v2.
     """
     from ..operators import multimodal
 
@@ -1186,6 +1203,12 @@ def streaming_phash_flags(
     return (
         chunk_rows(blobs, "doc_id")
         .join(idx, "chunk")
+        # A blob re-arriving with an id already in the index (an
+        # UPDATE, or a replayed micro-batch) would otherwise emit
+        # itself at hamming 0 — rows here are advertised as VERIFIED
+        # pairs, not candidates, so self-pairs are dropped at the
+        # source rather than delegated to consumers (ADVICE r10).
+        .filter(F.col("doc_id") != F.col("index_doc_id"))
         .filter(ham <= max_hamming)
         .select("doc_id", "index_doc_id", "chunk", ham.alias("hamming"))
     )

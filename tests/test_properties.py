@@ -1697,6 +1697,29 @@ def test_semantic_decontaminate_flags_and_monotone(spark):
     assert loose_flags == {1, 2, 3}
 
 
+def test_semantic_decontaminate_empty_refs_keeps_corpus(spark):
+    """ADVICE r10: an EMPTY eval set must yield one (null, false) row
+    per corpus vector — not an empty frame that makes a misconfigured
+    refs source indistinguishable from a vanished corpus."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (i, [float(((i * 3 + j) % 7) - 3) / 3.0 for j in range(8)])
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    refs = spark.createDataFrame([], "vec_id long, v array<double>")
+    got = {
+        r.vec_id: (r.max_cos, r.contaminated)
+        for r in similarity.semantic_decontaminate(
+            corpus, refs, threshold=0.5
+        ).collect()
+    }
+    assert got == {i: (None, False) for i in range(5)}
+
+
 def _scc_kosaraju(edges):
     """Reference SCC partition via Kosaraju's two-pass DFS, labeling
     each component by its minimum node id."""

@@ -1389,3 +1389,93 @@ def test_streaming_phash_flags_stream_static_matches_batch(spark, tmp_path):
         (r.doc_id, r.index_doc_id, r.chunk, r.hamming) for r in out.collect()
     )
     assert got == expected
+
+
+def test_streaming_phash_flags_drops_self_pairs(spark, tmp_path):
+    """ADVICE r10: a blob re-arriving with an id already in the index
+    (an update / replayed micro-batch) must NOT emit itself at
+    hamming 0 — rows are advertised as verified pairs."""
+    base = bytes(((i * 7 + 13) % 251) for i in range(120))
+    index_df = spark.createDataFrame(
+        [(100, bytearray(base))], "doc_id long, blob binary"
+    )
+    rearrival = spark.createDataFrame(
+        [(100, bytearray(base))], "doc_id long, blob binary"
+    )
+    assert (
+        stateful.streaming_phash_flags(rearrival, index_df).count() == 0
+    )
+
+
+def test_streaming_phash_index_version_swap(spark, tmp_path):
+    """The dim-table redeploy contract (VERDICT r10 #5, mirroring the
+    CMS watchlist): refreshing the chunk index = restart the query on
+    the same source + checkpoint with the new index version.  Zero
+    streaming state means the restart reprocesses NOTHING (rows
+    emitted under v1 appear exactly once) and every post-swap arrival
+    probes only the new index."""
+    import hashlib
+
+    base = bytes(((i * 7 + 13) % 251) for i in range(120))
+    base2 = bytes(
+        hashlib.sha256(bytes([1, i % 251])).digest()[0] for i in range(140)
+    )
+
+    def tweak(b: bytes, pos: int, delta: int) -> bytearray:
+        bb = bytearray(b)
+        bb[pos] = (bb[pos] + delta) % 256
+        return bb
+
+    schema = "doc_id long, blob binary"
+    idx_v1 = spark.createDataFrame([(100, bytearray(base))], schema)
+    idx_v2 = spark.createDataFrame(
+        [(100, bytearray(base)), (200, bytearray(base2))], schema
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, tweak(base, 5, 60))], schema).write.parquet(
+        src
+    )
+
+    def run(index_df):
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful.streaming_phash_flags(sdf, index_df)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+        return progress
+
+    p1 = run(idx_v1)
+    assert p1 is None or p1["stateOperators"] == []  # zero state
+    v1_rows = [
+        (r.doc_id, r.index_doc_id)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert set(v1_rows) == {(1, 100)}
+    n_v1 = len(v1_rows)
+
+    # redeploy: new arrival near-dups the NEW index member only
+    spark.createDataFrame(
+        [(3, tweak(base2, 7, 40))], schema
+    ).write.mode("append").parquet(src)
+    run(idx_v2)
+    rows = [
+        (r.doc_id, r.index_doc_id)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # v1-era output intact, not reprocessed against v2
+    assert len([x for x in rows if x == (1, 100)]) == n_v1
+    pairs = set(rows)
+    assert (3, 200) in pairs           # matches the v2 addition
+    assert (3, 100) not in pairs       # shape-novel vs the old member
+    assert (1, 200) not in pairs       # old arrival never re-probed
