@@ -1,0 +1,118 @@
+"""Market-basket association mining (frequent item pairs + rules).
+
+The classic retail/recommendation primitive the reference-class
+engines ship as "affinity analysis": which items co-occur in the same
+basket more than independence predicts.  One operator, exact-integer
+metrics, Apriori-pruned — the 2-itemset core of Agrawal & Srikant's
+Apriori (VLDB '94), which is the part that matters at 100 TB (longer
+itemsets multiply candidate counts; pairs already answer the affinity
+/ cross-sell / co-engagement questions the curation and analytics
+planes ask).
+
+Not to be confused with the repo's two association-adjacent queries:
+``documents_lang_source_assoc`` tests INDEPENDENCE of two columns via
+χ² (one number for the whole table), and ``events_hll_overlap``
+evaluates HLL sketch accuracy on pairwise audience intersections.
+This module produces the RULES — per-pair support, directional
+confidence, and lift — that a recommender or a curation mix planner
+consumes directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_E6 = 1_000_000
+
+
+def basket_affinity(
+    baskets: DataFrame,
+    *,
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent item-PAIR association rules over ``baskets``.
+
+    ``baskets``: (basket, item) — one row per basket-item incidence
+    (duplicates tolerated: the operator re-distincts, so callers can
+    feed raw line-level data).  ``min_support``: minimum number of
+    baskets an item AND a pair must appear in — the Apriori property
+    (support(pair) <= support(item)) lets the item filter prune the
+    self-join's inputs, not just its output.
+
+    Output, one row per surviving unordered pair (item_a < item_b
+    lexicographically — deterministic total order, no ties possible):
+
+    - ``n_a``, ``n_b``: basket count of each item (post-prune);
+    - ``n_both``: baskets containing both;
+    - ``n_baskets``: total distinct baskets (pre-prune denominator);
+    - ``conf_ab_e6`` = n_both·10⁶ div n_a (P(b|a), e6-quantized),
+      ``conf_ba_e6`` symmetric;
+    - ``lift_e6`` = n_both·n_baskets·10⁶ div (n_a·n_b) — 10⁶ ≈
+      independence; computed in decimal(38,0) so the triple product
+      cannot silently wrap at production basket counts (exact up to
+      ~10¹⁵ baskets; DuckDB replays it in HUGEINT).
+
+    All counts are exact int64 and every division is truncating
+    integer div on non-negative operands — the repo FP policy, so the
+    SQL oracle replays bit-for-bit.
+
+    Scale shape: one (basket, item) distinct; per-item counts are a
+    partial-aggregable groupBy; the pair stage self-joins the PRUNED
+    incidence list on the basket key — per-basket work is
+    C(items-per-basket, 2), bounded by the item vocabulary and in
+    practice by basket width (TPC-H orders hold <= 7 lines; cap or
+    raise ``min_support`` for pathological wide baskets) — followed by
+    a map-side-combinable pair count.  The item-count frame is
+    vocabulary-bounded and broadcast into the prune and the final
+    metric join; no all-pairs stage over baskets exists anywhere.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    b = baskets.select("basket", "item").distinct()
+    tot = b.agg(F.countDistinct("basket").alias("n_baskets"))
+    items = (
+        b.groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") >= min_support)
+    )
+    pruned = b.join(F.broadcast(items.select("item")), "item")
+    pa = pruned.select("basket", F.col("item").alias("item_a"))
+    pb = pruned.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        pa.join(pb, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    ia = items.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = items.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_baskets").cast("long").alias("n_baskets"),
+            F.expr(f"n_both * {_E6} div n_a").cast("long").alias(
+                "conf_ab_e6"
+            ),
+            F.expr(f"n_both * {_E6} div n_b").cast("long").alias(
+                "conf_ba_e6"
+            ),
+            F.expr(
+                f"cast((cast(n_both as decimal(38,0)) * n_baskets "
+                f"* {_E6}) div (cast(n_a as decimal(38,0)) * n_b) "
+                f"as bigint)"
+            ).alias("lift_e6"),
+        )
+    )

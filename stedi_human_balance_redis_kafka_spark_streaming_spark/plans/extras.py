@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import associations
 from ..operators.asof import asof_join
 from ..sources.files import load_table
 from . import synthetic
@@ -3779,3 +3780,77 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("inter_within_10pct"),
     )
     return scope_caches(out, d)
+
+
+_BASKET_MINSUP = 50
+
+
+@register(
+    "orders_basket_affinity",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tot AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM baskets),
+    items AS (
+      SELECT item, COUNT(*) AS n_item FROM baskets
+      GROUP BY 1 HAVING COUNT(*) >= {_BASKET_MINSUP}
+    ), pruned AS (
+      SELECT b.basket, b.item FROM baskets b JOIN items i USING (item)
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+      FROM pruned a JOIN pruned b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_BASKET_MINSUP}
+    )
+    SELECT p.item_a, p.item_b,
+           ia.n_item AS n_a, ib.n_item AS n_b, p.n_both, t.n_baskets,
+           p.n_both * 1000000 // ia.n_item AS conf_ab_e6,
+           p.n_both * 1000000 // ib.n_item AS conf_ba_e6,
+           CAST(p.n_both::HUGEINT * t.n_baskets * 1000000
+                // (ia.n_item::HUGEINT * ib.n_item) AS BIGINT) AS lift_e6
+    FROM pairs p
+    JOIN items ia ON p.item_a = ia.item
+    JOIN items ib ON p.item_b = ib.item
+    CROSS JOIN tot t
+    """,
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity over order baskets — the 2-itemset
+    Apriori association rules (operators/associations.basket_affinity):
+    which part brands are bought together, with exact-integer support /
+    directional confidence / lift.  The retail cross-sell and
+    curation-mix primitive the χ² independence gate
+    (documents_lang_source_assoc) and the sketch-accuracy eval
+    (events_hll_overlap) do not provide: this query emits the RULES.
+
+    Baskets = orders; items = part brands (the bounded rollup of the
+    200k·SF part vocabulary).  min_support = 50 baskets prunes
+    items BEFORE the pair self-join (the Apriori property) and pairs
+    after it — at sf0.001 the prune genuinely bites (pair supports
+    fall below it), at sf0.01 all 25 brands and their 300 pairs clear
+    it, so the oracle checks the full rule table.
+
+    Scale shape: the l_partkey→p_brand join is key-partitioned (no
+    broadcast assumption on the SF-scaled part table); the basket
+    incidence distinct and the pair count are partial-aggregable; the
+    pair self-join fans out C(brands-per-order, 2) <= C(7, 2) rows per
+    order (TPC-H orders hold <= 7 lines); the brand-count frame is
+    vocabulary-bounded and broadcast.  Lift multiplies three counts in
+    decimal(38,0) (DuckDB: HUGEINT) so production basket counts cannot
+    silently wrap.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+        )
+    )
+    return associations.basket_affinity(
+        baskets, min_support=_BASKET_MINSUP
+    )

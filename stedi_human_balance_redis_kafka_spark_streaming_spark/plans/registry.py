@@ -5114,6 +5114,14 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # family's in-window slot; the value-bins twin (same binning
     # machinery, r08-r10 triple-verified) yields
     "events_value_drift_bins",
+    # drift, continued: the new round-11 market-basket association
+    # query (orders_basket_affinity — a brand-new family, no prior
+    # window representative) takes the last rotation slot from the
+    # r08-r10 triple-verified profile-drift gate; all three drift
+    # carriers (value bins / profile / centroid) remain parity-green
+    # every round, and the binning machinery they share is also
+    # exercised in-window by events_retention_cohorts' bucketing
+    "orders_profile_drift",
 )
 
 

@@ -365,6 +365,17 @@ def test_semantic_decontaminate_refs_broadcast(spark):
     assert "Window" not in plan
 
 
+def test_basket_affinity_prunes_broadcast_no_cartesian(spark):
+    """Apriori pair mining: the item-count frame (vocabulary-bounded)
+    must broadcast into the prune and metric joins; the pair stage is
+    a basket-keyed equi self-join — never CartesianProduct; the only
+    BNLJ is the single-row total fan-in."""
+    plan = _plan(spark, "orders_basket_affinity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
 def test_graph_scc_not_cartesian(spark):
     # trim + FW-BW peeling: degree checks, anti-joins, and frontier
     # expansions only — never CartesianProduct in the final plan

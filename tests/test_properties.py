@@ -1876,3 +1876,69 @@ def test_scc_deep_graph_uses_bfs_bound_not_outer_bound(spark):
         graph.strongly_connected_components(
             df, max_iter=3, bfs_max_iter=4
         ).collect()
+
+
+def _affinity_reference(incidence, minsup):
+    """Pure-python replay of basket_affinity: exact counts, truncating
+    integer division, Apriori item prune before the pair count."""
+    from itertools import combinations
+
+    base = set(incidence)
+    n_baskets = len({b for b, _ in base})
+    n_item = {}
+    for _, it in base:
+        n_item[it] = n_item.get(it, 0) + 1
+    keep = {it for it, n in n_item.items() if n >= minsup}
+    per_basket = {}
+    for b, it in base:
+        if it in keep:
+            per_basket.setdefault(b, set()).add(it)
+    n_both = {}
+    for its in per_basket.values():
+        for x, y in combinations(sorted(its), 2):
+            n_both[(x, y)] = n_both.get((x, y), 0) + 1
+    out = {}
+    for (x, y), nb in n_both.items():
+        if nb < minsup:
+            continue
+        na, nbb = n_item[x], n_item[y]
+        out[(x, y)] = (
+            na, nbb, nb, n_baskets,
+            nb * 1_000_000 // na,
+            nb * 1_000_000 // nbb,
+            nb * n_baskets * 1_000_000 // (na * nbb),
+        )
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),    # basket
+            st.sampled_from(["a", "b", "c", "d"]),    # item
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    minsup=st.integers(min_value=1, max_value=3),
+)
+def test_basket_affinity_matches_reference(spark, rows, minsup):
+    """basket_affinity == the pure-python Apriori replay on arbitrary
+    duplicate-bearing incidence lists: identical pair set and identical
+    exact-integer support/confidence/lift at every min_support."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    df = spark.createDataFrame(list(rows), "basket long, item string")
+    got = {
+        (r.item_a, r.item_b): (
+            r.n_a, r.n_b, r.n_both, r.n_baskets,
+            r.conf_ab_e6, r.conf_ba_e6, r.lift_e6,
+        )
+        for r in associations.basket_affinity(
+            df, min_support=minsup
+        ).collect()
+    }
+    assert got == _affinity_reference(rows, minsup)
