@@ -30,6 +30,7 @@ def basket_affinity(
     baskets: DataFrame,
     *,
     min_support: int = 1,
+    max_basket_width: int | None = None,
 ) -> DataFrame:
     """Frequent item-PAIR association rules over ``baskets``.
 
@@ -38,7 +39,9 @@ def basket_affinity(
     feed raw line-level data).  ``min_support``: minimum number of
     baskets an item AND a pair must appear in — the Apriori property
     (support(pair) <= support(item)) lets the item filter prune the
-    self-join's inputs, not just its output.
+    self-join's inputs, not just its output.  ``max_basket_width``
+    (opt-in): RAISE if any basket holds more surviving items — the
+    loud guard against a mega-basket straggler (see inline comment).
 
     Output, one row per surviving unordered pair (item_a < item_b
     lexicographically — deterministic total order, no ties possible):
@@ -77,6 +80,29 @@ def basket_affinity(
         .filter(F.col("n_item") >= min_support)
     )
     pruned = b.join(F.broadcast(items.select("item")), "item")
+    if max_basket_width is not None:
+        # Skew guard (opt-in, one partial-aggregable rollup): the pair
+        # stage fans out C(width, 2) rows per basket INSIDE one task
+        # (basket-keyed join), so a single pathological mega-basket —
+        # a crawler trap, a bot account — would make one straggler do
+        # O(width²) work.  The repo policy is to RAISE loudly at the
+        # declared bound rather than silently drop or silently crawl;
+        # the caller then caps the basket width upstream or raises
+        # min_support until the offending items prune away.
+        w = (
+            pruned.groupBy("basket")
+            .count()
+            .agg(F.max("count").alias("mw"))
+            .first()["mw"]
+        )
+        if w is not None and w > max_basket_width:
+            raise RuntimeError(
+                f"basket_affinity: a basket holds {w} distinct "
+                f"surviving items > max_basket_width="
+                f"{max_basket_width}; its pair fan-out is "
+                f"C({w},2) rows in one task — cap basket width "
+                f"upstream or raise min_support"
+            )
     pa = pruned.select("basket", F.col("item").alias("item_a"))
     pb = pruned.select("basket", F.col("item").alias("item_b"))
     pairs = (

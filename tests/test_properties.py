@@ -1942,3 +1942,31 @@ def test_basket_affinity_matches_reference(spark, rows, minsup):
         ).collect()
     }
     assert got == _affinity_reference(rows, minsup)
+
+
+def test_basket_affinity_width_guard_raises_loud(spark):
+    """The opt-in mega-basket guard must RAISE at the declared bound
+    (never silently drop or crawl) and stay silent when every basket
+    fits — including when the wide basket's items prune away under a
+    higher min_support (the documented remediation)."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    rows = [(0, f"i{k}") for k in range(6)] + [(1, "i0"), (1, "i1"), (2, "i0"), (2, "i1")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    with pytest.raises(RuntimeError, match="max_basket_width"):
+        associations.basket_affinity(
+            df, min_support=1, max_basket_width=5
+        ).collect()
+    ok = associations.basket_affinity(
+        df, min_support=1, max_basket_width=6
+    )
+    assert ok.count() >= 1
+    # min_support=3 prunes the singleton items of basket 0 -> width 2
+    pruned = associations.basket_affinity(
+        df, min_support=3, max_basket_width=5
+    )
+    assert {(r.item_a, r.item_b) for r in pruned.collect()} == {("i0", "i1")}
