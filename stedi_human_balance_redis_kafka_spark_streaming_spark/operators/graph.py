@@ -1386,14 +1386,16 @@ def strongly_connected_components(
       (thousands of short cycles) that costs FW-BW one driver-
       synchronized round EACH resolves in O(1) coloring rounds.
     - ``algorithm="auto"`` (default) measures instead of guessing
-      (the coreness engine-probe pattern): the first post-trim round
-      runs one FW-BW pivot — if its component covered at least half
-      of the remaining nodes the graph has the few-large-cores shape
-      and FW-BW continues; otherwise the engine switches to coloring
-      for the remaining rounds.  Any prefix of retired components is
-      valid under either engine (both peel whole SCCs off the same
-      remaining subgraph), so the mid-stream switch cannot change the
-      labeling.
+      (the coreness engine-probe pattern), re-evaluated every pivot
+      round: while each FW-BW pivot's component covers at least half
+      of the remaining nodes the few-large-cores shape is confirmed
+      and FW-BW continues; the first small pivot switches the engine
+      to coloring for all remaining rounds (so a mixed-shape graph —
+      one giant core feeding thousands of small cycles — pays exactly
+      one probe round after the giant retires).  Any prefix of
+      retired components is valid under either engine (both peel
+      whole SCCs off the same remaining subgraph), so the mid-stream
+      switch cannot change the labeling.
 
     Scale shape: every stage is node-keyed joins / partial-aggregable
     degree counts; the reach sets are frontier expansions
@@ -1530,18 +1532,23 @@ def strongly_connected_components(
             if engine == "auto":
                 # Engine probe (the coreness auto pattern, but
                 # MEASURED on this graph rather than a static
-                # threshold): if the first pivot's component covers
-                # < half of the remaining nodes, many components
-                # remain and one-SCC-per-round FW-BW would burn a
-                # driver round each — switch to coloring, which
-                # retires every current root SCC per round.  Any
-                # prefix of retired components is valid under either
-                # engine, so the switch cannot change the labeling.
-                engine = (
-                    "fwbw"
-                    if 2 * comp.count() >= int(stats["n"])
-                    else "coloring"
-                )
+                # threshold), re-evaluated EVERY pivot round: while
+                # each pivot's component covers >= half of the
+                # remaining nodes, few-large-cores FW-BW is winning
+                # and auto keeps probing; the first small pivot
+                # (< half) signals many components remain — switch
+                # to coloring, which retires every current root SCC
+                # per round, and never switch back (coloring is never
+                # the worse engine once components are many).  A
+                # one-shot probe would strand a mixed-shape graph
+                # (one giant core + thousands of 2-cycles) on
+                # one-SCC-per-round FW-BW after the giant retires.
+                # Any prefix of retired components is valid under
+                # either engine, so switching cannot change the
+                # labeling; the probe's cost is one count on the
+                # already-checkpointed component frame.
+                if 2 * comp.count() < int(stats["n"]):
+                    engine = "coloring"
         else:
             # --- COLORING: retire every root SCC in one round ---
             # 1) min-label forward closure: color(v) = min{u : u →* v}

@@ -1970,3 +1970,29 @@ def test_basket_affinity_width_guard_raises_loud(spark):
         df, min_support=3, max_basket_width=5
     )
     assert {(r.item_a, r.item_b) for r in pruned.collect()} == {("i0", "i1")}
+
+
+def test_scc_mixed_shape_switches_engine_after_giant(spark):
+    """A one-shot auto probe would strand this shape on FW-BW: one
+    10-cycle (retired first — covers most remaining nodes) feeding 40
+    disjoint 2-cycles.  Per-round probing must switch to coloring
+    after the first small pivot, resolving within a small outer
+    budget; labels equal Kosaraju."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    edges = [(i, (i + 1) % 10) for i in range(10)]  # giant core 0..9
+    n2 = 40
+    for i in range(n2):
+        a, b = 100 + 2 * i, 101 + 2 * i
+        edges += [(a, b), (b, a), (5, a)]  # bridged from the giant
+    expected = _scc_kosaraju(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in graph.strongly_connected_components(
+            df, max_iter=8
+        ).collect()
+    }
+    assert got == expected
