@@ -1551,19 +1551,33 @@ def strongly_connected_components(
                     engine = "coloring"
         else:
             # --- COLORING: retire every root SCC in one round ---
-            # 1) min-label forward closure: color(v) = min{u : u →* v}
+            # 1) min-label forward closure: color(v) = min{u : u →* v}.
+            #    Improved-only FRONTIER relaxation (the shortest_paths
+            #    argument, min-plus with unit labels): a node whose
+            #    color did not improve last round would re-send the
+            #    exact message already folded into its neighbors, so
+            #    joining only last round's improved nodes against the
+            #    adjacency is bit-identical to full relaxation — and
+            #    the frontier shrinks monotonically after the
+            #    propagation peak instead of re-scanning every node
+            #    every round.
             nodes_rem = endpoints(remaining)
             colors = (
                 nodes_rem.select(
-                    "node", F.col("node").alias("color")
+                    "node",
+                    F.col("node").alias("color"),
+                    F.lit(True).alias("changed"),
                 ).localCheckpoint(eager=True)
             )
             c_handle = checkpoint_handle(colors)
             colored = False
             for _ in range(bfs_max_iter):
+                frontier = colors.filter(F.col("changed")).select(
+                    "node", "color"
+                )
                 msgs = (
-                    colors.join(
-                        remaining, colors["node"] == remaining["a"]
+                    frontier.join(
+                        remaining, frontier["node"] == remaining["a"]
                     )
                     .select(F.col("b").alias("node"), "color")
                     .groupBy("node")
