@@ -53,6 +53,8 @@ QUERIES = [
     "graph_pagerank_weighted",  # decimal-widened weight shares
     "dedup_ngram_prefix",       # prefix boundary + rank ties across parts
     "graph_triangle_count",     # orientation ties across partitionings
+    "orders_basket_affinity",   # exact pair counts + integer div metrics
+    "graph_scc",                # trim/pivot/coloring labels across parts
 ]
 
 
