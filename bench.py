@@ -105,20 +105,42 @@ def _env_fingerprint(spark) -> dict:
                 fp[key] = f.read().strip()
         except OSError:
             pass
+    # Calibration probes: two FIXED workloads whose plans never change
+    # across rounds, so their cross-round ratio measures the MACHINE
+    # (JVM codegen + CPU for one, parquet scan + page cache for the
+    # other), not the engine.  vs-prev divides the common-set ratio by
+    # the cpu-probe ratio to separate plan drift from machine drift.
+    fp["calib_cpu_s"] = round(min(_calib_cpu(spark) for _ in range(2)), 3)
+    fp["calib_scan_s"] = round(
+        min(_calib_scan(spark) for _ in range(2)), 3
+    )
     return fp
 
 
-def _prev_timings() -> dict[str, float]:
-    """Per-query timings of the PREVIOUS committed bench run, parsed
-    from bench_stderr.log's '# name: Xs' lines — read from git HEAD
-    first, so the usual `2>bench_stderr.log` redirect (which truncates
-    the working-tree file before Python starts) cannot erase the
-    baseline mid-run; falls back to the working-tree file."""
-    import re
+def _calib_cpu(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr(
+        "sum(id * 2654435761 % 1000000007)"
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def _calib_scan(spark) -> float:
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+        "sum(l_extendedprice)", "count(*)"
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def _prev_log_text() -> str:
+    """The PREVIOUS committed bench log — read from git HEAD first, so
+    the usual `2>bench_stderr.log` redirect (which truncates the
+    working-tree file before Python starts) cannot erase the baseline
+    mid-run; falls back to the working-tree file."""
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
-    txt = ""
     try:
         txt = subprocess.run(
             ["git", "-C", root, "show", "HEAD:bench_stderr.log"],
@@ -133,35 +155,73 @@ def _prev_timings() -> dict[str, float]:
             with open(os.path.join(root, "bench_stderr.log")) as f:
                 txt = f.read()
         except OSError:
-            return {}
+            return ""
+    return txt
+
+
+def _prev_timings(txt: str) -> dict[str, float]:
+    """Per-query timings parsed from a bench log's '# name: Xs' lines."""
+    import re
+
     return {
         m.group(1): float(m.group(2))
         for m in re.finditer(r"^# (\S+): ([0-9.]+)s$", txt, re.M)
     }
 
 
-def _report_vs_prev(timings: dict[str, float]) -> None:
+def _prev_env(txt: str) -> dict:
+    """The '# env: {...}' fingerprint of a previous bench log, {} if
+    the log predates the fingerprint block (r10 and earlier)."""
+    import re
+
+    m = re.search(r"^# env: (\{.*\})$", txt, re.M)
+    if not m:
+        return {}
+    try:
+        return json.loads(m.group(1))
+    except ValueError:
+        return {}
+
+
+def _report_vs_prev(timings: dict[str, float], env: dict) -> None:
     """Cross-round drift attribution (VERDICT r09 'what's wrong' #3):
     after the run, print the common-set total ratio vs the previous
     committed log plus every >=1.2x / <=0.8x per-query mover — so an
     unchanged-code drift is visible AS drift (session pressure) and an
-    isolated regression points at its query.  Stderr-only: the stdout
-    JSON contract is unchanged."""
-    prev = _prev_timings()
+    isolated regression points at its query.  When both logs carry
+    calibration probes, also print the MACHINE-NORMALIZED ratio
+    (common-set ratio ÷ cpu-probe ratio): ~1.0x there means the raw
+    movement is the box, not the plans.  Stderr-only: the stdout JSON
+    contract is unchanged."""
+    txt = _prev_log_text()
+    prev = _prev_timings(txt)
     common = [n for n in timings if n in prev]
     if not common:
         print("# vs-prev: no previous log found", file=sys.stderr, flush=True)
         return
     cur_t = sum(timings[n] for n in common)
     prev_t = sum(prev[n] for n in common)
+    ratio = cur_t / prev_t
     print(
         f"# vs-prev common-set total: {cur_t:.1f}s / {prev_t:.1f}s = "
-        f"{cur_t / prev_t:.3f}x over {len(common)} queries "
+        f"{ratio:.3f}x over {len(common)} queries "
         f"(uniform shifts = machine drift; compare the '# env:' "
         f"fingerprint lines of the two logs)",
         file=sys.stderr,
         flush=True,
     )
+    penv = _prev_env(txt)
+    if penv.get("calib_cpu_s") and env.get("calib_cpu_s"):
+        mach = env["calib_cpu_s"] / penv["calib_cpu_s"]
+        print(
+            f"# vs-prev machine-normalized: {ratio / mach:.3f}x "
+            f"(cpu probe {penv['calib_cpu_s']:.2f}s -> "
+            f"{env['calib_cpu_s']:.2f}s = {mach:.3f}x machine; scan "
+            f"probe {penv.get('calib_scan_s', float('nan')):.2f}s -> "
+            f"{env.get('calib_scan_s', float('nan')):.2f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
     movers = [
         (timings[n] / prev[n], n)
         for n in common
@@ -213,7 +273,7 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    _report_vs_prev(timings)
+    _report_vs_prev(timings, env)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
