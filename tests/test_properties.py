@@ -1996,3 +1996,50 @@ def test_scc_mixed_shape_switches_engine_after_giant(spark):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=7),
+            st.integers(min_value=-3, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scc_coloring_engine_matches_kosaraju(spark, edges):
+    """The coloring engine standalone (not just via auto's switch) ==
+    Kosaraju on arbitrary random digraphs incl. negative ids — the
+    min-color closure, root detection, and within-class backward reach
+    must compose to exact SCCs regardless of shape."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    expected = _scc_kosaraju(edges)
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in graph.strongly_connected_components(
+            df, algorithm="coloring"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_basket_affinity_empty_input(spark):
+    """An empty incidence list yields an empty rule table with the full
+    output schema (downstream unions/writers never see a shape change)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    df = spark.createDataFrame([], "basket long, item string")
+    out = associations.basket_affinity(df, min_support=1)
+    assert out.count() == 0
+    assert out.columns == [
+        "item_a", "item_b", "n_a", "n_b", "n_both", "n_baskets",
+        "conf_ab_e6", "conf_ba_e6", "lift_e6",
+    ]
