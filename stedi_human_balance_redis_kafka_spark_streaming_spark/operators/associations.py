@@ -42,6 +42,12 @@ def basket_affinity(
     self-join's inputs, not just its output.  ``max_basket_width``
     (opt-in): RAISE if any basket holds more surviving items — the
     loud guard against a mega-basket straggler (see inline comment).
+    NOTE the guard is an EAGER plan-time action (one extra Spark job
+    per call — a partial-aggregable width rollup — same contract as
+    ``embedding_cosine_pairs``'s max_rows gate): opting in means
+    paying that scan up front so the C(width,2) fan-out is never even
+    planned, and the check is point-in-time — it reflects the input
+    at call time, not at the caller's later action.
 
     Output, one row per surviving unordered pair (item_a < item_b
     lexicographically — deterministic total order, no ties possible):

@@ -1515,7 +1515,28 @@ def strongly_connected_components(
             seeds = spark.createDataFrame(
                 [(pivot * 2,), (pivot * 2 + 1,)], "node long"
             )
-            reach, held = _reach_set(tagged, seeds, max_iter=bfs_max_iter)
+            try:
+                reach, held = _reach_set(
+                    tagged, seeds, max_iter=bfs_max_iter
+                )
+            except RuntimeError as exc:
+                # The inner reach pass is bounded by THIS caller's
+                # bfs_max_iter knob, but bfs_distances can only name
+                # its own max_iter parameter — re-raise naming the
+                # knob the caller must actually turn (ADVICE r11),
+                # mirroring the coloring-fixpoint raise below.
+                # bfs_distances released its own checkpoint handle
+                # before raising; release this frame's here.
+                live_handle.unpersist(False)
+                for h in (*comp_handles, nodes0_handle):
+                    h.unpersist(False)
+                raise RuntimeError(
+                    f"strongly_connected_components: the pivot "
+                    f"reachability pass did not exhaust its frontier "
+                    f"within bfs_max_iter={bfs_max_iter} rounds; "
+                    f"raise bfs_max_iter (reach depth exceeds the "
+                    f"bound)"
+                ) from exc
             fwd = reach.filter(F.expr("node & 1") == 0).select(
                 F.expr("shiftright(node, 1)").alias("node")
             )

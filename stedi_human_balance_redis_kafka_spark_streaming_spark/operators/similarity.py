@@ -1452,6 +1452,17 @@ def _sq8_recon(
     ]
     codes = xi.crossJoin(F.broadcast(mm)).select("vec_id", *code_cols)
     if cache_key is not None:
+        # Deliberately TWO cache entries (ADVICE r11): the pair may
+        # split — LRU can evict one, and the n-row codes frame can
+        # exceed the collect cap while the 1-row [mn,mx] frame never
+        # does (cached minmax + live codes).  Every mix is safe by the
+        # cache's core invariant: both frames are pure deterministic
+        # functions of the SAME fingerprinted corpus (integer min/max
+        # + truncating-div codes, no RNG, no timestamps), so a cached
+        # copy is bit-identical to a live rebuild and any cached/live
+        # combination reconstructs the same values.  A corpus change
+        # rotates ``cache_key`` itself, so entries from different
+        # corpora can never pair.
         mm = _cached_build(mm, ("sq8_minmax", cache_key, dim))
         codes = _cached_build(codes, ("sq8_codes", cache_key, dim))
     recon_cols = []

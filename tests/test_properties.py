@@ -1872,7 +1872,10 @@ def test_scc_deep_graph_uses_bfs_bound_not_outer_bound(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(12)}
-    with pytest.raises(RuntimeError, match="max_iter"):
+    # the failure message must name the CALLER's knob (bfs_max_iter),
+    # not the inner bfs_distances max_iter parameter (ADVICE r11: a
+    # bare match='max_iter' passed on the wrong message by substring)
+    with pytest.raises(RuntimeError, match="bfs_max_iter"):
         graph.strongly_connected_components(
             df, max_iter=3, bfs_max_iter=4
         ).collect()
