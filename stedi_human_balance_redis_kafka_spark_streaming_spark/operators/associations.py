@@ -20,7 +20,7 @@ consumes directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _E6 = 1_000_000
@@ -147,4 +147,106 @@ def basket_affinity(
                 f"as bigint)"
             ).alias("lift_e6"),
         )
+    )
+
+
+def sequence_kgrams(
+    events: DataFrame,
+    *,
+    ks: tuple[int, ...] = (2, 3),
+    min_support: int = 1,
+    seq_col: str = "user_id",
+    item_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    sep: str = ">",
+) -> DataFrame:
+    """Sequential pattern mining: CONTIGUOUS item k-grams over per-key
+    ordered sequences, with sequence-level support — the ordered
+    complement of :func:`basket_affinity` (unordered co-occurrence)
+    and of the first-order Markov transition matrix
+    (``events_type_transitions`` counts occurrences; a sequential
+    pattern's support counts SEQUENCES containing the pattern, the
+    GSP/PrefixSpan support definition restricted to contiguous
+    patterns — the session-flow / curriculum-signal shape an
+    LLM-pipeline session miner asks for).
+
+    ``events``: one row per (sequence key, item, order columns).
+    ``ks``: the k-gram lengths to mine (each produces its own rows).
+    ``min_support``: minimum number of DISTINCT sequences a k-gram
+    must appear in (the classic support count).  ``order_cols`` must
+    be a TOTAL order within each sequence (the default (ts, event_id)
+    is collision-free on the events table) — a partial order would
+    make the k-grams themselves nondeterministic.  ``sep`` joins item
+    names into the gram label; items must not contain it (the events
+    vocabulary is 5 plain words; document-style vocabularies should
+    pass a control character).
+
+    Output, one row per surviving (k, gram):
+
+    - ``k``: pattern length;
+    - ``gram``: the ``sep``-joined contiguous item sequence;
+    - ``n_seqs``: distinct sequences containing the gram (support);
+    - ``n_occ``: total occurrences corpus-wide (a gram repeating
+      inside one sequence counts every occurrence here, once in
+      ``n_seqs``).
+
+    Scale shape: ONE sequence-keyed exchange serves every k (the lead
+    window over (seq, order)); gram assembly is a narrow map; the
+    rollup is a groupBy on the item-vocabulary-bounded (k, gram) key
+    — |items|^k cells at most, metadata-sized for event-type-like
+    vocabularies.  The distinct-sequence count shuffles (k, gram,
+    seq) once before the final partial-aggregable count — bounded by
+    the input row count, never quadratic.  Skewed sequence keys cost
+    only the window sort (no fan-out: a sequence of length L emits
+    exactly L−k+1 rows per k).
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if not ks or any(k < 2 for k in ks):
+        raise ValueError(f"ks must be lengths >= 2, got {ks!r}")
+    kmax = max(ks)
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    s = events.select(
+        seq_col, *order_cols, F.col(item_col).alias("__t0")
+    ).withColumns(
+        {
+            f"__t{j}": F.lead("__t0", j).over(w)
+            for j in range(1, kmax)
+        }
+    )
+    # Every k's grams derive from the SAME windowed frame via one
+    # array + explode — a per-k union would re-scan, re-shuffle, and
+    # re-sort the input once per k (verified in the physical plan:
+    # union planned 2 Windows, this plans 1).  A row emits the grams
+    # STARTING at it: k entries, null where the tail runs past the
+    # sequence end (lead null), filtered after the explode.
+    gram_structs = F.array(
+        *[
+            F.when(
+                F.col(f"__t{k - 1}").isNotNull(),
+                F.struct(
+                    F.lit(k).cast("int").alias("k"),
+                    F.concat_ws(
+                        sep, *[F.col(f"__t{j}") for j in range(k)]
+                    ).alias("gram"),
+                ),
+            )
+            for k in sorted(ks)
+        ]
+    )
+    grams = (
+        s.select(
+            F.col(seq_col).alias("__seq"),
+            F.explode(gram_structs).alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
+        .select("__seq", F.col("__g.k").alias("k"), F.col("__g.gram").alias("gram"))
+    )
+    return (
+        grams.groupBy("k", "gram")
+        .agg(
+            F.countDistinct("__seq").alias("n_seqs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_seqs") >= min_support)
     )

@@ -10,7 +10,7 @@ dashboards and drift diffs join on ``col_name``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # dtypes whose min/max render identically as strings in Spark and
@@ -194,4 +194,82 @@ def profile_drift(
         )
         .otherwise(F.lit(True))
         .alias("bounds_changed"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Robust outlier profile per group: lower-median / lower-MAD
+    (median absolute deviation) and the count of values whose absolute
+    deviation exceeds ``k``·MAD — the robust dual of the z-score gate
+    (``events_anomaly_outliers``): a single wild value shifts a mean
+    and inflates a stddev (masking itself), but moves a median/MAD not
+    at all, which is why data-quality monitors prefer the MAD flag on
+    heavy-tailed feeds.
+
+    Exactness contract: ``value_col`` must already be an integer-
+    quantized value (the repo policy — e.g. cents / e6 units); the
+    median is the LOWER median — the value at 1-indexed position
+    ``(n+1) div 2`` of the (value, id) total order, an ELEMENT of the
+    data, never an average of two — and the MAD is the lower median of
+    |v − med|.  Every statistic and the ``k``·MAD comparison is then
+    exact int64, so a SQL oracle replays the whole profile
+    bit-for-bit.  The flag is STRICT (dev > k·MAD): on a degenerate
+    group where > half the values are identical, MAD = 0 and every
+    value off the median flags — the documented behavior, not an
+    error (such a feed IS anomalous).  Null values are excluded from
+    n and every statistic.
+
+    Output: (group, n, med, mad, n_outliers), one row per group.
+
+    Scale shape: two group-keyed sorted windows (the value order and
+    the deviation order — the unavoidable price of EXACT order
+    statistics; both windows share the ``group_col`` exchange key) and
+    two broadcast joins of the |groups|-row median/MAD frames; the
+    final rollup is partial-aggregable.  At extreme group sizes,
+    pre-filter each selection with an approximate percentile band
+    around the target rank (same kept element, bounded sort input) —
+    the ``sample_quota`` playbook; the exact form is the oracle-
+    checkable contract.
+    """
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(id_col).alias("__id"),
+        v.cast("long").alias("__v"),
+    )
+
+    def _lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        wo = Window.partitionBy("__g").orderBy(col, "__id")
+        wp = Window.partitionBy("__g")
+        return (
+            frame.withColumn("__rn", F.row_number().over(wo))
+            .withColumn("__n", F.count("*").over(wp))
+            .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select("__g", F.col(col).alias(out))
+        )
+
+    med = _lower_median(base, "__v", "__med")
+    dev = base.join(F.broadcast(med), "__g").withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    mad = _lower_median(dev, "__dev", "__mad")
+    return (
+        dev.join(F.broadcast(mad), "__g")
+        .groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("__med").alias("med"),
+            F.max("__mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__dev") > F.lit(int(k)) * F.col("__mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
     )

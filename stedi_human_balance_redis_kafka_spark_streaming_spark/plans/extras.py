@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import associations
+from ..operators import associations, profiling
 from ..operators.asof import asof_join
 from ..sources.files import load_table
 from . import synthetic
@@ -3853,4 +3853,153 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return associations.basket_affinity(
         baskets, min_support=_BASKET_MINSUP
+    )
+
+
+_SEQ_MINSUP = 10
+
+
+@register(
+    "events_seq_patterns",
+    # Sequential pattern mining: contiguous event-type k-grams (k=2,3)
+    # per user timeline under the total order (ts, event_id), support =
+    # DISTINCT users containing the gram (the GSP support definition),
+    # occurrences counted separately.  lead() under a total order is
+    # deterministic; counts are exact ints.
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT CAST(2 AS INTEGER) AS k, user_id, t0 || '>' || t1 AS gram
+      FROM s WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), user_id, t0 || '>' || t1 || '>' || t2
+      FROM s WHERE t2 IS NOT NULL
+    )
+    SELECT k, gram,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_seqs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g GROUP BY k, gram
+    HAVING COUNT(DISTINCT user_id) >= {_SEQ_MINSUP}
+    """,
+)
+def events_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining over user event timelines
+    (operators/associations.sequence_kgrams): contiguous event-type
+    k-grams (k = 2, 3) with sequence-level support — how many users'
+    ordered histories CONTAIN each flow, plus total occurrences.  The
+    ordered complement of the transition matrix
+    (events_type_transitions: corpus-wide first-order occurrence
+    counts) and of the unordered basket rules
+    (orders_basket_affinity): session-flow mining's support is
+    per-sequence containment, the GSP/PrefixSpan definition restricted
+    to contiguous patterns.
+
+    min_support = 10 users: at sf0.001 (15 users) it genuinely prunes
+    — most 3-grams fall below it — while at sf0.01 (150 users) the
+    full 25+125-cell gram table clears it, so the oracle checks both a
+    biting and a non-biting regime across the driver's SFs.
+
+    Scale shape: ONE user-keyed exchange serves both k's (shared lead
+    window); the rollup key is vocabulary-bounded (5² + 5³ cells); the
+    distinct-user support count shuffles (k, gram, user) once —
+    linear, never quadratic; skewed users cost only the window sort
+    (L−k+1 rows out per user of length L, no fan-out).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return associations.sequence_kgrams(
+        ev,
+        ks=(2, 3),
+        min_support=_SEQ_MINSUP,
+        seq_col="user_id",
+        item_col="event_type",
+        order_cols=("ts", "event_id"),
+    )
+
+
+@register(
+    "events_mad_outliers",
+    # Robust outlier profile: lower-median + lower-MAD per event type
+    # over cents-quantized values, flag = |v − med| > 5·MAD, all exact
+    # int64 (the lower median is an ELEMENT at 1-indexed rank
+    # (n+1)//2 of the (value, event_id) total order — never an average
+    # of two, so both engines select the identical value).
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT event_type, v AS med FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+      ) WHERE rn = (n + 1) // 2
+    ), d AS (
+      SELECT e.event_type, e.event_id, m.med, abs(e.v - m.med) AS dev
+      FROM e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, dev AS mad FROM (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(d.med) AS BIGINT) AS med_c,
+           CAST(MAX(md.mad) AS BIGINT) AS mad_c,
+           CAST(SUM(CASE WHEN d.dev > 5 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event type
+    (operators/profiling.mad_outliers) — the robust dual of the
+    z-score gate ``events_anomaly_outliers``: a wild value shifts a
+    mean and inflates a stddev (masking itself) but cannot move a
+    median, so heavy-tailed feeds keep their flags honest.  Values
+    enter the exact-integer domain as cents (the established
+    ``round(value·100)`` idiom); lower-median and lower-MAD are
+    order-statistic ELEMENTS under the (value, event_id) total order,
+    and the 5·MAD flag is an int64 comparison — the DuckDB oracle
+    replays every statistic bit-for-bit.
+
+    Scale shape: two event_type-keyed sorted windows (the price of
+    EXACT order statistics; both share the exchange key) + two
+    broadcast joins of the 5-row median/MAD frames + one
+    partial-aggregable rollup.  At extreme group sizes pre-filter each
+    selection to an approximate percentile band around the target rank
+    (same selected element, bounded sort input).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    out = profiling.mad_outliers(
+        ev.filter(F.col("v_c").isNotNull()),
+        value_col="v_c",
+        group_col="event_type",
+        id_col="event_id",
+        k=5,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("med").alias("med_c"),
+        F.col("mad").alias("mad_c"),
+        "n_outliers",
     )

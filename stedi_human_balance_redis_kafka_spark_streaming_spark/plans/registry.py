@@ -4828,6 +4828,19 @@ from . import extras  # noqa: E402,F401
 # parity suite (tests/test_oracle_parity.py runs ALL of them), but outside
 # the driver window by design.  tests/test_registry_window.py enforces the
 # invariants.
+#
+# ZERO-SUM ERA (round 12 onward): the round-11 rotation drained the
+# never-driver-hashed pool to zero and the ratchet cap is now 0, so the
+# invariant changes character — there is no backlog left to promote, and
+# every NEW primary registration must displace a veteran IN THE SAME
+# COMMIT: pick a query driver-hashed in (at least) the two most recent
+# rounds whose family keeps an in-window representative, append it to
+# EXTENDED_QUERIES with a rotation comment naming the newcomer it yields
+# to, and add the newcomer's birth round to
+# tests/data/registry_birth.json.  The FRESHNESS ratchet
+# (test_registry_window.py: r7+ registrations must reach the window
+# within 4 rounds) keeps a newcomer from being parked in the tail
+# instead.
 
 DRIVER_CHECK_WINDOW = 50
 
@@ -5122,6 +5135,28 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # every round, and the binning machinery they share is also
     # exercised in-window by events_retention_cohorts' bucketing
     "orders_profile_drift",
+    # --- round-12 rotation: the never-hashed pool is ZERO and the
+    # backlog cap is ZERO (the r11 rotation drained it), so the window
+    # is now ZERO-SUM — every NEW primary registration must name the
+    # twice-hashed veteran it displaces IN THE SAME CHANGE, each with
+    # an in-window family sibling.  Round 12 registers four new
+    # operators; their four displaced veterans: ---
+    # TPC-H: q2/q9 (first-hashed r10, confirmed r11) yield to the new
+    # sequential-pattern and MAD-outlier queries; the family stays
+    # carried in-window by the eight r11-first-hashed q-shapes
+    # (q8/q13/q14/q15/q16/q18/q20/q21, staying for confirmation) + q6's
+    # r09-r11 record behind them
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    # curation sampling: upsample (r10+r11-verified) yields to the new
+    # SRP-LSH recall eval; split/rebalance/sample_quota/sample_weighted
+    # + semantic_decontaminate keep the curation family in-window
+    "curation_upsample",
+    # sketches: the windowed CMS grid monitor (r10+r11-verified) yields
+    # to the new per-key weighted-reservoir query; cms_watchlist +
+    # hll_overlap keep the sketch family in-window (and the batch dual
+    # of the grid monitor remains parity-green every round)
+    "events_cms_window_monitor",
 )
 
 

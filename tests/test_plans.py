@@ -380,3 +380,19 @@ def test_graph_scc_not_cartesian(spark):
     # trim + FW-BW peeling: degree checks, anti-joins, and frontier
     # expansions only — never CartesianProduct in the final plan
     assert "CartesianProduct" not in _plan(spark, "graph_scc")
+
+
+def test_seq_patterns_single_window_no_join(spark):
+    """Sequential k-gram mining: ONE user-keyed lead window shared by
+    every k (two Window operators in the plan would mean each k paid
+    its own sort), a vocabulary-bounded groupBy rollup, and no join of
+    any kind — the operator is linear in the input."""
+    import re
+
+    plan = _plan(spark, "events_seq_patterns")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    # exactly one Window OPERATOR in the numbered plan tree (the name
+    # also appears in the operator's detail block, so count tree lines)
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Window") == 1, ops

@@ -2046,3 +2046,121 @@ def test_basket_affinity_empty_input(spark):
         "item_a", "item_b", "n_a", "n_b", "n_both", "n_baskets",
         "conf_ab_e6", "conf_ba_e6", "lift_e6",
     ]
+
+
+def _seq_kgrams_reference(rows, ks, minsup):
+    """Pure-python replay of sequence_kgrams: per-key (order, tiebreak)
+    total-order sort, contiguous k-grams, per-sequence containment
+    support + corpus occurrence counts."""
+    seqs = {}
+    for key, order, tb, item in rows:
+        seqs.setdefault(key, []).append((order, tb, item))
+    out = {}
+    for key, evs in seqs.items():
+        items = [it for _, _, it in sorted(evs)]
+        for k in ks:
+            for i in range(len(items) - k + 1):
+                gram = ">".join(items[i : i + k])
+                users, nocc = out.setdefault((k, gram), (set(), 0))
+                out[(k, gram)] = (users | {key}, nocc + 1)
+    return {
+        kg: (len(users), nocc)
+        for kg, (users, nocc) in out.items()
+        if len(users) >= minsup
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # sequence key
+            st.integers(min_value=0, max_value=9),    # order value (ties!)
+            st.integers(min_value=0, max_value=999),  # tiebreak
+            st.sampled_from(["a", "b", "c"]),         # item
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1], r[2]),       # total order per key
+    ),
+    minsup=st.integers(min_value=1, max_value=3),
+)
+def test_sequence_kgrams_matches_reference(spark, rows, minsup):
+    """sequence_kgrams == the pure-python replay on arbitrary keyed
+    sequences with colliding order values broken by the tiebreak:
+    identical gram set, containment support, and occurrence counts at
+    every min_support, for k=2 and k=3 mined together."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    df = spark.createDataFrame(
+        list(rows), "seq long, ord long, tb long, item string"
+    )
+    got = {
+        (r.k, r.gram): (r.n_seqs, r.n_occ)
+        for r in associations.sequence_kgrams(
+            df,
+            ks=(2, 3),
+            min_support=minsup,
+            seq_col="seq",
+            item_col="item",
+            order_cols=("ord", "tb"),
+        ).collect()
+    }
+    assert got == _seq_kgrams_reference(rows, (2, 3), minsup)
+
+
+def _mad_reference(rows, k):
+    """Pure-python replay of mad_outliers: lower medians as rank
+    (n+1)//2 elements under the (value, id) total order, strict k·MAD
+    flag, exact ints."""
+    groups = {}
+    for g, i, v in rows:
+        if v is not None:
+            groups.setdefault(g, []).append((v, i))
+    out = {}
+    for g, vs in groups.items():
+        n = len(vs)
+        med = sorted(vs)[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), i) for v, i in vs)
+        mad = devs[(n + 1) // 2 - 1][0]
+        out[g] = (
+            n, med, mad,
+            sum(1 for v, _ in vs if abs(v - med) > k * mad),
+        )
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # group
+            st.integers(min_value=0, max_value=999),    # id (tiebreak)
+            st.integers(min_value=-1000, max_value=1000),  # value (ties!)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    k=st.integers(min_value=0, max_value=6),
+)
+def test_mad_outliers_matches_reference(spark, rows, k):
+    """mad_outliers == the pure-python order-statistic replay on
+    arbitrary grouped integer values with duplicates: identical lower
+    median, lower MAD, and strict k·MAD outlier count — including the
+    degenerate MAD=0 regime (every off-median value flags) and
+    negative values."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        profiling,
+    )
+
+    df = spark.createDataFrame(list(rows), "g long, id long, v long")
+    got = {
+        r.g: (r.n, r.med, r.mad, r.n_outliers)
+        for r in profiling.mad_outliers(
+            df, value_col="v", group_col="g", id_col="id", k=k
+        ).collect()
+    }
+    assert got == _mad_reference(rows, k)
