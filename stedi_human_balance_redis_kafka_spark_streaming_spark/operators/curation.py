@@ -164,6 +164,77 @@ def sample_weighted(
     )
 
 
+def weighted_reservoir_per_key(
+    df: DataFrame,
+    k: int,
+    *,
+    key_col: str,
+    weight_col: str,
+    id_col: str,
+    salt: str = "",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Per-key weighted reservoir sampling with EXACT A-ES semantics and
+    exact-integer arithmetic: keep ``min(k, |key group|)`` rows per
+    ``key_col`` group, each row's inclusion following weighted sampling
+    WITHOUT replacement (Efraimidis–Spirakis A-ES) on its integer
+    weight.
+
+    The textbook A-ES priority is ``u^(1/w)`` (equivalently an
+    exponential clock ``-ln(u)/w``) — floating-point ``ln`` whose last
+    ulp differs across engines.  This operator uses the min-of-uniforms
+    equivalence instead: draw ``w`` independent uniforms per row and
+    rank rows by their MINIMUM.  All ``Σw`` draws are i.i.d., so the
+    row owning the global minimum is any given row with probability
+    ``w_i / Σw``, and ranking rows by their min replays exactly the
+    successive-selection process of sampling without replacement
+    proportional to weight — the A-ES distribution with zero
+    logarithms.  Each draw is the 60-bit integer from the first 15 hex
+    digits of ``md5(salt || id || '-' || i)``, so priorities are pure
+    integer functions of (salt, id, w): reproducible across engines,
+    runs, and partitionings, and bit-replayable by a DuckDB oracle.
+
+    Weights must be integers in ``[1, max_weight]`` — the draw count IS
+    the weight, so the cap bounds per-row work; the bound is ENFORCED
+    row-side (``raise_error`` branch, same policy as
+    :func:`sample_weighted`) because a silently huge weight would plan
+    an unbounded ``sequence()``.  For large/unbounded weights use
+    :func:`sample_weighted`'s ``H div (w+1)`` priority instead (heavier-
+    tailed inclusion odds, but O(1) per row).
+
+    Scale shape: the priority is a per-row expression (no shuffle —
+    ``array_min`` over a ``transform``'d ``sequence``, ≤ max_weight md5
+    calls per row), and selection is ONE key-partitioned window rank.
+    At extreme group sizes pre-filter with an approximate priority
+    threshold before the window, as with :func:`sample_quota`.
+
+    Output: the input columns plus ``priority`` (the winning draw,
+    BIGINT), ≤ k rows per key.
+    """
+    draw = (
+        f"cast(conv(substr(md5(concat('{salt}',"
+        f" cast({id_col} as string), '-', cast(i as string))),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    pri = F.expr(
+        f"CASE WHEN {weight_col} < 1 OR {weight_col} > {max_weight}"
+        f" THEN raise_error(concat('weighted_reservoir_per_key: weight in"
+        f" {weight_col} outside [1, {max_weight}]: ',"
+        f" cast({weight_col} as string)))"
+        f" ELSE array_min(transform(sequence(1,"
+        f" cast({weight_col} as int)), i -> {draw})) END"
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("priority").asc_nulls_last(), F.col(id_col)
+    )
+    return (
+        df.withColumn("priority", pri)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -666,6 +666,148 @@ def embedding_bucketed_pairs(
     return pairs
 
 
+def srp_weights(
+    num_hyperplanes: int, dim: int, salt: str = "srp", span: int = 1000
+) -> list[list[int]]:
+    """Deterministic signed-random-projection hyperplanes: integer
+    components in ``[-span, span]`` derived from
+    ``md5(salt-h-j)`` — a pure function of (salt, h, j), computed ONCE
+    driver-side and embedded as literals in both the Spark plan and the
+    DuckDB oracle text, so the two engines cannot disagree on the
+    projection."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{salt}-{h}-{j}".encode()).hexdigest()[:15], 16
+            ) % (2 * span + 1) - span
+            for j in range(dim)
+        ]
+        for h in range(num_hyperplanes)
+    ]
+
+
+def srp_lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    num_hyperplanes: int = 16,
+    bands: int = 4,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+    salt: str = "srp",
+) -> DataFrame:
+    """Cosine near-dup pairs via SIGNED RANDOM PROJECTION (hyperplane)
+    LSH — the data-independent alternative to the trained IVF index of
+    :func:`embedding_bucketed_pairs`.
+
+    Each vector gets a ``num_hyperplanes``-bit signature: bit ``h`` is
+    the SIGN of its dot product with deterministic integer hyperplane
+    ``h`` (:func:`srp_weights`).  Sign agreement probability for a pair
+    at angle θ is ``1 − θ/π`` (Charikar's SimHash bound for real
+    vectors), so the bits are banded — ``bands`` keys of
+    ``num_hyperplanes/bands`` bits — and a pair becomes a candidate iff
+    it collides in at least one band.  Candidates are verified with the
+    exact rounded cosine, so every emitted pair is a true ≥ threshold
+    pair; banding only bounds RECALL (measured by the registered
+    ``dedup_srp_recall`` eval against the brute-force truth).
+
+    Determinism: vectors enter the integer domain as
+    ``round(v*quant)`` int64 (the k-means quantization idiom), so each
+    dot product is an exact integer and the sign bit — hence the
+    signature, the candidate set, and (with the shared rounded-cosine
+    verify) the result — is bit-replayable by a DuckDB oracle.
+
+    Scale shape: signatures are ONE linear map-side projection (no
+    shuffle; ``num_hyperplanes × dim`` integer mult-adds per row);
+    candidate generation is an equi-join on (band, key) — linear in
+    corpus + intra-bucket pairs, never all-pairs; the verify join is
+    equi on the candidate ids.  At corpus scale, raise bits-per-band
+    (e.g. 8 bands × 16 bits) so bucket sizes stay bounded: collision
+    probability per band falls geometrically in bits while the
+    signature stage stays one projection.  Skewed buckets (near-zero
+    vectors agree on every hyperplane) split under AQE skew-join.
+
+    Output: (vec_a, vec_b, cos_sim), vec_a < vec_b, rounded
+    cosine ≥ threshold.
+    """
+    if num_hyperplanes % bands != 0:
+        raise ValueError(
+            f"num_hyperplanes ({num_hyperplanes}) must divide evenly into "
+            f"bands ({bands})"
+        )
+    r = num_hyperplanes // bands
+    dim = embedding_dim(emb)
+    ws = srp_weights(num_hyperplanes, dim, salt=salt)
+    v = F.col("embedding").cast("array<double>")
+    # Quantized flat int64 columns for the sign stage + double norm/dims
+    # for the verify stage — both from one scan, flattened so the whole
+    # signature is codegen'd scalar arithmetic (see embedding_cosine_pairs
+    # for the measured flat-vs-array rationale).
+    e = emb.select(
+        "vec_id",
+        norm_unrolled(v, dim).alias("nrm"),
+        *flatten(v, "d", dim),
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(par)
+    q = [
+        F.round(F.col(f"d{j}") * quant).cast("long").alias(f"q{j}")
+        for j in range(dim)
+    ]
+    eq = e.select("vec_id", *q)
+
+    def _dot(h: int):
+        terms = [
+            F.col(f"q{j}") * F.lit(w) for j, w in enumerate(ws[h]) if w != 0
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    def _band_key(b: int):
+        key = F.lit(0).cast("long")
+        for h in range(b * r, (b + 1) * r):
+            key = key + F.when(
+                _dot(h) >= 0, F.lit(1 << (h - b * r)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return key
+
+    sig = eq.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_band_key(b) for b in range(bands)])
+        ).alias("band", "bkey"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea, eb = e.alias("ea"), e.alias("eb")
+    cos = F.round(
+        flat_dot("ea.d", "eb.d", dim) / (F.col("ea.nrm") * F.col("eb.nrm")),
+        round_digits,
+    )
+    return (
+        cand.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
+        .join(eb, F.col("vec_b") == F.col("eb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _snm_key(text_col: str, key_chars: int, token_sorted: bool = False):
     """SNM blocking-key expression: first ``key_chars`` chars of the
     normalized (trimmed, lowercased, whitespace-collapsed) text.  With

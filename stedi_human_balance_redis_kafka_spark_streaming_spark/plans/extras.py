@@ -4003,3 +4003,194 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").alias("mad_c"),
         "n_outliers",
     )
+
+
+# --------------------------------------------------------------------------
+# Round-13 operators: SRP hyperplane LSH eval + per-key weighted reservoir
+# --------------------------------------------------------------------------
+
+from ..operators import curation, dedup  # noqa: E402
+from ..session import scope_caches  # noqa: E402
+from .registry import _SQL_COS, _SQL_EMB  # noqa: E402
+
+# SRP parameters: 16 hyperplanes in 4 bands of 4 bits.  The weights are
+# computed ONCE here (pure md5 function of (salt, h, j)) and embedded as
+# literals in BOTH the Spark plan and the oracle text — the engines
+# cannot disagree on the projection.
+_SRP_H, _SRP_BANDS = 16, 4
+_SRP_R = _SRP_H // _SRP_BANDS
+_SRP_DIM = 64  # constant across all generated testdata SFs (_EMB_DIM)
+_SRP_WS = dedup.srp_weights(_SRP_H, _SRP_DIM)
+_SQL_SRP_WS_ROWS = ", ".join(f"({h}, {w})" for h, w in enumerate(_SRP_WS))
+
+
+@register(
+    "dedup_srp_recall",
+    # Index-quality eval for the signed-random-projection LSH path:
+    # pair counts for the brute-force cosine truth, the SRP-banded
+    # index (both verified at the same rounded-cosine threshold), and
+    # their overlap — one exact-int row, the dedup_lsh_recall /
+    # dedup_embedding_recall shape.  Sign bits are exact int64 dots of
+    # round(v*1e6) vectors against the literal integer hyperplanes, so
+    # signatures/bands/candidates replay bit-for-bit.
+    oracle=f"""
+    WITH e AS ({_SQL_EMB}),
+    exact AS (
+      SELECT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_SQL_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.4
+    ),
+    eqv AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+      FROM e
+    ),
+    ws AS (SELECT * FROM (VALUES {_SQL_SRP_WS_ROWS}) AS t(h, w)),
+    dots AS (
+      SELECT eqv.vec_id, ws.h,
+             list_sum(list_transform(generate_series(1, {_SRP_DIM}),
+                                     i -> eqv.vq[i] * ws.w[i])) AS dot
+      FROM eqv CROSS JOIN ws
+    ),
+    bk AS (
+      SELECT vec_id, h // {_SRP_R} AS band,
+             SUM(CASE WHEN dot >= 0 THEN 1 << (h % {_SRP_R}) ELSE 0 END) AS bkey
+      FROM dots GROUP BY vec_id, h // {_SRP_R}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    srp AS (
+      SELECT vec_a, vec_b FROM (
+        SELECT cand.vec_a, cand.vec_b,
+               {_SQL_COS.format(a="ea.v", b="eb.v")} AS cos_sim
+        FROM cand
+        JOIN e ea ON cand.vec_a = ea.vec_id
+        JOIN e eb ON cand.vec_b = eb.vec_id
+      ) WHERE cos_sim >= 0.4
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM srp) AS n_srp,
+           (SELECT COUNT(*) FROM exact x JOIN srp s
+             ON x.vec_a = s.vec_a AND x.vec_b = s.vec_b) AS n_overlap
+    """,
+)
+def dedup_srp_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    num_hyperplanes: int = _SRP_H,
+    bands: int = _SRP_BANDS,
+) -> DataFrame:
+    """SRP-LSH index eval: pair counts for the brute-force cosine truth,
+    the signed-random-projection banded index
+    (operators/dedup.srp_lsh_pairs — data-INdependent hyperplane LSH,
+    the untrained complement of the IVF index that
+    dedup_embedding_recall evaluates), and their overlap — one
+    exact-int row (recall = n_overlap / n_exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Persist both (tiny) pair sets: each feeds its own count AND the
+    # overlap join (see dedup_lsh_recall for the measured rationale);
+    # scoped to the returned frame so a long session releases them.
+    exact = (
+        dedup.embedding_cosine_pairs(emb, threshold=0.4)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    srp = (
+        dedup.srp_lsh_pairs(
+            emb, threshold=0.4,
+            num_hyperplanes=num_hyperplanes, bands=bands,
+        )
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    overlap = exact.join(srp, ["vec_a", "vec_b"])
+    ret = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(srp.agg(F.count("*").alias("n_srp")))
+        .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
+    )
+    return scope_caches(ret, exact, srp)
+
+
+_RESERVOIR_K = 25
+
+
+@register(
+    "events_weighted_reservoir",
+    # Per-key A-ES weighted reservoir with exact-integer priorities:
+    # weight = 1 + min(7, floor(value/15)) draws per event, each draw
+    # the 60-bit md5 int of 'event_id-i', priority = MIN draw (the
+    # min-of-uniforms equivalence — ranking by the min of w i.i.d.
+    # uniforms replays weighted sampling WITHOUT replacement exactly,
+    # with zero -ln(u)/w floats), keep the k smallest per event type.
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, event_id, value,
+             CAST(1 + least(7, greatest(CAST(0 AS BIGINT),
+                                        CAST(floor(value / 15) AS BIGINT)))
+                  AS BIGINT) AS weight
+      FROM events WHERE value IS NOT NULL
+    ), p AS (
+      SELECT event_type, event_id, value, weight,
+             list_min(list_transform(generate_series(1, weight), i ->
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                        || '-' || CAST(i AS VARCHAR)),
+                                    1, 15)) AS BIGINT))) AS priority
+      FROM w
+    )
+    SELECT event_type, event_id, value, weight, priority FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY priority, event_id) AS rk
+      FROM p
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def events_weighted_reservoir(
+    spark: SparkSession, sf_dir: str, *, k: int = _RESERVOIR_K
+) -> DataFrame:
+    """Per-key weighted reservoir sample: k events per event type, drawn
+    with EXACT A-ES (weighted-without-replacement) semantics on an
+    integer weight from the event value
+    (operators/curation.weighted_reservoir_per_key — min-of-uniforms
+    priorities, all int64, bit-replayable).  The per-key complement of
+    the per-stratum quality sampler ``curation_sample_weighted``
+    (whose ``H div (w+1)`` priority is the O(1)-per-row approximation
+    for unbounded weights; here the bounded 1..8 weight buys the exact
+    distribution).
+
+    Scale shape: priorities are one map-side projection (≤ 8 md5 calls
+    per row, no shuffle); selection is ONE key-partitioned window rank.
+    Reproducible across engines, runs, and partitionings — a 100 TB
+    'sample hot events harder' step that is auditable by replay.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    weighted = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.lit(1).cast("long")
+            + F.least(
+                F.lit(7).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(F.col("value") / 15).cast("long"),
+                ),
+            )
+        ).alias("weight"),
+    )
+    return curation.weighted_reservoir_per_key(
+        weighted,
+        k,
+        key_col="event_type",
+        weight_col="weight",
+        id_col="event_id",
+    ).select("event_type", "event_id", "value", "weight", "priority")

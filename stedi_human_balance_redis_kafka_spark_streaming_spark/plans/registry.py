@@ -5139,8 +5139,9 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # backlog cap is ZERO (the r11 rotation drained it), so the window
     # is now ZERO-SUM — every NEW primary registration must name the
     # twice-hashed veteran it displaces IN THE SAME CHANGE, each with
-    # an in-window family sibling.  Round 12 registers four new
-    # operators; their four displaced veterans: ---
+    # an in-window family sibling.  Round 12 registered TWO new
+    # operators (events_seq_patterns, events_mad_outliers); their two
+    # displaced veterans: ---
     # TPC-H: q2/q9 (first-hashed r10, confirmed r11) yield to the new
     # sequential-pattern and MAD-outlier queries; the family stays
     # carried in-window by the eight r11-first-hashed q-shapes
@@ -5148,12 +5149,19 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # r09-r11 record behind them
     "q2_min_cost_supplier",
     "q9_product_profit",
+    # --- round-13 rotation: round 12 ALSO demoted the next two
+    # veterans one round early (its ledger claimed SRP-LSH and
+    # weighted-reservoir newcomers that had not landed — VERDICT r12
+    # flagged the two vacant slots); round 13 registers those two
+    # operators FOR REAL, restoring the window to 50 primaries: ---
     # curation sampling: upsample (r10+r11-verified) yields to the new
-    # SRP-LSH recall eval; split/rebalance/sample_quota/sample_weighted
-    # + semantic_decontaminate keep the curation family in-window
+    # SRP-LSH recall eval (dedup_srp_recall, birth r13);
+    # split/rebalance/sample_quota/sample_weighted +
+    # semantic_decontaminate keep the curation family in-window
     "curation_upsample",
     # sketches: the windowed CMS grid monitor (r10+r11-verified) yields
-    # to the new per-key weighted-reservoir query; cms_watchlist +
+    # to the new per-key weighted-reservoir query
+    # (events_weighted_reservoir, birth r13); cms_watchlist +
     # hll_overlap keep the sketch family in-window (and the batch dual
     # of the grid monitor remains parity-green every round)
     "events_cms_window_monitor",

@@ -396,3 +396,40 @@ def test_seq_patterns_single_window_no_join(spark):
     # also appears in the operator's detail block, so count tree lines)
     ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert ops.count("Window") == 1, ops
+
+
+def test_weighted_reservoir_single_exchange_group_limit(spark):
+    """Per-key weighted reservoir: priorities are map-side expressions
+    and selection is ONE key-partitioned window — a single Exchange in
+    the plan, with WindowGroupLimit pushing the top-k BELOW it (only
+    ~k rows per key per partition shuffle), and no join anywhere."""
+    import re
+
+    plan = _plan(spark, "events_weighted_reservoir")
+    assert "Join" not in plan
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Exchange") == 1, ops
+    assert ops.count("Window") == 1, ops
+    # rank-limit pushdown: a partial WindowGroupLimit before the
+    # exchange and the final one after — the 100 TB lever
+    assert ops.count("WindowGroupLimit") == 2, ops
+
+
+def test_srp_pairs_banded_equi_join_only(spark):
+    """srp_lsh_pairs (the scale path, standalone — NOT the eval query,
+    whose exact truth side is the deliberately-gated brute force):
+    candidate generation and verify are equi-joins on (band, key) and
+    vec ids — never CartesianProduct / BroadcastNestedLoopJoin."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    df = srp_lsh_pairs(load_table(spark, SF, "embeddings"), threshold=0.4)
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2164,3 +2164,164 @@ def test_mad_outliers_matches_reference(spark, rows, k):
         ).collect()
     }
     assert got == _mad_reference(rows, k)
+
+
+# --------------------------------------------------------------------------
+# round 13: per-key weighted reservoir (A-ES min-of-uniforms) + SRP-LSH
+# --------------------------------------------------------------------------
+
+
+def _reservoir_reference(rows, k):
+    """Pure-python replay of weighted_reservoir_per_key: per row, w
+    md5-derived 60-bit draws, priority = min; per key keep the k
+    smallest (priority, id)."""
+    import hashlib
+
+    by_key = {}
+    for key, rid, w in rows:
+        p = min(
+            int(hashlib.md5(f"{rid}-{i}".encode()).hexdigest()[:15], 16)
+            for i in range(1, w + 1)
+        )
+        by_key.setdefault(key, []).append((p, rid))
+    return {
+        (key, rid): p
+        for key, lst in by_key.items()
+        for p, rid in sorted(lst)[:k]
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key
+            st.integers(min_value=0, max_value=999),  # id
+            st.integers(min_value=1, max_value=8),    # weight
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[1],
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_weighted_reservoir_matches_reference(spark, rows, k):
+    """weighted_reservoir_per_key == the pure-python md5 min-of-uniforms
+    replay: identical kept set AND identical winning priorities per
+    (key, id), at every k."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        weighted_reservoir_per_key,
+    )
+
+    df = spark.createDataFrame(list(rows), "key long, id long, w long")
+    got = {
+        (r.key, r.id): r.priority
+        for r in weighted_reservoir_per_key(
+            df, k, key_col="key", weight_col="w", id_col="id"
+        ).collect()
+    }
+    assert got == _reservoir_reference(rows, k)
+
+
+def test_weighted_reservoir_rejects_out_of_range_weight(spark):
+    """The draw count IS the weight, so out-of-range weights must raise
+    row-side (never silently plan an unbounded sequence())."""
+    import pytest as _pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        weighted_reservoir_per_key,
+    )
+
+    for bad in (0, 65):
+        df = spark.createDataFrame([(1, 1, bad)], "key long, id long, w long")
+        with _pytest.raises(Exception, match="weighted_reservoir_per_key"):
+            weighted_reservoir_per_key(
+                df, 1, key_col="key", weight_col="w", id_col="id"
+            ).collect()
+
+
+def _srp_candidate_reference(vecs, num_hyperplanes, bands, quant=1_000_000):
+    """Pure-python replay of the SRP signature/banding stage: exact
+    integer dots of round(v*quant) against the literal hyperplanes, band
+    keys as bit-sets, candidates = pairs colliding in >= 1 band."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        srp_weights,
+    )
+
+    dim = len(next(iter(vecs.values())))
+    ws = srp_weights(num_hyperplanes, dim)
+    r = num_hyperplanes // bands
+    keys = {}
+    for vid, v in vecs.items():
+        vq = [int(round(x * quant)) for x in v]
+        bits = [
+            sum(q * w for q, w in zip(vq, ws[h])) >= 0
+            for h in range(num_hyperplanes)
+        ]
+        keys[vid] = [
+            sum(1 << (h - b * r) for h in range(b * r, (b + 1) * r) if bits[h])
+            for b in range(bands)
+        ]
+    ids = sorted(vecs)
+    return {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if any(ka == kb for ka, kb in zip(keys[a], keys[b]))
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99),  # vec_id
+            st.lists(
+                # components i/64: binary-exact in float AND double, and
+                # x*1e6 = i*15625 exactly, so the quantization is
+                # round-mode-independent across python/Spark/DuckDB
+                st.integers(min_value=-64, max_value=64),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_srp_pairs_match_candidate_reference(spark, rows):
+    """srp_lsh_pairs with a never-filtering threshold == the pure-python
+    signature/band replay: the emitted pair set is EXACTLY the set of
+    pairs colliding in at least one band (band-completeness: no
+    candidate lost, none invented)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+
+    vecs = {vid: [i / 64.0 for i in comps] for vid, comps in rows}
+    df = spark.createDataFrame(
+        [(vid, v) for vid, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in srp_lsh_pairs(
+            df, threshold=-1.01, num_hyperplanes=8, bands=4
+        ).collect()
+    }
+    assert got == _srp_candidate_reference(vecs, 8, 4)
+
+
+def test_srp_rejects_uneven_bands(spark):
+    import pytest as _pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="divide evenly"):
+        srp_lsh_pairs(df, threshold=0.0, num_hyperplanes=10, bands=4)
