@@ -204,6 +204,23 @@ def sequence_kgrams(
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     if not ks or any(k < 2 for k in ks):
         raise ValueError(f"ks must be lengths >= 2, got {ks!r}")
+    if len(set(ks)) != len(ks):
+        # ks=(2, 2) would build two identical structs per row, silently
+        # doubling n_occ for that k while n_seqs stayed correct
+        # (ADVICE r12) — reject rather than dedupe, so the caller's
+        # typo surfaces instead of half-working.
+        raise ValueError(f"ks must not contain duplicates, got {ks!r}")
+    # Null contract (ADVICE r12): a null item would make concat_ws SKIP
+    # it — emitting a shorter, WRONG gram that still passes the
+    # __t{k-1} notNull filter (where a SQL '||' oracle would null the
+    # gram) — and a null seq key would drop from countDistinct support
+    # while still counting in n_occ.  Neither divergence gets to exist:
+    # null items and null sequence keys are excluded up front, so a
+    # null-admitting schema mines the non-null subsequences on both
+    # engines identically.
+    events = events.filter(
+        F.col(item_col).isNotNull() & F.col(seq_col).isNotNull()
+    )
     kmax = max(ks)
     w = Window.partitionBy(seq_col).orderBy(*order_cols)
     s = events.select(

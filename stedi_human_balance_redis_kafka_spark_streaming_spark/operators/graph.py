@@ -1655,9 +1655,28 @@ def strongly_connected_components(
                 .filter(F.col("ca") == F.col("cb"))
                 .select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
-            reach, held = _reach_set(
-                rev_within, roots, max_iter=bfs_max_iter
-            )
+            try:
+                reach, held = _reach_set(
+                    rev_within, roots, max_iter=bfs_max_iter
+                )
+            except RuntimeError as exc:
+                # Same re-raise contract as the fwbw pivot pass above
+                # (ADVICE r12): this reach is ALSO bounded by the
+                # caller's bfs_max_iter knob, so frontier exhaustion
+                # must name it — not bfs_distances' internal max_iter —
+                # and release this frame's handles (including the
+                # coloring fixpoint's) before surfacing.
+                c_handle.unpersist(False)
+                live_handle.unpersist(False)
+                for h in (*comp_handles, nodes0_handle):
+                    h.unpersist(False)
+                raise RuntimeError(
+                    f"strongly_connected_components: the root "
+                    f"backward-reach pass (coloring engine) did not "
+                    f"exhaust its frontier within "
+                    f"bfs_max_iter={bfs_max_iter} rounds; raise "
+                    f"bfs_max_iter (reach depth exceeds the bound)"
+                ) from exc
             comp = (
                 reach.join(colors.select("node", "color"), "node")
                 .select("node", F.col("color").cast("long").alias("scc"))

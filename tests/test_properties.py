@@ -2325,3 +2325,80 @@ def test_srp_rejects_uneven_bands(spark):
     )
     with _pytest.raises(ValueError, match="divide evenly"):
         srp_lsh_pairs(df, threshold=0.0, num_hyperplanes=10, bands=4)
+
+
+def test_scc_coloring_reach_bound_names_bfs_max_iter(spark):
+    """ADVICE r12: the COLORING engine's root backward-reach pass is
+    also bounded by bfs_max_iter, so its frontier exhaustion must name
+    that knob (not bfs_distances' inner max_iter) — and must not fire
+    while the bound is adequate.  Graph: a 12-cycle plus 0→k shortcuts,
+    so min-label coloring converges in ~2 rounds (0 feeds every node
+    directly) while the backward reach to root 0 needs the full
+    12-deep cycle walk — isolating the reach bound from the coloring
+    fixpoint bound."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [
+        (0, k) for k in range(2, 11)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in graph.strongly_connected_components(
+            df, algorithm="coloring", bfs_max_iter=20
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+    with pytest.raises(RuntimeError, match="backward-reach"):
+        graph.strongly_connected_components(
+            df, algorithm="coloring", bfs_max_iter=5
+        ).collect()
+
+
+def test_sequence_kgrams_rejects_duplicate_ks(spark):
+    """ADVICE r12: ks=(2, 2) would silently double n_occ — reject."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "seq long, ord long, item string"
+    )
+    with pytest.raises(ValueError, match="duplicates"):
+        associations.sequence_kgrams(
+            df, ks=(2, 2), seq_col="seq", item_col="item",
+            order_cols=("ord",),
+        )
+
+
+def test_sequence_kgrams_null_items_and_keys_excluded(spark):
+    """ADVICE r12: a null item must not let concat_ws emit a shortened
+    gram (oracle '||' would null it), and a null sequence key must not
+    count in n_occ while missing from n_seqs.  Nulls are filtered up
+    front: the non-null subsequence is mined, identically on both
+    engines."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    rows = [
+        # seq 1: a, NULL, b  -> filtered to (a, b): gram a>b
+        (1, 1, "a"), (1, 2, None), (1, 3, "b"),
+        # null seq key: must contribute to NOTHING
+        (None, 1, "a"), (None, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "seq long, ord long, item string")
+    got = {
+        (r.k, r.gram): (r.n_seqs, r.n_occ)
+        for r in associations.sequence_kgrams(
+            df, ks=(2,), seq_col="seq", item_col="item",
+            order_cols=("ord",),
+        ).collect()
+    }
+    assert got == {(2, "a>b"): (1, 1)}
