@@ -136,6 +136,7 @@ def assign_nearest_centroid(
 # and bound.
 from .buildcache import INDEX_BUILD_CACHE as _INDEX_BUILD_CACHE  # noqa: E402
 from .buildcache import lookup as _cache_lookup  # noqa: E402
+from .buildcache import rehydrate as _cache_rehydrate  # noqa: E402
 from .buildcache import store as _cache_store  # noqa: E402
 
 _BUILD_CACHE_MAX_ROWS = 250_000
@@ -150,13 +151,13 @@ def _cached_build(df: DataFrame, ckey: tuple) -> DataFrame:
     spark = df.sparkSession
     hit = _cache_lookup(ckey)
     if hit is not None:
-        return spark.createDataFrame(hit, schema=df.schema)
+        return _cache_rehydrate(spark, hit, df.schema)
     rows = df.limit(_BUILD_CACHE_MAX_ROWS + 1).collect()
     if len(rows) > _BUILD_CACHE_MAX_ROWS:
         return df
     data = [tuple(r) for r in rows]
     _cache_store(ckey, data)
-    return spark.createDataFrame(data, schema=df.schema)
+    return _cache_rehydrate(spark, data, df.schema)
 
 
 def kmeans_centroids(
@@ -224,7 +225,7 @@ def kmeans_centroids(
     if ckey is not None:
         hit = _cache_lookup(ckey)
         if hit is not None:
-            return as_double(spark.createDataFrame(hit, schema=schema))
+            return as_double(_cache_rehydrate(spark, hit, schema))
     # Both inputs are read EVERY round (e by the assignment scoring, eq
     # by the update) — persist for the duration of training so each
     # round reuses the materialized flatten/quantize instead of
@@ -1124,7 +1125,7 @@ def pq_codebooks_trained(
         # training makes the cached rows bit-identical to retraining
         hit = _cache_lookup(ckey)
         if hit is not None:
-            return spark.createDataFrame(hit, schema=cb_schema)
+            return _cache_rehydrate(spark, hit, cb_schema)
     e = e.persist()
 
     def _train_subspace(m: int) -> list:
@@ -1475,7 +1476,19 @@ def _sq8_recon(
             .otherwise(mid)
             .alias(f"r{i}")
         )
-    return codes.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
+    recon = codes.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
+    if cache_key is not None:
+        # Third entry of the SQ8 family (r13): the reconstruction VIEW
+        # itself.  It is a pure deterministic function of the two
+        # cached frames above (truncating-div midpoints, no RNG), so
+        # the same any-mix-is-safe invariant applies — but serving it
+        # from the cache skips re-planning the dim-wide CASE/div
+        # projection on EVERY consumer call (measured ~2.7 s of pure
+        # Janino per call at sf0.1, shared by sq8_topk and ivfsq_topk).
+        # Over the row cap the live plan remains the code-table scan,
+        # preserving SQ8's 8×-narrower-IO scale contract.
+        recon = _cached_build(recon, ("sq8_recon", cache_key, dim))
+    return recon
 
 
 def sq8_topk(

@@ -602,7 +602,7 @@ def bpe_merges(
     if ckey is not None:
         hit = buildcache.lookup(ckey)
         if hit is not None:
-            return spark.createDataFrame(hit, schema=_BPE_SCHEMA)
+            return buildcache.rehydrate(spark, hit, _BPE_SCHEMA)
 
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))

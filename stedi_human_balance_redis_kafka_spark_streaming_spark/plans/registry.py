@@ -484,11 +484,34 @@ def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.prefix_candidates(e, 0.7).persist()
     cand.count()
     caches.append(cand)
-    truth = dedup._verify_jaccard(e, cand, 0.7).select("doc_a", "doc_b")
+    # Truth side through the ingest-time build cache (VERDICT r12 #5):
+    # the verified J >= 0.7 pair set is a pure deterministic function
+    # of the corpus (exact integer Jaccard over the complete-by-theorem
+    # candidate set), so it is built once per corpus fingerprint — the
+    # _ann_truth pattern — instead of re-verifying on every run (the
+    # verify join was the eval's wobbliest stage: 2.8-4 s of its
+    # 5.4-9.9 s cross-run spread).  The candidate side stays LIVE —
+    # it is the system under evaluation.
+    fp = table_fingerprint(sf_dir, "documents")
+    tkey = ("prefix_truth", fp, 3, 700000, _MAX_SHINGLE_FREQ)
+    hit = buildcache.lookup(tkey)
+    if hit is not None:
+        truth = buildcache.rehydrate(spark, hit, "doc_a long, doc_b long")
+    else:
+        truth_live = dedup._verify_jaccard(e, cand, 0.7).select(
+            "doc_a", "doc_b"
+        )
+        rows = truth_live.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+        if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+            truth = truth_live  # over-cap corpus: live distributed plan
+        else:
+            data = [(int(r["doc_a"]), int(r["doc_b"])) for r in rows]
+            buildcache.store(tkey, data)
+            truth = buildcache.rehydrate(spark, data, "doc_a long, doc_b long")
     # completeness: |truth ∩ cand| == |truth| — truth is derived FROM
-    # cand here, so equality holds iff verify lost nothing; the oracle
-    # computes truth independently from the FULL join, making the
-    # comparison a real two-sided check.
+    # cand here (once per corpus), so equality holds iff verify lost
+    # nothing; the oracle computes truth independently from the FULL
+    # join, making the comparison a real two-sided check.
     n_co = co.agg(F.count("*").alias("n_coshingled_capped"))
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     tr = truth.persist()
@@ -1474,7 +1497,7 @@ def _dup_pair_graph(
     )
     hit = buildcache.lookup(ckey)
     if hit is not None:
-        return spark.createDataFrame(hit, schema=_DUP_PAIR_SCHEMA)
+        return buildcache.rehydrate(spark, hit, _DUP_PAIR_SCHEMA)
     own: list[DataFrame] = []
     pairs = dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -1498,7 +1521,7 @@ def _dup_pair_graph(
         c.unpersist(False)
     data = [(int(r["doc_a"]), int(r["doc_b"]), float(r["jaccard"])) for r in rows]
     buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema=_DUP_PAIR_SCHEMA)
+    return buildcache.rehydrate(spark, data, _DUP_PAIR_SCHEMA)
 
 
 _EMB_PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
@@ -1526,7 +1549,7 @@ def _emb_pair_graph(
     ckey = ("emb_pairs", fp, threshold, centroid_modulus, train_iters, spill)
     hit = buildcache.lookup(ckey)
     if hit is not None:
-        return spark.createDataFrame(hit, schema=_EMB_PAIR_SCHEMA)
+        return buildcache.rehydrate(spark, hit, _EMB_PAIR_SCHEMA)
     pairs = dedup.embedding_bucketed_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=threshold,
@@ -1540,7 +1563,7 @@ def _emb_pair_graph(
         return pairs
     data = [(int(r["vec_a"]), int(r["vec_b"]), float(r["cos_sim"])) for r in rows]
     buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema=_EMB_PAIR_SCHEMA)
+    return buildcache.rehydrate(spark, data, _EMB_PAIR_SCHEMA)
 
 
 @register("dedup_clusters", oracle=_SQL_CC_ORACLE)
@@ -1711,14 +1734,14 @@ def _cached_pair_truth(
     an unbounded driver materialization."""
     hit = buildcache.lookup(ckey)
     if hit is not None:
-        return spark.createDataFrame(hit, schema="query_id long, vec_id long")
+        return buildcache.rehydrate(spark, hit, "query_id long, vec_id long")
     bf = build_fn().select("query_id", "vec_id")
     rows = bf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
     if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
         return bf
     data = [(int(r["query_id"]), int(r["vec_id"])) for r in rows]
     buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema="query_id long, vec_id long")
+    return buildcache.rehydrate(spark, data, "query_id long, vec_id long")
 
 
 def _ann_truth(
@@ -2329,7 +2352,7 @@ def _mmr_candidates(
     schema = "query_id long, vec_id long, rel_e6 long"
     hit = buildcache.lookup(ckey)
     if hit is not None:
-        return spark.createDataFrame(hit, schema=schema)
+        return buildcache.rehydrate(spark, hit, schema)
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
     cand = similarity.brute_force_topk(emb, q, k=n_cand).select(
@@ -2342,7 +2365,7 @@ def _mmr_candidates(
         return None
     data = [(int(r["query_id"]), int(r["vec_id"]), int(r["rel_e6"])) for r in rows]
     buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema=schema)
+    return buildcache.rehydrate(spark, data, schema)
 
 
 def _mmr_pair_sims(
@@ -2361,7 +2384,7 @@ def _mmr_pair_sims(
     schema = "query_id long, va long, vb long, sim_e6 long"
     hit = buildcache.lookup(ckey)
     if hit is not None:
-        return spark.createDataFrame(hit, schema=schema)
+        return buildcache.rehydrate(spark, hit, schema)
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_modulus(emb, query_modulus)
     # replicate the operator's bounded pair construction (identical for
@@ -2404,7 +2427,7 @@ def _mmr_pair_sims(
         for r in rows
     ]
     buildcache.store(ckey, data)
-    return spark.createDataFrame(data, schema=schema)
+    return buildcache.rehydrate(spark, data, schema)
 
 
 @register("ann_mmr_topk", oracle=_sql_mmr(_MMR_K, _MMR_CAND, _MMR_LAM10))

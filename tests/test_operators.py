@@ -752,7 +752,10 @@ def test_sq8_build_artifacts_ride_the_cache(vec_corpus):
     fresh = sorted(map(tuple, similarity.sq8_topk(
         vec_corpus, q, k=5, shortlist=8, cache_key=key).collect()))
     kinds = {k[0] for k in similarity._INDEX_BUILD_CACHE if k[1] == key}
-    assert kinds == {"sq8_codes", "sq8_minmax"}
+    # r13 adds the reconstruction VIEW as a third entry (a pure
+    # deterministic function of the first two — serving it skips the
+    # per-call dim-wide CASE/div re-plan)
+    assert kinds == {"sq8_codes", "sq8_minmax", "sq8_recon"}
     cached = sorted(map(tuple, similarity.sq8_topk(
         vec_corpus, q, k=5, shortlist=8, cache_key=key).collect()))
     assert cached == fresh
@@ -760,7 +763,7 @@ def test_sq8_build_artifacts_ride_the_cache(vec_corpus):
     nokey = sorted(map(tuple, similarity.sq8_topk(
         vec_corpus, q, k=5, shortlist=8).collect()))
     assert nokey == fresh
-    assert len([k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]) == 2
+    assert len([k for k in similarity._INDEX_BUILD_CACHE if k[1] == key]) == 3
 
 
 def test_index_build_cache_lru_eviction(monkeypatch):
