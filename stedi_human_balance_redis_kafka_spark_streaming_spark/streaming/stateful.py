@@ -1127,6 +1127,93 @@ def windowed_cms_watchlist(
     )
 
 
+def windowed_seq_kgrams(
+    events: DataFrame,
+    *,
+    ks: tuple[int, ...] = (2, 3),
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    seq_col: str = "user_id",
+    item_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    sep: str = ">",
+) -> DataFrame:
+    """Streaming dual of sequential pattern mining
+    (operators/associations.sequence_kgrams): per closed event-time
+    window, every contiguous item k-gram of each key's time-ordered
+    in-window history, one output row per OCCURRENCE.
+
+    The production split (the windowed_cms_watchlist convention):
+    the STREAM emits per-(window, key) session flows — the live
+    "what did this user's session look like" signal — while
+    corpus-wide SUPPORT mining (distinct sequences containing a gram,
+    min_support pruning) stays the batch job's business: a streaming
+    per-gram distinct-key count is unbounded state, exactly like
+    streaming heavy-hitter discovery.
+
+    Plan shape: ONE stateful operator — a watermarked windowed
+    aggregate collecting each key's in-window (order_cols, item)
+    structs; ``sort_array`` orders them by the struct's lexicographic
+    field order, so ``order_cols`` is the same total-order contract as
+    the batch miner (no per-key window function exists on a stream —
+    the sorted-array aggregate IS the streaming form of that sort).
+    Gram expansion is a STATELESS post-aggregate projection (slice +
+    array_join per k, size-guarded so short sequences emit nothing),
+    exploded to one row per occurrence.  State per (window-in-delay,
+    active key) is that key's in-window event count — bounded by
+    per-key-per-window activity, watermark-evicted; late rows beyond
+    the watermark drop rather than corrupting an emitted flow.
+
+    Works unchanged on a BATCH frame (withWatermark is a no-op), which
+    is what the stream==batch pytest replays — and the batch miner
+    itself cross-checks the expansion: grouping this output by
+    (k, gram) reproduces sequence_kgrams' n_occ on the windowed key.
+
+    Output (append on window close):
+    (win_start, <seq_col>, k, gram).
+    """
+    if not ks or any(k < 2 for k in ks):
+        raise ValueError(f"ks must be lengths >= 2, got {ks!r}")
+    if len(set(ks)) != len(ks):
+        raise ValueError(f"ks must not contain duplicates, got {ks!r}")
+    e = events.filter(
+        F.col(item_col).isNotNull() & F.col(seq_col).isNotNull()
+    ).withWatermark("ts", watermark)
+    agg = e.groupBy(F.window("ts", win).alias("w"), F.col(seq_col)).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(*order_cols, F.col(item_col).alias("__it"))
+            )
+        ).alias("__s")
+    )
+    # Per-k gram structs from the one sorted array; sequence(1, n) is
+    # DESCENDING for n < 1, so each k is explicitly size-guarded.
+    gram_arrays = [
+        F.expr(
+            f"IF(size(__s) >= {k}, "
+            f"transform(sequence(1, size(__s) - {k - 1}), i -> "
+            f"struct(CAST({k} AS INT) AS k, "
+            f"array_join(slice(transform(__s, x -> x.__it), i, {k}), "
+            f"'{sep}') AS gram)), "
+            f"CAST(array() AS array<struct<k: int, gram: string>>))"
+        )
+        for k in sorted(ks)
+    ]
+    return (
+        agg.select(
+            F.col("w.start").alias("win_start"),
+            seq_col,
+            F.explode(F.flatten(F.array(*gram_arrays))).alias("__g"),
+        )
+        .select(
+            "win_start",
+            seq_col,
+            F.col("__g.k").alias("k"),
+            F.col("__g.gram").alias("gram"),
+        )
+    )
+
+
 def streaming_phash_flags(
     blobs: DataFrame,
     index_blobs: DataFrame,

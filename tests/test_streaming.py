@@ -1479,3 +1479,71 @@ def test_streaming_phash_index_version_swap(spark, tmp_path):
     assert (3, 200) in pairs           # matches the v2 addition
     assert (3, 100) not in pairs       # shape-novel vs the old member
     assert (1, 200) not in pairs       # old arrival never re-probed
+
+
+def test_windowed_seq_kgrams_stream_matches_batch_and_miner(spark, tmp_path):
+    """Streaming sequential-pattern dual: closed windows' per-key gram
+    occurrences equal the batch dual on the same rows, late-batch rows
+    only land in their own window, and rolling the stream output up by
+    (k, gram) reproduces the batch miner's n_occ on the windowed key."""
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, user_id long"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "view", 7),
+        (2, _ts("2024-01-01T10:10:00"), "click", 7),
+        (3, _ts("2024-01-01T10:15:00"), "view", 7),
+        (4, _ts("2024-01-01T10:20:00"), "click", 7),
+        (5, _ts("2024-01-01T10:12:00"), "view", 8),
+        (6, _ts("2024-01-01T10:18:00"), "buy", 8),
+        (7, _ts("2024-01-01T10:30:00"), "view", 9),   # lone event: no gram
+    ]
+    b1 = [(8, _ts("2024-01-01T14:00:00"), "view", 1)]  # watermark advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "seqk", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_seq_kgrams(sdf),
+        f"seqk_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.win_start.isoformat(), r.user_id, r.k, r.gram)
+        for r in out.collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert got == [
+        ("2024-01-01T10:00:00", 7, 2, "click>view"),
+        ("2024-01-01T10:00:00", 7, 2, "view>click"),
+        ("2024-01-01T10:00:00", 7, 2, "view>click"),
+        ("2024-01-01T10:00:00", 7, 3, "click>view>click"),
+        ("2024-01-01T10:00:00", 7, 3, "view>click>view"),
+        ("2024-01-01T10:00:00", 8, 2, "view>buy"),
+    ]
+    # stream == batch dual (withWatermark is a no-op on a batch frame)
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = sorted(
+        (r.win_start.isoformat(), r.user_id, r.k, r.gram)
+        for r in stateful.windowed_seq_kgrams(batch_df).collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert got == expected
+    # the expansion cross-checks the batch MINER: per-(k, gram)
+    # occurrence rollup of the windowed output == sequence_kgrams'
+    # n_occ over the same in-window rows
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    mined = {
+        (r.k, r.gram): r.n_occ
+        for r in associations.sequence_kgrams(
+            batch_df, ks=(2, 3), min_support=1
+        ).collect()
+    }
+    rolled: dict = {}
+    for _, _, k, gram in got:
+        rolled[(k, gram)] = rolled.get((k, gram), 0) + 1
+    assert rolled == mined
