@@ -267,3 +267,86 @@ def sequence_kgrams(
         )
         .filter(F.col("n_seqs") >= min_support)
     )
+
+
+def followed_by_pairs(
+    events: DataFrame,
+    *,
+    min_support: int = 1,
+    seq_col: str = "user_id",
+    item_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """GAPPED sequential pairs — "a eventually followed by b": the
+    PrefixSpan containment rule for length-2 patterns (an occurrence of
+    ``a`` strictly before an occurrence of ``b``, ANY gap), where
+    :func:`sequence_kgrams` requires adjacency.  The session-mining
+    question this answers ("users who view eventually buy") is ordered
+    like a k-gram but gap-tolerant like a basket rule — the third
+    corner next to basket_affinity (unordered) and sequence_kgrams
+    (contiguous).
+
+    Support is per-sequence containment: a sequence supports (a, b)
+    iff its FIRST ``a`` precedes its LAST ``b`` under the
+    ``order_cols`` total order — the first/last reduction is exact for
+    the exists-i<j rule (any witnessing pair implies first(a) < j ≤
+    last(b), and conversely), and it covers a == b for free: positions
+    are distinct ranks, so first(a) < last(a) iff ``a`` occurs twice.
+    Null items / sequence keys are excluded up front (the
+    sequence_kgrams contract).
+
+    Output, one row per surviving ordered pair (a == b allowed):
+
+    - ``antecedent`` / ``consequent``: the items;
+    - ``n_ante``: sequences containing the antecedent at all;
+    - ``n_both``: sequences where antecedent precedes consequent
+      (the pattern's support; ``>= min_support`` survives);
+    - ``conf_e6``: ``n_both·10⁶ div n_ante`` — exact-integer
+      directional confidence, the basket_affinity idiom.
+
+    Scale shape: positions are ONE sequence-keyed rank window; the
+    (seq, item) reduction collapses the fact table to ≤ |vocab| rows
+    per sequence BEFORE the pair stage, so the seq-keyed self-join
+    fans out at most |per-seq vocab|² rows per sequence (never L²
+    position pairs — the reason occurrence counting is left to the
+    contiguous miner); the rollup key is vocabulary²-bounded.  A
+    skewed power-user key costs its window sort and |vocab|² join
+    rows, not its event count squared.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    e = events.filter(
+        F.col(item_col).isNotNull() & F.col(seq_col).isNotNull()
+    )
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    p = e.select(
+        F.col(seq_col).alias("__seq"),
+        F.col(item_col).alias("__it"),
+        F.row_number().over(w).alias("__pos"),
+    )
+    si = p.groupBy("__seq", "__it").agg(
+        F.min("__pos").alias("__first"),
+        F.max("__pos").alias("__last"),
+    ).persist()
+    if caches is not None:
+        caches.append(si)
+    n_ante = si.groupBy(F.col("__it").alias("antecedent")).agg(
+        F.count("*").cast("long").alias("n_ante")
+    )
+    a = si.select("__seq", F.col("__it").alias("antecedent"), "__first")
+    b = si.select("__seq", F.col("__it").alias("consequent"), "__last")
+    pairs = a.join(b, "__seq").filter(F.col("__first") < F.col("__last"))
+    return (
+        pairs.groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+        .join(F.broadcast(n_ante), "antecedent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ante",
+            "n_both",
+            F.expr("n_both * 1000000 div n_ante").cast("long").alias("conf_e6"),
+        )
+    )

@@ -5188,6 +5188,11 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # hll_overlap keep the sketch family in-window (and the batch dual
     # of the grid monitor remains parity-green every round)
     "events_cms_window_monitor",
+    # time-series gapfill: LOCF (r11+r12-verified) yields to the new
+    # gapped followed-by rules (events_followed_by, birth r13); its
+    # sibling events_gapfill_rollup — the same grid-densify machinery —
+    # stays in-window, and LOCF remains parity-green every round
+    "events_gapfill_locf",
 )
 
 

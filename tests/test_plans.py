@@ -433,3 +433,16 @@ def test_srp_pairs_banded_equi_join_only(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_followed_by_vocab_bounded_joins_no_cartesian(spark):
+    """Gapped followed-by rules: ONE rank window; the pair stage joins
+    the (session, item)-reduced frame on the session key (vocab²
+    fan-out per session, never L² position pairs); no cartesian —
+    the only BNLJ-free shape that survives a power-user key."""
+    import re
+
+    plan = _plan(spark, "events_followed_by")
+    assert "CartesianProduct" not in plan
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Window") == 1, ops

@@ -2402,3 +2402,80 @@ def test_sequence_kgrams_null_items_and_keys_excluded(spark):
         ).collect()
     }
     assert got == {(2, "a>b"): (1, 1)}
+
+
+def _followed_by_reference(rows, minsup):
+    """Pure-python replay of followed_by_pairs: exists-i<j gapped
+    containment via the first/last reduction, truncating-div e6
+    confidence."""
+    seqs = {}
+    for seq, o1, o2, item in rows:
+        if seq is not None and item is not None:
+            seqs.setdefault(seq, []).append(((o1, o2), item))
+    si = {}
+    for seq, evs in seqs.items():
+        order = [it for _, it in sorted(evs)]
+        for pos, it in enumerate(order):
+            f, l = si.get((seq, it), (None, None))
+            si[(seq, it)] = (
+                pos if f is None else f,
+                pos,
+            )
+    n_ante = {}
+    for (seq, it) in si:
+        n_ante[it] = n_ante.get(it, 0) + 1
+    n_both = {}
+    by_seq = {}
+    for (seq, it), (f, l) in si.items():
+        by_seq.setdefault(seq, []).append((it, f, l))
+    for items in by_seq.values():
+        for a, fa, _ in items:
+            for b, _, lb in items:
+                if fa < lb:
+                    n_both[(a, b)] = n_both.get((a, b), 0) + 1
+    return {
+        (a, b): (n_ante[a], n, n * 1_000_000 // n_ante[a])
+        for (a, b), n in n_both.items()
+        if n >= minsup
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # seq key
+            st.integers(min_value=0, max_value=9),    # order major (ties!)
+            st.integers(min_value=0, max_value=999),  # order tiebreak
+            st.sampled_from(["a", "b", "c"]),         # item
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[2]),
+    ),
+    minsup=st.integers(min_value=1, max_value=3),
+)
+def test_followed_by_matches_reference(spark, rows, minsup):
+    """followed_by_pairs == the pure-python gapped-containment replay
+    on arbitrary keyed sequences with colliding order values broken by
+    the tiebreak: identical pair set, supports, antecedent counts, and
+    e6 confidences at every min_support — including a == b pairs
+    (two-occurrence rule)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    df = spark.createDataFrame(
+        list(rows), "seq long, o1 long, o2 long, item string"
+    )
+    got = {
+        (r.antecedent, r.consequent): (r.n_ante, r.n_both, r.conf_e6)
+        for r in associations.followed_by_pairs(
+            df,
+            min_support=minsup,
+            seq_col="seq",
+            item_col="item",
+            order_cols=("o1", "o2"),
+        ).collect()
+    }
+    assert got == _followed_by_reference(rows, minsup)
