@@ -164,6 +164,35 @@ def sample_weighted(
     )
 
 
+def aes_priority(
+    weight_col: str,
+    id_col: str,
+    *,
+    salt: str = "",
+    max_weight: int = 64,
+):
+    """The A-ES min-of-uniforms priority as a reusable map-side
+    expression (see :func:`weighted_reservoir_per_key` for the
+    distribution argument and the weight-bound contract): the minimum
+    of ``weight`` md5-derived 60-bit integer draws, with the
+    [1, max_weight] bound enforced row-side.  Shared by the batch
+    per-key reservoir and its streaming windowed dual
+    (streaming/stateful.windowed_weighted_reservoir)."""
+    draw = (
+        f"cast(conv(substr(md5(concat('{salt}',"
+        f" cast({id_col} as string), '-', cast(i as string))),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    return F.expr(
+        f"CASE WHEN {weight_col} < 1 OR {weight_col} > {max_weight}"
+        f" THEN raise_error(concat('weighted_reservoir_per_key: weight in"
+        f" {weight_col} outside [1, {max_weight}]: ',"
+        f" cast({weight_col} as string)))"
+        f" ELSE array_min(transform(sequence(1,"
+        f" cast({weight_col} as int)), i -> {draw})) END"
+    )
+
+
 def weighted_reservoir_per_key(
     df: DataFrame,
     k: int,
@@ -211,18 +240,8 @@ def weighted_reservoir_per_key(
     Output: the input columns plus ``priority`` (the winning draw,
     BIGINT), ≤ k rows per key.
     """
-    draw = (
-        f"cast(conv(substr(md5(concat('{salt}',"
-        f" cast({id_col} as string), '-', cast(i as string))),"
-        f" 1, 15), 16, 10) as bigint)"
-    )
-    pri = F.expr(
-        f"CASE WHEN {weight_col} < 1 OR {weight_col} > {max_weight}"
-        f" THEN raise_error(concat('weighted_reservoir_per_key: weight in"
-        f" {weight_col} outside [1, {max_weight}]: ',"
-        f" cast({weight_col} as string)))"
-        f" ELSE array_min(transform(sequence(1,"
-        f" cast({weight_col} as int)), i -> {draw})) END"
+    pri = aes_priority(
+        weight_col, id_col, salt=salt, max_weight=max_weight
     )
     w = Window.partitionBy(key_col).orderBy(
         F.col("priority").asc_nulls_last(), F.col(id_col)

@@ -1299,3 +1299,68 @@ def streaming_phash_flags(
         .filter(ham <= max_hamming)
         .select("doc_id", "index_doc_id", "chunk", ham.alias("hamming"))
     )
+
+
+def windowed_weighted_reservoir(
+    events: DataFrame,
+    k: int,
+    *,
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    key_col: str = "event_type",
+    weight_col: str = "weight",
+    id_col: str = "event_id",
+    salt: str = "",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Streaming dual of the per-key weighted reservoir
+    (operators/curation.weighted_reservoir_per_key): per closed
+    event-time window, the k-row A-ES weighted-without-replacement
+    sample of each key's in-window rows — same min-of-uniforms integer
+    priorities (operators/curation.aes_priority), same (priority, id)
+    total order, so the window's sample is bit-identical to running
+    the batch operator on that window's rows (the stream==batch
+    pytest).
+
+    Plan shape: priorities are map-side (≤ max_weight md5 calls per
+    row, bound row-side-enforced); selection is ONE watermarked
+    windowed aggregate collecting each (window, key)'s sorted
+    (priority, id, weight) structs + a stateless slice-k projection —
+    the windowed_seq_kgrams shape.  State per (window-in-delay, active
+    key) is that key's in-window row count; for hard-bounded state at
+    extreme per-key volume, the k-smallest merge belongs in
+    applyInPandasWithState (k rows per key, arrival-order-independent
+    because min-merge is associative-commutative) — this windowed form
+    keeps the exact-replay contract first.
+
+    Output (append on window close):
+    (win_start, <key_col>, <id_col>, <weight_col>, priority).
+    """
+    from ..operators.curation import aes_priority
+
+    pri = aes_priority(
+        weight_col, id_col, salt=salt, max_weight=max_weight
+    )
+    e = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.col(key_col),
+        F.struct(
+            pri.alias("priority"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+        ).alias("__r"),
+    )
+    agg = e.groupBy(F.window("ts", win).alias("w"), F.col(key_col)).agg(
+        F.slice(F.sort_array(F.collect_list("__r")), 1, k).alias("__top")
+    )
+    return agg.select(
+        F.col("w.start").alias("win_start"),
+        key_col,
+        F.explode("__top").alias("__e"),
+    ).select(
+        "win_start",
+        key_col,
+        F.col("__e.id").alias(id_col),
+        F.col("__e.weight").alias(weight_col),
+        F.col("__e.priority").alias("priority"),
+    )

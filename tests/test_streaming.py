@@ -1547,3 +1547,58 @@ def test_windowed_seq_kgrams_stream_matches_batch_and_miner(spark, tmp_path):
     for _, _, k, gram in got:
         rolled[(k, gram)] = rolled.get((k, gram), 0) + 1
     assert rolled == mined
+
+
+def test_windowed_weighted_reservoir_stream_matches_batch(spark, tmp_path):
+    """Streaming weighted reservoir: closed windows' k-samples equal
+    the batch dual on the same rows, and equal the batch PER-KEY
+    reservoir operator run on that window's rows — same priorities,
+    same kept set (the A-ES replay contract survives the stream)."""
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, weight long"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "click", 3),
+        (2, _ts("2024-01-01T10:10:00"), "click", 8),
+        (3, _ts("2024-01-01T10:15:00"), "click", 1),
+        (4, _ts("2024-01-01T10:20:00"), "click", 5),
+        (5, _ts("2024-01-01T10:25:00"), "view", 2),
+        (6, _ts("2024-01-01T10:26:00"), "view", 7),
+    ]
+    b1 = [(7, _ts("2024-01-01T14:00:00"), "view", 1)]  # watermark advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "wres", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_weighted_reservoir(sdf, 2),
+        f"wres_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.event_type, r.event_id, r.weight, r.priority)
+        for r in out.collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert len(got) == 4  # 2 per key
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = sorted(
+        (r.event_type, r.event_id, r.weight, r.priority)
+        for r in stateful.windowed_weighted_reservoir(batch_df, 2).collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert got == expected
+    # and == the batch per-key operator on the window's rows
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        weighted_reservoir_per_key,
+    )
+
+    per_key = sorted(
+        (r.event_type, r.event_id, r.weight, r.priority)
+        for r in weighted_reservoir_per_key(
+            batch_df, 2,
+            key_col="event_type", weight_col="weight", id_col="event_id",
+        ).collect()
+    )
+    assert got == per_key
