@@ -1727,3 +1727,176 @@ def strongly_connected_components(
         caches.extend(handles)
         return out
     return scope_caches(out, *handles)
+
+
+def stress_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_iter: int = 100,
+    caches: list | None = None,
+) -> DataFrame:
+    """Sampled-source STRESS centrality — the path-centrality measure
+    the graph family lacked: for every node v, the number of shortest
+    paths from the sampled ``sources`` that pass THROUGH v as an
+    interior vertex (Shimbel's stress — the integer-exact sibling of
+    betweenness, which weights each (s, t) term by 1/σ_st and is
+    therefore fractional).  Sampling sources is the standard scale
+    treatment (Brandes-Pich): exact all-pairs betweenness is O(n·m)
+    rounds of this same computation.
+
+    Per source s the computation is Brandes' two sweeps in exact
+    int64:
+
+    * forward — layered multi-source BFS carrying ``sigma(s, v)``
+      (shortest-path counts): layer d+1's sigma is the sum of its
+      layer-d predecessors' sigmas (one node-keyed join + partial-agg
+      sum per round, anti-joined against the visited set);
+    * backward — ``h(s, v) = Σ_{w : DAG successor} (h(s, w) + 1)``,
+      the number of shortest-path CONTINUATIONS below v, accumulated
+      one layer at a time from the deepest frontier up (a DAG
+      successor is an edge v→w with dist(w) = dist(v)+1);
+    * ``stress(v) = Σ_s [v ≠ s] sigma(s, v) · h(s, v)`` — every s→t
+      shortest path through interior v factors EXACTLY as (paths
+      s→v) × (continuations v→t), so the product-sum is the exact
+      path count, no fractions anywhere.
+
+    All sources run in ONE tagged frame keyed (s, node) — rounds =
+    graph eccentricity bound, not rounds × |sources|.  The product-sum
+    accumulates in decimal(38,0) (sigma and h are each bounded by the
+    graph's shortest-path counts, which compound multiplicatively on
+    dense layered graphs) and the result casts back to int64 under
+    ANSI — loud overflow, never a silent wrap (the basket-lift
+    policy).
+
+    Output: (node, stress) for every node reachable from at least one
+    source, sources included (a source scores only for OTHER sources'
+    paths through it).  Leaves and endpoints score 0.
+
+    Scale shape: each forward round is one (s, node)-keyed
+    frontier-adjacency join + partial-aggregable sigma sum + one
+    anti-join; each backward round joins one layer to the adjacency
+    and the layer below (both node-keyed equi-joins); lineage is
+    truncated per round via eager localCheckpoint with synchronous
+    release of the superseded round (bfs_distances' contract), and
+    non-convergence RAISES past ``max_iter`` rather than returning
+    truncated counts.
+    """
+    from ..session import checkpoint_handle, scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    fwd = edges.select(a.alias("a"), b.alias("b"))
+    adj = fwd if directed else fwd.unionByName(
+        edges.select(b.alias("a"), a.alias("b"))
+    )
+    adj = adj.filter(F.col("a") != F.col("b")).distinct().persist()
+    adj.count()
+    # forward: visited = (s, node, dist, sigma); frontier = last layer
+    visited = sources.select(
+        F.col("node").cast("long").alias("s"),
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).distinct().localCheckpoint(eager=True)
+    live_handle = checkpoint_handle(visited)
+    frontier = visited.select("s", "node", "sigma")
+    depth = 0
+    converged = False
+    for d in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .groupBy("s", F.col("b").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select("s", F.col("node").alias("node")),
+                ["s", "node"],
+                "left_anti",
+            )
+            .select(
+                "s",
+                "node",
+                F.lit(d).cast("long").alias("dist"),
+                "sigma",
+            )
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            converged = True
+            depth = d - 1
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_handle = checkpoint_handle(visited)
+        live_handle.unpersist(False)
+        live_handle = new_handle
+        frontier = visited.filter(F.col("dist") == d).select(
+            "s", "node", "sigma"
+        )
+        nxt.unpersist()
+    if not converged:
+        live_handle.unpersist(False)
+        adj.unpersist()
+        raise RuntimeError(
+            f"stress_centrality did not exhaust the frontier within "
+            f"max_iter={max_iter} rounds; raise max_iter (graph "
+            "eccentricity exceeds the bound)"
+        )
+    # backward: h per layer, deepest first.  h(deepest) = 0; layer d's
+    # h sums (h + 1) over DAG successors in layer d+1.
+    adj_b = adj.select(
+        F.col("a").alias("node"), F.col("b").alias("succ")
+    )
+    acc = visited.filter(F.col("dist") == depth).select(
+        "s", "node", F.lit(0).cast("long").alias("h")
+    ).localCheckpoint(eager=True)  # rows of every processed layer
+    h_handle = checkpoint_handle(acc)
+    for d in range(depth - 1, -1, -1):
+        layer = visited.filter(F.col("dist") == d).select("s", "node")
+        below = visited.filter(F.col("dist") == d + 1).select(
+            "s", F.col("node").alias("succ")
+        )
+        # DAG successors of this layer: edges into the d+1 layer,
+        # joined to that layer's h values
+        succ_h = (
+            layer.join(adj_b, "node")
+            .join(below, ["s", "succ"])
+            .join(
+                acc.select(
+                    "s", F.col("node").alias("succ"), F.col("h").alias("hs")
+                ),
+                ["s", "succ"],
+            )
+            .groupBy("s", "node")
+            .agg(F.sum(F.col("hs") + F.lit(1)).alias("h"))
+        )
+        lay_h = (
+            layer.join(succ_h, ["s", "node"], "left")
+            .select(
+                "s", "node", F.coalesce("h", F.lit(0).cast("long")).alias("h")
+            )
+        )
+        acc = acc.unionByName(lay_h).localCheckpoint(eager=True)
+        new_h = checkpoint_handle(acc)
+        h_handle.unpersist(False)
+        h_handle = new_h
+    stress = (
+        visited.join(acc, ["s", "node"])
+        .filter(F.col("node") != F.col("s"))
+        .select(
+            "node",
+            (
+                F.col("sigma").cast("decimal(38,0)") * F.col("h")
+            ).alias("p"),
+        )
+        .groupBy("node")
+        .agg(F.sum("p").cast("long").alias("stress"))
+    )
+    adj.unpersist()
+    handles = [live_handle, h_handle]
+    if caches is not None:
+        caches.extend(handles)
+        return stress
+    return scope_caches(stress, *handles)

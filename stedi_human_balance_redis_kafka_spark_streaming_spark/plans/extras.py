@@ -4096,6 +4096,7 @@ def dedup_srp_recall(
     # Persist both (tiny) pair sets: each feeds its own count AND the
     # overlap join (see dedup_lsh_recall for the measured rationale);
     # scoped to the returned frame so a long session releases them.
+    caches: list[DataFrame] = []
     exact = (
         dedup.embedding_cosine_pairs(emb, threshold=0.4)
         .select("vec_a", "vec_b")
@@ -4105,6 +4106,7 @@ def dedup_srp_recall(
         dedup.srp_lsh_pairs(
             emb, threshold=0.4,
             num_hyperplanes=num_hyperplanes, bands=bands,
+            caches=caches,
         )
         .select("vec_a", "vec_b")
         .persist()
@@ -4115,7 +4117,7 @@ def dedup_srp_recall(
         .crossJoin(srp.agg(F.count("*").alias("n_srp")))
         .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
     )
-    return scope_caches(ret, exact, srp)
+    return scope_caches(ret, exact, srp, *caches)
 
 
 _RESERVOIR_K = 25

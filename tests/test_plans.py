@@ -432,7 +432,14 @@ def test_srp_pairs_banded_equi_join_only(spark):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE BroadcastNestedLoopJoin is expected: the
+    # num_hyperplanes-row weights fan-out (a bounded broadcast by
+    # construction — the basket-total precedent); the candidate and
+    # verify joins must stay hash equi-joins.
+    import re
+
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("BroadcastNestedLoopJoin") <= 1, ops
 
 
 def test_followed_by_vocab_bounded_joins_no_cartesian(spark):

@@ -2479,3 +2479,96 @@ def test_followed_by_matches_reference(spark, rows, minsup):
         ).collect()
     }
     assert got == _followed_by_reference(rows, minsup)
+
+
+def _stress_reference(edges, sources):
+    """Pure-python stress centrality: all-pairs BFS sigma, then
+    stress(v) = sum over s in sources, t in nodes of
+    sigma_s(v) * sigma_v(t) where d(s,v) + d(v,t) = d(s,t), v not in
+    {s, t}.  Emits every v reachable from at least one OTHER source
+    (score 0 included)."""
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+
+    def bfs(s):
+        dist, sigma = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        return dist, sigma
+
+    runs = {u: bfs(u) for u in nodes | set(sources)}
+    out = {}
+    for s in sources:
+        ds, ss = runs[s]
+        for v in ds:
+            if v == s:
+                continue
+            out.setdefault(v, 0)
+            dv, sv = runs[v]
+            for t in dv:
+                if t in (v, s):
+                    continue
+                if t in ds and ds[v] + dv[t] == ds[t]:
+                    out[v] += ss[v] * sv[t]
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    n_src=st.integers(min_value=1, max_value=3),
+)
+def test_stress_centrality_matches_reference(spark, edges, n_src):
+    """stress_centrality == the pure-python all-pairs-BFS replay on
+    arbitrary small graphs (self-loops dropped, parallel edges deduped,
+    multi-source overlap): identical node set and exact integer path
+    counts through every interior vertex."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    sources = sorted({a for a, _ in edges})[:n_src]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r.node: r.stress
+        for r in graph.stress_centrality(df, sdf).collect()
+    }
+    assert got == _stress_reference(edges, sources)
+
+
+def test_stress_centrality_raises_past_max_iter(spark):
+    """Non-convergence raises loudly (truncated path counts are wrong
+    answers, not approximations) — a 6-chain needs 5 rounds."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    chain = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        graph.stress_centrality(df, sdf, max_iter=3).collect()
