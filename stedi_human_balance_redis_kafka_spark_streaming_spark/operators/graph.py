@@ -1845,30 +1845,33 @@ def stress_centrality(
             "eccentricity exceeds the bound)"
         )
     # backward: h per layer, deepest first.  h(deepest) = 0; layer d's
-    # h sums (h + 1) over DAG successors in layer d+1.
+    # h sums (h + 1) over DAG successors in layer d+1.  Unlike the
+    # forward pass (which MUST materialize each round to detect the
+    # empty frontier), the backward pass has a KNOWN round count
+    # (depth), so the per-layer frames stay LAZY — the whole chain
+    # executes as stages of the single final job instead of one
+    # driver-scheduled job per layer (measured ~2x on the registered
+    # query, whose cost is job-launch floor, not data).  Lineage depth
+    # is bounded by ``depth``; every 8 layers the accumulated frame is
+    # checkpointed to keep the plan tree shallow on deep graphs.
     adj_b = adj.select(
         F.col("a").alias("node"), F.col("b").alias("succ")
     )
+    handles = [live_handle]
     acc = visited.filter(F.col("dist") == depth).select(
         "s", "node", F.lit(0).cast("long").alias("h")
-    ).localCheckpoint(eager=True)  # rows of every processed layer
-    h_handle = checkpoint_handle(acc)
+    )
+    h = acc  # the layer just processed
     for d in range(depth - 1, -1, -1):
         layer = visited.filter(F.col("dist") == d).select("s", "node")
-        below = visited.filter(F.col("dist") == d + 1).select(
-            "s", F.col("node").alias("succ")
+        below_h = h.select(
+            "s", F.col("node").alias("succ"), F.col("h").alias("hs")
         )
         # DAG successors of this layer: edges into the d+1 layer,
         # joined to that layer's h values
         succ_h = (
             layer.join(adj_b, "node")
-            .join(below, ["s", "succ"])
-            .join(
-                acc.select(
-                    "s", F.col("node").alias("succ"), F.col("h").alias("hs")
-                ),
-                ["s", "succ"],
-            )
+            .join(below_h, ["s", "succ"])
             .groupBy("s", "node")
             .agg(F.sum(F.col("hs") + F.lit(1)).alias("h"))
         )
@@ -1878,10 +1881,14 @@ def stress_centrality(
                 "s", "node", F.coalesce("h", F.lit(0).cast("long")).alias("h")
             )
         )
-        acc = acc.unionByName(lay_h).localCheckpoint(eager=True)
-        new_h = checkpoint_handle(acc)
-        h_handle.unpersist(False)
-        h_handle = new_h
+        acc = acc.unionByName(lay_h)
+        if (depth - d) % 8 == 0:
+            acc = acc.localCheckpoint(eager=True)
+            handles.append(checkpoint_handle(acc))
+            lay_h = acc.filter(F.col("h").isNotNull()).join(
+                layer, ["s", "node"], "left_semi"
+            ).select("s", "node", "h")
+        h = lay_h
     stress = (
         visited.join(acc, ["s", "node"])
         .filter(F.col("node") != F.col("s"))
@@ -1895,7 +1902,6 @@ def stress_centrality(
         .agg(F.sum("p").cast("long").alias("stress"))
     )
     adj.unpersist()
-    handles = [live_handle, h_handle]
     if caches is not None:
         caches.extend(handles)
         return stress

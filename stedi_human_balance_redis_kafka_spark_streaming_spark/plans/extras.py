@@ -4284,3 +4284,131 @@ def events_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         caches=caches,
     )
     return scope_caches(out, *caches)
+
+
+_STRESS_MAX_SEED = 3   # seed customers: c_custkey <= 3 (keys start at 0)
+_STRESS_ORACLE_DEPTH = 6  # layer-unroll cap; purchase-graph depth is ~4
+
+
+def _sql_stress_ctes(depth: int, max_seed: int) -> str:
+    """Layer-unrolled oracle for sampled-source stress centrality,
+    mirroring operators/graph.stress_centrality EXACTLY: forward
+    layers l1..lD carry shortest-path counts (sigma sums over the
+    previous layer's predecessors, anti-joined against the visited
+    set), backward layers hD..h0 carry the continuation counts
+    h = sum over DAG successors of (h + 1), and the product-sum runs
+    in HUGEINT with a final BIGINT cast (the decimal(38,0) twin).
+    Layers past the graph's true depth are empty, so the fixed unroll
+    only needs depth >= eccentricity (Spark runs to frontier
+    exhaustion and RAISES past its own bound).  Every CTE is
+    MATERIALIZED — the chain references each layer twice, and DuckDB
+    inlines non-materialized CTEs per reference (measured 35 s -> 0.05
+    s at sf0.001)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+        "e AS MATERIALIZED (SELECT a AS es, b AS et FROM pairs"
+        " UNION ALL SELECT b, a FROM pairs)",
+        f"l0 AS MATERIALIZED (SELECT c_custkey * 2 AS s,"
+        f" c_custkey * 2 AS node, CAST(1 AS BIGINT) AS sigma"
+        f" FROM customer WHERE c_custkey <= {max_seed})",
+        "vis0 AS MATERIALIZED (SELECT s, node, sigma, 0 AS dist FROM l0)",
+    ]
+    for d in range(1, depth + 1):
+        ctes.append(
+            f"""l{d} AS MATERIALIZED (
+      SELECT l.s, e.et AS node, CAST(SUM(l.sigma) AS BIGINT) AS sigma
+      FROM l{d - 1} l JOIN e ON e.es = l.node
+      ANTI JOIN vis{d - 1} v ON v.s = l.s AND v.node = e.et
+      GROUP BY l.s, e.et)"""
+        )
+        ctes.append(
+            f"vis{d} AS MATERIALIZED (SELECT * FROM vis{d - 1}"
+            f" UNION ALL SELECT s, node, sigma, {d} AS dist FROM l{d})"
+        )
+    ctes.append(
+        f"h{depth} AS MATERIALIZED (SELECT s, node,"
+        f" CAST(0 AS BIGINT) AS h FROM l{depth})"
+    )
+    for d in range(depth - 1, -1, -1):
+        ctes.append(
+            f"""h{d} AS MATERIALIZED (
+      SELECT l.s, l.node, CAST(COALESCE(SUM(h2.h + 1), 0) AS BIGINT) AS h
+      FROM l{d} l
+      LEFT JOIN e ON e.es = l.node
+      LEFT JOIN h{d + 1} h2 ON h2.s = l.s AND h2.node = e.et
+      GROUP BY l.s, l.node)"""
+        )
+    ctes.append(
+        "hall AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM h{d}" for d in range(depth + 1))
+        + ")"
+    )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_stress_centrality",
+    oracle=f"""
+    WITH {_sql_stress_ctes(_STRESS_ORACLE_DEPTH, _STRESS_MAX_SEED)}
+    SELECT CASE WHEN v.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(v.node // 2 AS BIGINT) AS entity_id,
+           CAST(SUM(CAST(v.sigma AS HUGEINT) * ha.h) AS BIGINT) AS stress
+    FROM vis{_STRESS_ORACLE_DEPTH} v
+    JOIN hall ha ON ha.s = v.s AND ha.node = v.node
+    WHERE v.node != v.s
+    GROUP BY 1, 2
+    """,
+)
+def graph_stress_centrality(
+    spark: SparkSession, sf_dir: str, *, max_seed: int = _STRESS_MAX_SEED
+) -> DataFrame:
+    """Sampled-source STRESS centrality of the customer<->supplier
+    purchase graph (operators/graph.stress_centrality): for every
+    entity, the exact number of shortest paths from the seed customers
+    (c_custkey <= 3 — the graph_bfs_hops seed set) that pass THROUGH
+    it — the path-centrality measure the graph family lacked
+    (Shimbel's integer-exact sibling of betweenness; source sampling
+    is the standard Brandes-Pich scale treatment).
+
+    Scale shape: forward = the bfs frontier machinery carrying sigma
+    (one (s, node)-keyed join + partial-agg sum + anti-join per
+    round); backward = a LAZY per-layer chain executed as stages of
+    one job (round count is known after forward); rounds = graph
+    eccentricity (4 here).  Oracle: the identical layers unrolled
+    (:func:`_sql_stress_ctes`), HUGEINT product-sum.
+    """
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= max_seed)
+        .select((F.col("c_custkey") * 2).cast("long").alias("node"))
+    )
+    held: list = []
+    stress = graph.stress_centrality(edges, seeds, caches=held)
+    out = stress.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        "stress",
+    )
+    return scope_caches(out, *held)

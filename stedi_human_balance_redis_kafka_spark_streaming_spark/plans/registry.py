@@ -5193,6 +5193,12 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # sibling events_gapfill_rollup — the same grid-densify machinery —
     # stays in-window, and LOCF remains parity-green every round
     "events_gapfill_locf",
+    # graph: bfs_hops (r10-r12-verified) yields to the new sampled-
+    # source stress centrality (graph_stress_centrality, birth r13),
+    # whose forward pass IS the same frontier machinery carrying
+    # shortest-path counts on the same purchase graph and seed set;
+    # scc/label_propagation/shortest_paths keep the family in-window
+    "graph_bfs_hops",
 )
 
 

@@ -453,3 +453,9 @@ def test_followed_by_vocab_bounded_joins_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert ops.count("Window") == 1, ops
+
+
+def test_graph_stress_centrality_not_cartesian(spark):
+    # frontier expansions, anti-joins, layer joins, and one bounded
+    # decimal product-sum — never CartesianProduct in the final plan
+    assert "CartesianProduct" not in _plan(spark, "graph_stress_centrality")
