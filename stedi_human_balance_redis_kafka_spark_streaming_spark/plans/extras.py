@@ -4096,12 +4096,12 @@ def dedup_srp_recall(
     # Persist both (tiny) pair sets: each feeds its own count AND the
     # overlap join (see dedup_lsh_recall for the measured rationale);
     # scoped to the returned frame so a long session releases them.
+    from .registry import _emb_exact_pairs
+
     caches: list[DataFrame] = []
-    exact = (
-        dedup.embedding_cosine_pairs(emb, threshold=0.4)
-        .select("vec_a", "vec_b")
-        .persist()
-    )
+    # truth side through the shared fingerprint-cached exact pair set
+    # (built once per corpus, shared with dedup_embedding_recall)
+    exact = _emb_exact_pairs(spark, sf_dir, threshold=0.4).persist()
     srp = (
         dedup.srp_lsh_pairs(
             emb, threshold=0.4,

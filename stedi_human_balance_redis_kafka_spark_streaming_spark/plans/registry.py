@@ -1258,17 +1258,12 @@ def dedup_embedding_recall(
     truth, the IVF-bucketed index, and their overlap — one exact-int row
     (recall = n_overlap / n_exact).  Replaces the former standalone
     brute-force result-set query ``dedup_embedding_cosine``."""
-    emb = load_table(spark, sf_dir, "embeddings")
     # Each pair-set feeds BOTH its own count and the overlap join —
     # persist the (tiny) pair results so neither quadratic/bucketed
     # pipeline executes twice in the one action.  Scoped to the returned
     # frame: unpersisted when the caller drops its reference, so a
     # long-lived session does not accumulate cached blocks.
-    exact = (
-        dedup.embedding_cosine_pairs(emb, threshold=0.4)
-        .select("vec_a", "vec_b")
-        .persist()
-    )
+    exact = _emb_exact_pairs(spark, sf_dir, threshold=0.4).persist()
     # index side = the shared ingest-time semantic pair-graph build
     # (_emb_pair_graph, defined below) — also consumed by
     # dedup_multi_signal, so the eval amortizes the bucketing pass.
@@ -1525,6 +1520,34 @@ def _dup_pair_graph(
 
 
 _EMB_PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
+
+
+def _emb_exact_pairs(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.4
+) -> DataFrame:
+    """Shared brute-force cosine TRUTH pair set (vec_a, vec_b) at
+    ``threshold`` through the ingest-time build cache — the _ann_truth
+    pattern applied to the pair-recall evals: the exact all-pairs truth
+    is a pure deterministic function of the corpus, built once per
+    fingerprint and read by BOTH consumers (dedup_embedding_recall and
+    dedup_srp_recall) instead of each re-running the quadratic baseline
+    per run.  LIMIT-gated like every truth build; an over-cap truth set
+    degrades to the live (row-cap-gated) plan."""
+    fp = table_fingerprint(sf_dir, "embeddings")
+    ckey = ("emb_exact_pairs", fp, int(round(threshold * 1e6)))
+    hit = buildcache.lookup(ckey)
+    schema = "vec_a long, vec_b long"
+    if hit is not None:
+        return buildcache.rehydrate(spark, hit, schema)
+    pairs = dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=threshold
+    ).select("vec_a", "vec_b")
+    rows = pairs.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return pairs
+    data = [(int(r["vec_a"]), int(r["vec_b"])) for r in rows]
+    buildcache.store(ckey, data)
+    return buildcache.rehydrate(spark, data, schema)
 
 
 def _emb_pair_graph(
