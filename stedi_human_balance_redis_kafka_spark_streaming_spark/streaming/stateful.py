@@ -1364,3 +1364,65 @@ def windowed_weighted_reservoir(
         F.col("__e.weight").alias(weight_col),
         F.col("__e.priority").alias("priority"),
     )
+
+
+def windowed_followed_by(
+    events: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    win: str = "1 hour",
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Streaming dual of the gapped followed-by rules
+    (operators/associations.followed_by_pairs): per closed event-time
+    window, every ordered item pair (a, b) such that the key's
+    in-window history contains an ``a`` strictly before a ``b``
+    (PrefixSpan length-2 containment; a == b means two occurrences) —
+    one row per supported (window, key, pair), the live per-session
+    signal whose corpus-wide support/confidence rollup stays the batch
+    miner's business (the windowed_seq_kgrams split).
+
+    Plan shape: the SAME single watermarked sorted-array aggregate as
+    windowed_seq_kgrams, then a stateless vocab²-bounded pair
+    expansion — first/last positions read off the sorted item array
+    with array_position (an O(L) scan per distinct item over the
+    bounded in-window history), never an L² position join.
+
+    Output (append on window close):
+    (win_start, <key_col>, antecedent, consequent).
+    """
+    e = events.filter(
+        F.col(item_col).isNotNull() & F.col(key_col).isNotNull()
+    ).withWatermark("ts", watermark)
+    agg = e.groupBy(F.window("ts", win).alias("w"), F.col(key_col)).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(*order_cols, F.col(item_col).alias("__it"))
+            )
+        ).alias("__s")
+    )
+    pair_expr = (
+        "flatten(transform(array_distinct(transform(__s, x -> x.__it)), a ->"
+        " filter(transform(array_distinct(transform(__s, x -> x.__it)), b ->"
+        "  IF(array_position(transform(__s, x -> x.__it), a)"
+        "     < size(__s) + 1"
+        "       - array_position(reverse(transform(__s, x -> x.__it)), b),"
+        "     struct(a AS antecedent, b AS consequent),"
+        "     CAST(NULL AS struct<antecedent: string, consequent: string>))),"
+        "  p -> p IS NOT NULL)))"
+    )
+    return (
+        agg.select(
+            F.col("w.start").alias("win_start"),
+            key_col,
+            F.explode(F.expr(pair_expr)).alias("__p"),
+        )
+        .select(
+            "win_start",
+            key_col,
+            F.col("__p.antecedent").alias("antecedent"),
+            F.col("__p.consequent").alias("consequent"),
+        )
+    )

@@ -1602,3 +1602,66 @@ def test_windowed_weighted_reservoir_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == per_key
+
+
+def test_windowed_followed_by_stream_matches_batch_and_miner(spark, tmp_path):
+    """Streaming gapped followed-by dual: closed windows' per-key pair
+    sets equal the batch dual on the same rows, and equal the batch
+    followed_by_pairs support rollup on the windowed key."""
+    EV_SCHEMA = "event_id long, ts timestamp, event_type string, user_id long"
+    b0 = [
+        (1, _ts("2024-01-01T10:05:00"), "view", 7),
+        (2, _ts("2024-01-01T10:10:00"), "click", 7),
+        (3, _ts("2024-01-01T10:15:00"), "view", 7),
+        (4, _ts("2024-01-01T10:12:00"), "buy", 8),
+        (5, _ts("2024-01-01T10:18:00"), "buy", 8),   # a==b via 2 occurrences
+        (6, _ts("2024-01-01T10:30:00"), "view", 9),  # lone event: no pair
+    ]
+    b1 = [(7, _ts("2024-01-01T14:00:00"), "view", 1)]  # watermark advancer
+    ev_dir = _write_ordered_files(spark, tmp_path, "wfby", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_followed_by(sdf),
+        f"wfby_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user_id, r.antecedent, r.consequent)
+        for r in out.collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert got == [
+        (7, "click", "view"),
+        (7, "view", "click"),
+        (7, "view", "view"),
+        (8, "buy", "buy"),
+    ]
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    expected = sorted(
+        (r.user_id, r.antecedent, r.consequent)
+        for r in stateful.windowed_followed_by(batch_df).collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert got == expected
+    # cross-check the batch MINER: per-pair support rollup of the
+    # stream output == followed_by_pairs' n_both on the windowed key
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    mined = {
+        (r.antecedent, r.consequent): r.n_both
+        for r in associations.followed_by_pairs(
+            batch_df, min_support=1,
+            seq_col="user_id", item_col="event_type",
+        ).collect()
+    }
+    rolled: dict = {}
+    for _, a, b in got:
+        rolled[(a, b)] = rolled.get((a, b), 0) + 1
+    assert rolled == mined
