@@ -183,11 +183,16 @@ def aes_priority(
         f" cast({id_col} as string), '-', cast(i as string))),"
         f" 1, 15), 16, 10) as bigint)"
     )
+    # NULL-aware guard: NULL < 1 is NULL (not true), so without the
+    # explicit IS NULL branch a null weight would slip past the raise
+    # into sequence(1, NULL) -> a NULL priority competing for a slot
+    # whenever the key group holds fewer than k valid rows.
     return F.expr(
-        f"CASE WHEN {weight_col} < 1 OR {weight_col} > {max_weight}"
+        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 1"
+        f" OR {weight_col} > {max_weight}"
         f" THEN raise_error(concat('weighted_reservoir_per_key: weight in"
         f" {weight_col} outside [1, {max_weight}]: ',"
-        f" cast({weight_col} as string)))"
+        f" coalesce(cast({weight_col} as string), 'NULL')))"
         f" ELSE array_min(transform(sequence(1,"
         f" cast({weight_col} as int)), i -> {draw})) END"
     )

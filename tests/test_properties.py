@@ -2232,7 +2232,7 @@ def test_weighted_reservoir_rejects_out_of_range_weight(spark):
         weighted_reservoir_per_key,
     )
 
-    for bad in (0, 65):
+    for bad in (0, 65, None):
         df = spark.createDataFrame([(1, 1, bad)], "key long, id long, w long")
         with _pytest.raises(Exception, match="weighted_reservoir_per_key"):
             weighted_reservoir_per_key(
