@@ -1737,6 +1737,7 @@ def stress_centrality(
     dst: str = "dst",
     directed: bool = False,
     max_iter: int = 100,
+    dedupe_edges: bool = True,
     caches: list | None = None,
 ) -> DataFrame:
     """Sampled-source STRESS centrality — the path-centrality measure
@@ -1792,7 +1793,16 @@ def stress_centrality(
     adj = fwd if directed else fwd.unionByName(
         edges.select(b.alias("a"), a.alias("b"))
     )
-    adj = adj.filter(F.col("a") != F.col("b")).distinct().persist()
+    adj = adj.filter(F.col("a") != F.col("b"))
+    if dedupe_edges:
+        # A duplicated edge would DOUBLE-COUNT sigma (unlike plain
+        # reachability, where distinct is only a perf guard), so the
+        # dedup default stays on.  Pass False only when the input is
+        # provably duplicate-free under symmetrization — e.g. a
+        # deduped bipartite edge list whose two node namespaces cannot
+        # collide — to skip this full-edge-list shuffle.
+        adj = adj.distinct()
+    adj = adj.persist()
     adj.count()
     # forward: visited = (s, node, dist, sigma); frontier = last layer
     visited = sources.select(

@@ -4403,7 +4403,13 @@ def graph_stress_centrality(
         .select((F.col("c_custkey") * 2).cast("long").alias("node"))
     )
     held: list = []
-    stress = graph.stress_centrality(edges, seeds, caches=held)
+    # dedupe_edges=False: the edge list is already DISTINCT and the
+    # 2n/2n+1 bipartite namespaces cannot produce cross-direction
+    # duplicates under symmetrization, so the operator's safety
+    # re-distinct (a full edge-list shuffle) is provably redundant here
+    stress = graph.stress_centrality(
+        edges, seeds, dedupe_edges=False, caches=held
+    )
     out = stress.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
