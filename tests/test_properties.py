@@ -2572,3 +2572,27 @@ def test_stress_centrality_raises_past_max_iter(spark):
     sdf = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(RuntimeError, match="max_iter"):
         graph.stress_centrality(df, sdf, max_iter=3).collect()
+
+
+def test_stress_centrality_directed_chain_and_diamond(spark):
+    """Directed mode: on the diamond 0→{1,2}→3→4, node 3 carries both
+    0→4 paths plus its own continuations as interior vertex of 1→4 /
+    2→4 when those are sources — pinned by hand-computed exact counts
+    (sigma(3)=2 from source 0: h(3)=1 via 4 → stress contribution 2;
+    nodes 1,2 each sigma 1 · h 2)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        graph,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.stress
+        for r in graph.stress_centrality(df, sdf, directed=True).collect()
+    }
+    # from source 0: sigma = {1:1, 2:1, 3:2, 4:2}; h = {1:2, 2:2, 3:1, 4:0}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 0}
+    # reversed direction: nothing reachable from 0 -> empty
+    rev = spark.createDataFrame([(b, a) for a, b in edges], "src long, dst long")
+    assert graph.stress_centrality(rev, sdf, directed=True).count() == 0
