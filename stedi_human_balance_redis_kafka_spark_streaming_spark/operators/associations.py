@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import scope_caches
+
 _E6 = 1_000_000
 
 
@@ -329,15 +331,15 @@ def followed_by_pairs(
         F.min("__pos").alias("__first"),
         F.max("__pos").alias("__last"),
     ).persist()
-    if caches is not None:
-        caches.append(si)
+    own: list[DataFrame] = [] if caches is None else caches
+    own.append(si)
     n_ante = si.groupBy(F.col("__it").alias("antecedent")).agg(
         F.count("*").cast("long").alias("n_ante")
     )
     a = si.select("__seq", F.col("__it").alias("antecedent"), "__first")
     b = si.select("__seq", F.col("__it").alias("consequent"), "__last")
     pairs = a.join(b, "__seq").filter(F.col("__first") < F.col("__last"))
-    return (
+    ret = (
         pairs.groupBy("antecedent", "consequent")
         .agg(F.count("*").cast("long").alias("n_both"))
         .filter(F.col("n_both") >= min_support)
@@ -350,3 +352,4 @@ def followed_by_pairs(
             F.expr("n_both * 1000000 div n_ante").cast("long").alias("conf_e6"),
         )
     )
+    return ret if caches is not None else scope_caches(ret, *own)

@@ -28,10 +28,39 @@ string-comparison semantics, so each has a bit-exact DuckDB oracle
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
+
+_SALT_OK = re.compile(r"^[A-Za-z0-9_\-]*$")
+
+
+def _expr_salt(salt: str) -> str:
+    """Validate a salt destined for an F.expr f-string.  Salts are
+    public API surface shared with the streaming duals and are
+    interpolated into a SQL string literal — a quote (or any other
+    non-identifier character) would break the expression or silently
+    change the md5 input, so the charset is whitelisted instead of
+    escaped (deterministic-sampling salts are version tags, not free
+    text)."""
+    if not _SALT_OK.match(salt):
+        raise ValueError(
+            "salt must match [A-Za-z0-9_-]* (it is interpolated into a "
+            f"SQL literal), got {salt!r}"
+        )
+    return salt
+
+
+def _expr_ident(name: str) -> str:
+    """Backtick-quote a column name for an F.expr f-string, rejecting
+    characters that cannot be made safe inside both the quoted
+    identifier and the raise_error message literal."""
+    if any(c in name for c in ("`", "'", "\\")):
+        raise ValueError(f"unsupported characters in column name: {name!r}")
+    return f"`{name}`"
 
 
 def _hex_threshold(rate: float) -> str:
@@ -146,13 +175,15 @@ def sample_weighted(
     rank; pre-filter with an approximate priority threshold at extreme
     stratum sizes.  Output: input columns, ≤ quota rows per stratum.
     """
+    salt = _expr_salt(salt)
+    q_w, q_id = _expr_ident(weight_col), _expr_ident(id_col)
     pri = F.expr(
-        f"CASE WHEN {weight_col} < 0 THEN raise_error(concat("
+        f"CASE WHEN {q_w} < 0 THEN raise_error(concat("
         f"'sample_weighted: negative weight in {weight_col}: ',"
-        f" cast({weight_col} as string)))"
+        f" cast({q_w} as string)))"
         f" ELSE cast(conv(substr(md5(concat('{salt}',"
-        f" cast({id_col} as string))),"
-        f" 1, 15), 16, 10) as bigint) div ({weight_col} + 1L) END"
+        f" cast({q_id} as string))),"
+        f" 1, 15), 16, 10) as bigint) div ({q_w} + 1L) END"
     )
     w = Window.partitionBy(stratum_col).orderBy(
         pri.asc_nulls_last(), F.col(id_col)
@@ -178,9 +209,11 @@ def aes_priority(
     [1, max_weight] bound enforced row-side.  Shared by the batch
     per-key reservoir and its streaming windowed dual
     (streaming/stateful.windowed_weighted_reservoir)."""
+    salt = _expr_salt(salt)
+    q_w, q_id = _expr_ident(weight_col), _expr_ident(id_col)
     draw = (
         f"cast(conv(substr(md5(concat('{salt}',"
-        f" cast({id_col} as string), '-', cast(i as string))),"
+        f" cast({q_id} as string), '-', cast(i as string))),"
         f" 1, 15), 16, 10) as bigint)"
     )
     # NULL-aware guard: NULL < 1 is NULL (not true), so without the
@@ -188,13 +221,13 @@ def aes_priority(
     # into sequence(1, NULL) -> a NULL priority competing for a slot
     # whenever the key group holds fewer than k valid rows.
     return F.expr(
-        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 1"
-        f" OR {weight_col} > {max_weight}"
+        f"CASE WHEN {q_w} IS NULL OR {q_w} < 1"
+        f" OR {q_w} > {max_weight}"
         f" THEN raise_error(concat('weighted_reservoir_per_key: weight in"
         f" {weight_col} outside [1, {max_weight}]: ',"
-        f" coalesce(cast({weight_col} as string), 'NULL')))"
+        f" coalesce(cast({q_w} as string), 'NULL')))"
         f" ELSE array_min(transform(sequence(1,"
-        f" cast({weight_col} as int)), i -> {draw})) END"
+        f" cast({q_w} as int)), i -> {draw})) END"
     )
 
 

@@ -757,9 +757,9 @@ def srp_lsh_pairs(
     # self-join — persist each once (caches out-param, the
     # minhash_lsh_pairs convention) instead of recompiling the
     # dim-wide projections per branch (measured ~3x on the eval).
+    own: list[DataFrame] = [] if caches is None else caches
     e = e.repartition(par).persist()
-    if caches is not None:
-        caches.append(e)
+    own.append(e)
     # Signature via a BROADCAST weights join + higher-order fold, not a
     # num_hyperplanes×dim unrolled projection: the unrolled form was a
     # ~1,000-term expression whose whole-stage-codegen compile dominated
@@ -798,8 +798,7 @@ def srp_lsh_pairs(
         )
         .persist()
     )
-    if caches is not None:
-        caches.append(sig)
+    own.append(sig)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -819,12 +818,13 @@ def srp_lsh_pairs(
         flat_dot("ea.d", "eb.d", dim) / (F.col("ea.nrm") * F.col("eb.nrm")),
         round_digits,
     )
-    return (
+    ret = (
         cand.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
         .join(eb, F.col("vec_b") == F.col("eb.vec_id"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+    return ret if caches is not None else scope_caches(ret, *own)
 
 
 def _snm_key(text_col: str, key_chars: int, token_sorted: bool = False):

@@ -1911,7 +1911,12 @@ def stress_centrality(
         .groupBy("node")
         .agg(F.sum("p").cast("long").alias("stress"))
     )
-    adj.unpersist()
+    # adj stays persisted until the returned lazy frame is consumed:
+    # the backward h-chain references adj_b once per layer, so an
+    # eager unpersist here would re-derive the symmetrized/deduped
+    # edge list at every layer of the single final job, undoing the
+    # lazy-chain speedup.  Release rides the handles path instead.
+    handles.append(adj)
     if caches is not None:
         caches.extend(handles)
         return stress

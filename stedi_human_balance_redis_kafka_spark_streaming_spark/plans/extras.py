@@ -4222,6 +4222,7 @@ _FOLLOWED_BY_MINSUP = 30
                ORDER BY ts, event_id) AS pos
       FROM events
       WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND ts IS NOT NULL
     ), si AS (
       SELECT seq, item, MIN(pos) AS first_pos, MAX(pos) AS last_pos
       FROM p GROUP BY seq, item
@@ -4264,15 +4265,25 @@ def events_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab|², never L² position pairs; the rollup key is
     vocabulary²-bounded and the antecedent-count frame broadcasts.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        F.concat_ws(
-            "/",
-            F.col("user_id").cast("string"),
-            F.expr("unix_micros(ts) div 86400000000").cast("string"),
-        ).alias("session_id"),
-        "event_type",
-        "ts",
-        "event_id",
+    # NULL contract: concat_ws SKIPS null parts, so a NULL user_id or ts
+    # would otherwise yield a truncated-but-non-null session key that
+    # sneaks past followed_by_pairs' seq-null filter, while the oracle's
+    # `||` nulls the whole key — filter both columns up front so the
+    # sides agree on null-admitting input (testdata has no nulls; this
+    # pins the contract, same as the r12 sequence_kgrams fix).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.concat_ws(
+                "/",
+                F.col("user_id").cast("string"),
+                F.expr("unix_micros(ts) div 86400000000").cast("string"),
+            ).alias("session_id"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
     )
     caches: list[DataFrame] = []
     out = associations.followed_by_pairs(

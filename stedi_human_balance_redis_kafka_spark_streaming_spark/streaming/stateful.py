@@ -1341,12 +1341,17 @@ def windowed_weighted_reservoir(
     pri = aes_priority(
         weight_col, id_col, salt=salt, max_weight=max_weight
     )
+    # The sort struct carries the UN-CAST id column: the batch dual
+    # orders ties by the raw id, so casting here would either fail
+    # (ANSI, non-numeric ids) or break priority ties in a different
+    # order — the stream==batch contract must hold for any orderable
+    # id type.
     e = events.withWatermark("ts", watermark).select(
         "ts",
         F.col(key_col),
         F.struct(
             pri.alias("priority"),
-            F.col(id_col).cast("long").alias("id"),
+            F.col(id_col).alias("id"),
             F.col(weight_col).cast("long").alias("weight"),
         ).alias("__r"),
     )
