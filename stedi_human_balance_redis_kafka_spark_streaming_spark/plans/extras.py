@@ -4017,7 +4017,18 @@ from .registry import _SQL_COS, _SQL_EMB  # noqa: E402
 # computed ONCE here (pure md5 function of (salt, h, j)) and embedded as
 # literals in BOTH the Spark plan and the oracle text — the engines
 # cannot disagree on the projection.
-_SRP_H, _SRP_BANDS = 16, 4
+# 32 hyperplanes x 8 bands (4 sign bits per band): at the eval's
+# 0.4-cosine threshold a pair agrees per bit with p ~ 1 - acos(0.4)/pi
+# ~ 0.63, so recall is governed by band COUNT at fixed band width —
+# measured on the testdata (exact, md5-derived hyperplanes):
+#   16x4: 0.58 / 0.54 / 0.51 recall at sf0.001/0.01/0.1
+#   32x8: 0.79 / 0.88 / 0.78           (candidates ~1.7x, same max
+#                                        bucket size — width unchanged)
+#   48x8 (6-bit bands): 0.55 / 0.48 / 0.42 — narrower buckets, recall
+#                                        collapses at this threshold
+# tests/test_properties.py pins the 0.75 floor at sf0.001 so a silent
+# hyperplane/signature regression cannot pass.
+_SRP_H, _SRP_BANDS = 32, 8
 _SRP_R = _SRP_H // _SRP_BANDS
 _SRP_DIM = 64  # constant across all generated testdata SFs (_EMB_DIM)
 _SRP_WS = dedup.srp_weights(_SRP_H, _SRP_DIM)

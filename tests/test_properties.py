@@ -2313,6 +2313,26 @@ def test_srp_pairs_match_candidate_reference(spark, rows):
     assert got == _srp_candidate_reference(vecs, 8, 4)
 
 
+def test_srp_registered_config_recall_floor(spark, sf_dir):
+    """The REGISTERED dedup_srp_recall config (32 hyperplanes x 8
+    bands) must keep recall >= 0.75 against the brute-force 0.4-cosine
+    truth at sf0.001 — the computation is fully deterministic
+    (md5-derived hyperplanes, fixed testdata), measured 52/66 = 0.788,
+    so any drop below the floor means the signature/banding semantics
+    changed, not noise.  Guards against a silent hyperplane regression
+    (e.g. a weights or quantization change) that the bit-replay oracle
+    would happily follow."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        dedup_srp_recall,
+    )
+
+    row = dedup_srp_recall(spark, sf_dir).collect()[0]
+    assert row.n_exact > 0
+    assert row.n_overlap / row.n_exact >= 0.75, (
+        f"SRP recall regressed: {row.n_overlap}/{row.n_exact}"
+    )
+
+
 def test_srp_rejects_uneven_bands(spark):
     import pytest as _pytest
 
