@@ -661,6 +661,73 @@ def streaming_anomaly_flags(
     )
 
 
+def streaming_mad_flags(
+    events: DataFrame,
+    baseline_events: DataFrame,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Stream-STATIC robust (MAD) outlier flagging: incoming events
+    whose cents-quantized value deviates from their event_type's
+    HISTORICAL lower-median by more than ``k`` × the historical
+    lower-MAD — the ingest-time monitor dual of the batch
+    ``events_mad_outliers`` query (operators/profiling.mad_outliers),
+    and the robust sibling of :func:`streaming_anomaly_flags`: a wild
+    value in the HISTORY shifts a mean and inflates a stddev (masking
+    later outliers), but moves the baseline median/MAD not at all.
+
+    Discovery-vs-monitoring split (the cms_watchlist / value_drift
+    shape): exact medians are order statistics — inherently batch —
+    so the per-type (median, MAD) reference frame is computed on the
+    STATIC history via the batch operator itself (same lower-median /
+    lower-MAD / strict-gate contract, so the thresholds replay
+    bit-for-bit), re-planned once per micro-batch and BROADCAST (one
+    row per event_type, bounded by the type vocabulary); the stream
+    side is a stateless equi-join + one integer comparison per row —
+    no state, no watermark, append mode.  Keys absent from the
+    baseline pass through unflagged (inner join drops them), and the
+    flagged event is scored against history EXCLUDING itself — both
+    semantics shared with :func:`streaming_anomaly_flags`, and exactly
+    what an ingest-time monitor wants.  Degenerate history (> half the
+    type's values identical) gives MAD = 0, so every off-median value
+    flags — the batch operator's documented strict-gate behavior.
+
+    Batch/streaming duality: on a batch ``events`` frame this computes
+    the same rows (tests assert stream==batch, and that the window
+    machinery on the STATIC side of the stream-static join survives
+    the streaming planner).
+
+    Output: (event_id, event_type, v_cents, med, mad), one row per
+    flagged event.
+    """
+    from ..operators.profiling import mad_outliers
+
+    ref = mad_outliers(
+        baseline_events.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        ),
+        value_col="v_cents",
+        group_col="event_type",
+        id_col="event_id",
+        k=k,
+    ).select("event_type", "med", "mad")
+    ev = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return (
+        ev.join(F.broadcast(ref), "event_type")
+        .filter(
+            F.abs(F.col("v_cents") - F.col("med"))
+            > F.lit(int(k)) * F.col("mad")
+        )
+        .select("event_id", "event_type", "v_cents", "med", "mad")
+    )
+
+
 def streaming_latest_state(events: DataFrame) -> DataFrame:
     """Streaming CDC compaction: the per-user latest event as a
     continuously-maintained aggregate — ``max_by`` over the total order

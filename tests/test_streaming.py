@@ -933,6 +933,54 @@ def test_streaming_anomaly_flags_stream_static_matches_batch(spark, tmp_path):
     assert got == {(201, 9999)}
 
 
+def test_streaming_mad_flags_stream_static_matches_batch(spark, tmp_path):
+    """Stream-static MAD monitor: streamed events scored against the
+    STATIC history's lower-median/lower-MAD (computed by the batch
+    operator — window machinery on the static side of the stream-static
+    join); stream rows == batch-dual rows, the wild outlier is caught,
+    the masking-value trap that breaks the z-gate does not break MAD."""
+    EV_SCHEMA = "event_id long, user_id long, event_type string, value double"
+    # history for click: tight cluster at 10.00 PLUS one wild 500.00 —
+    # the contamination that inflates a stddev but not a MAD
+    hist = spark.createDataFrame(
+        [
+            (100, 1, "click", 10.00),
+            (101, 1, "click", 10.02),
+            (102, 2, "click", 9.98),
+            (103, 1, "click", 10.01),
+            (104, 2, "click", 500.00),
+            (105, 2, "view", 5.0),
+        ],
+        EV_SCHEMA,
+    )
+    # history cents sorted: 998,1000,1001,1002,50000 -> lower med 1001
+    # devs sorted: 0,1,1,3,48999 -> MAD 1 -> gate |v-1001| > 5
+    incoming = [
+        (200, 1, "click", 10.03),   # dev 2 <= 5 → unflagged
+        (201, 1, "click", 10.07),   # dev 6 > 5 → flagged
+        (202, 3, "view", 5.0),      # view med 500, MAD 0, dev 0 → unflagged
+        (203, 4, "purchase", 1.0),  # type absent from baseline → dropped
+    ]
+    batch_df = spark.createDataFrame(incoming, EV_SCHEMA)
+    path = str(tmp_path / "mad_stream")
+    batch_df.write.parquet(path)
+
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_mad_flags(sdf, hist),
+        f"madf_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = {(r.event_id, r.v_cents, r.med, r.mad) for r in out.collect()}
+    expected = {
+        (r.event_id, r.v_cents, r.med, r.mad)
+        for r in stateful.streaming_mad_flags(batch_df, hist).collect()
+    }
+    assert got == expected
+    assert got == {(201, 1007, 1001, 1)}
+
+
 def test_streaming_chunk_sliding_matches_batch(spark, tmp_path):
     """Sliding-window chunking is a stateless narrow map + explode —
     streaming-safe AS-IS (the same operator runs at ingest time with no
