@@ -1332,3 +1332,141 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") >= 0)
     )
     return ret if caches is not None else scope_caches(ret, *own)
+
+
+def substring_run_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 20,
+    min_tokens: int | None = None,
+    max_gram_occ: int = 200,
+    text_col: str = "text",
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """MAXIMAL cross-document exact-substring runs at ARBITRARY token
+    boundaries — the "50-token verbatim overlap" duplicate class of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"), re-expressed shuffle-friendly:
+    chunk-level dedup (text_chunk_dups) only sees overlaps aligned to
+    chunk boundaries and span-df stats (shared_span_stats) only count
+    fixed-width spans; this operator reports every maximal run, wherever
+    it starts.
+
+    Construction (all joins/windows, no suffix array):
+
+    1. every length-``k`` token gram with its 0-based position —
+       ``transform`` over a ``sequence``, one narrow projection;
+    2. grams are md5'd and self-equi-joined on the gram key
+       (``doc_a < doc_b``) into cross-document position pairs;
+    3. matching grams from one shared span land on one DIAGONAL
+       (``pa − pb`` constant) at CONSECUTIVE positions, so island
+       detection — ``pa − row_number()`` over the
+       (doc_a, doc_b, diagonal) window ordered by ``pa`` — groups each
+       run, and ``max(pa) − min(pa) + k`` is its exact token length.
+
+    Exactness: equal adjacent k-grams on a diagonal stitch (gram(pa)
+    == gram(pb) and gram(pa+1) == gram(pb+1) imply the k+1-token spans
+    match), and a run reported here is maximal — if token pa−1 equaled
+    pb−1 the previous grams would also match and join the island
+    (modulo md5 collisions, the standard fingerprint assumption, and
+    the gram-frequency cap below).  A shared span of M ≥ k tokens
+    yields exactly one island of M − k + 1 grams.
+
+    ``max_gram_occ`` drops grams occurring more than that many times
+    corpus-wide before the self-join — a gram with f occurrences
+    contributes f² join rows, so this bounds the quadratic blowup on
+    boilerplate exactly as ``max_shingle_freq`` does for MinHash; a
+    capped gram inside a long run splits or shortens that run
+    (deterministically — the oracle replays the same cap).  Runs
+    shorter than ``min_tokens`` (default ``k``) are dropped.
+
+    Scale shape: gram emission is one narrow map (no shuffle); the
+    occurrence cap is a partial-aggregable count + semi-join; the pair
+    stage is an equi-join on the gram hash (never all-pairs — fan-out
+    is Σ occ² over surviving grams, cap-bounded); island detection is
+    ONE (doc_a, doc_b, diag)-keyed window whose partitions are runs
+    (tiny); the rollup reuses the same key.  At 100 TB, lower
+    ``max_gram_occ`` and raise ``k`` — both shrink the join
+    geometrically while leaving long verbatim overlaps intact.
+
+    Output: (doc_a, doc_b, a_start, b_start, match_tokens), one row
+    per maximal run, positions 0-based token offsets.
+    """
+    if min_tokens is None:
+        min_tokens = k
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): runs are "
+            "built from length-k grams, so shorter overlaps are invisible"
+        )
+    if max_gram_occ < 2:
+        raise ValueError(f"max_gram_occ must be >= 2, got {max_gram_occ}")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", tokens(F.col(text_col)).alias("t")
+    )
+    # Grams via posexplode + lead window, NOT transform/slice/array_join:
+    # higher-order functions run on the interpreted expression path (no
+    # whole-stage codegen), and a k-wide slice+join per position was
+    # measured at ~7 s for 178k grams at sf0.1, vs ~1 s for this
+    # codegen'd lead-concat over one doc-keyed shuffle (the
+    # shared_span_stats construction).  concat_ws skips nulls, so the
+    # last lead's null-ness gates the row (only trailing leads can be
+    # null — the tokens array itself has no null elements).
+    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(wdoc) for j in range(1, k)
+    ]
+    grams = (
+        pe.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", *parts).cast("binary")).alias("g"),
+            parts[-1].alias("__full"),
+        )
+        .filter(F.col("__full").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
+    # The gram frame feeds the occurrence count, the semi-join probe
+    # side, AND both sides of the pair self-join — persist once
+    # (caches out-param, the minhash_lsh_pairs convention) instead of
+    # re-running the k-lead window four times.
+    own: list[DataFrame] = [] if caches is None else caches
+    grams = grams.persist()
+    own.append(grams)
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("__occ"))
+        .filter((F.col("__occ") >= 2) & (F.col("__occ") <= max_gram_occ))
+        .select("g")
+    )
+    g2 = grams.join(keep, "g", "left_semi")
+    a, b = g2.alias("a"), g2.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    ret = (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "a_start", "b_start", "match_tokens")
+    )
+    return ret if caches is not None else scope_caches(ret, *own)

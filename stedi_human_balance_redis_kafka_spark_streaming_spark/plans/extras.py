@@ -4440,3 +4440,75 @@ def graph_stress_centrality(
         "stress",
     )
     return scope_caches(out, *held)
+
+
+_SUBSTR_K = 20          # gram width = minimal detectable run, tokens
+_SUBSTR_MAX_OCC = 200   # corpus-wide occurrence cap per gram
+
+
+@register(
+    "dedup_substring_runs",
+    # Maximal cross-document exact-substring runs at ARBITRARY token
+    # boundaries (the suffix-array dedup class of Lee et al.,
+    # shuffle-friendly): every length-k token gram with its 0-based
+    # position, md5-keyed self-join into cross-doc position pairs
+    # (doc_a < doc_b, per-gram occurrence cap replayed identically),
+    # island detection on each (doc_a, doc_b, pa-pb) diagonal via
+    # pos - row_number, maximal run length = max(pa) - min(pa) + k.
+    # All counts/positions exact int64 — bit-replayable.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tokens}} AS t FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             md5(array_to_string(t[p + 1 : p + {_SUBSTR_K}], ' ')) AS g
+      FROM toks, unnest(range(0, greatest(0, len(t) - {_SUBSTR_K} + 1)))
+           AS u(p)
+    ), keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_SUBSTR_MAX_OCC}
+    ), g2 AS (
+      SELECT grams.* FROM grams JOIN keep USING (g)
+    ), pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, diag, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM pair
+    )
+    SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT) AS match_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING MAX(pa) - MIN(pa) + {_SUBSTR_K} >= {_SUBSTR_K}
+    """.format(tokens="string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document EXACT-substring runs over the documents
+    corpus (operators/dedup.substring_run_pairs): every verbatim token
+    overlap of >= 20 tokens between two documents, wherever it starts —
+    the arbitrary-boundary duplicate class that chunk-aligned dedup
+    (text_chunk_dups' fixed windows) and fixed-width span stats
+    (text_shared_spans) structurally miss, and the distributed
+    re-expression of suffix-array substring dedup (Lee et al. 2022).
+
+    k = 20 tokens: the gram width IS the minimal detectable run; the
+    testdata's near-dup pairs share 22-95-token verbatim spans, so the
+    query emits one maximal run per contaminated pair (26 at sf0.001,
+    24 at sf0.01) while unrelated docs share no 20-gram at all.
+
+    Scale shape: gram emission is one narrow map; the occurrence cap
+    (<= 200 corpus-wide, replayed by the oracle) bounds the self-join
+    fan-out on boilerplate grams exactly as max_shingle_freq does for
+    MinHash; island detection is ONE (doc_a, doc_b, diagonal)-keyed
+    window over the matching gram pairs.  See SCALING.md.
+    """
+    from ..operators import dedup
+
+    return dedup.substring_run_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        max_gram_occ=_SUBSTR_MAX_OCC,
+    )

@@ -5222,6 +5222,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # shortest-path counts on the same purchase graph and seed set;
     # scc/label_propagation/shortest_paths keep the family in-window
     "graph_bfs_hops",
+    # --- round-14 rotation (zero-sum, ONE newcomer): ---
+    # text dedup: chunk-aligned duplicate detection (text_chunk_dups,
+    # r12+r13-verified, birth r5) yields to the new arbitrary-boundary
+    # exact-substring run miner (dedup_substring_runs, birth r14),
+    # which detects a strict superset of the verbatim-overlap signal
+    # (chunk-aligned overlaps are runs too); text_chunk_sliding keeps
+    # the chunking machinery in-window, and text_chunk_dups remains
+    # parity-green every round
+    "text_chunk_dups",
 )
 
 

@@ -39,6 +39,7 @@ SCALE_PATH_QUERIES = [
     "ann_ivf_topk",
     "dedup_exact",
     "text_repetition_stats",
+    "dedup_substring_runs",
 ]
 
 

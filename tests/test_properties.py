@@ -2616,3 +2616,120 @@ def test_stress_centrality_directed_chain_and_diamond(spark):
     # reversed direction: nothing reachable from 0 -> empty
     rev = spark.createDataFrame([(b, a) for a, b in edges], "src long, dst long")
     assert graph.stress_centrality(rev, sdf, directed=True).count() == 0
+
+
+def _brute_maximal_runs(docs: dict, k: int) -> set:
+    """Brute-force maximal common token runs of length >= k for every
+    doc pair: scan each diagonal of the token match matrix, record
+    (doc_a, doc_b, a_start, b_start, length) per maximal run."""
+    out = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            da, db = ids[x], ids[y]
+            ta, tb = docs[da], docs[db]
+            for diag in range(-len(tb) + 1, len(ta)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                while i <= len(ta) and j <= len(tb):
+                    if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                        run += 1
+                    else:
+                        if run >= k:
+                            out.add((da, db, i - run, j - run, run))
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=24
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_substring_runs_match_brute_force(spark, token_lists):
+    """substring_run_pairs (cap never biting) == the brute-force
+    diagonal scan of every pair's token match matrix: the k-gram
+    island construction finds EXACTLY the maximal common runs >= k,
+    wherever they start.  Tiny 3-token alphabet so overlaps are
+    dense and runs collide/abut in adversarial ways."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_run_pairs,
+    )
+
+    k = 3
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_tokens)
+        for r in substring_run_pairs(
+            df, k=k, max_gram_occ=10_000_000
+        ).collect()
+    }
+    # empty token lists serialize as "" -> tokens() yields [""] not [];
+    # both sides must see the same corpus, so replay what Spark parses
+    parsed = {i: ("" if not t else " ".join(t)).split(" ") for i, t in docs.items()}
+    assert got == _brute_maximal_runs(parsed, k)
+
+
+def test_substring_runs_gram_cap_drops_boilerplate(spark):
+    """The corpus-wide per-gram occurrence cap: a gram occurring in
+    more docs than the cap allows is excluded BEFORE the pair join
+    (the boilerplate guard), deterministically shortening/dropping the
+    affected runs — here the 3-gram shared by three docs vanishes at
+    cap 2 (3 occurrences > 2) and the rarer longer run survives."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_run_pairs,
+    )
+
+    boiler = "the quick fox"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta"),
+            (3, boiler + " eta theta"),
+            (4, "unrelated words then alpha beta gamma delta ends"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b, r.match_tokens)
+        for r in substring_run_pairs(df, k=3, max_gram_occ=200).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.match_tokens)
+        for r in substring_run_pairs(df, k=3, max_gram_occ=2).collect()
+    }
+    # uncapped: every pair of 1/2/3 shares the boilerplate 3-gram, and
+    # 1-4 share 'alpha beta gamma delta' (4 tokens)
+    assert (1, 2, 3) in uncapped and (1, 3, 3) in uncapped
+    assert (2, 3, 3) in uncapped and (1, 4, 4) in uncapped
+    # capped at 2: the boilerplate gram occurs 3 times -> excluded;
+    # the 1-4 run is built from two 3-grams each occurring twice
+    assert capped == {(1, 4, 4)}
+
+
+def test_substring_runs_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_run_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_tokens"):
+        substring_run_pairs(df, k=5, min_tokens=4)
+    with _pytest.raises(ValueError, match="k must be"):
+        substring_run_pairs(df, k=1)
+    with _pytest.raises(ValueError, match="max_gram_occ"):
+        substring_run_pairs(df, k=3, max_gram_occ=1)
