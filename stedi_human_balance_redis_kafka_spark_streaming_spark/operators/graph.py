@@ -1921,3 +1921,141 @@ def stress_centrality(
         caches.extend(handles)
         return stress
     return scope_caches(stress, *handles)
+
+
+def modularity_score(
+    edges: DataFrame,
+    communities: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    caches: list | None = None,
+) -> DataFrame:
+    """EXACT integer Newman-Girvan modularity of a community
+    assignment — the quality score for the partitions the graph family
+    mines (:func:`label_propagation`, connected components): per
+    community c, how many more edges fall INSIDE c than a degree-
+    preserving random graph would place there,
+
+        Q = Σ_c [ in_c / m  −  (d_c / 2m)² ]
+          = Σ_c (4·m·in_c − d_c²) / (4·m²),
+
+    where ``m`` is the undirected edge count, ``in_c`` the edges with
+    both endpoints in c, and ``d_c`` the sum of member degrees.  The
+    numerator terms are computed exactly in ``decimal(38,0)`` (they
+    compound multiplicatively in m, the stress-centrality policy) and
+    cast to int64 under ANSI — loud overflow, never a wrap; the e6
+    quotient uses sign-safe truncation (truncate-toward-zero on |x|,
+    then restore the sign) because Spark's integral ``div`` truncates
+    while an unguarded floor division would disagree on negative
+    contributions.
+
+    The edge list is canonicalized to a simple undirected graph
+    exactly as :func:`label_propagation` canonicalizes its input
+    (self-loops dropped, orientation + duplicates collapsed), so the
+    score measures the same graph the communities were mined from.
+    Nodes absent from ``communities`` are excluded by the inner joins
+    (degrees and m still count the full graph — the standard
+    definition assumes a total partition, which LPA emits by
+    construction).
+
+    Output: one row per community —
+    (community, n_nodes, in_edges, deg_sum, contrib_num, q_e6) where
+    ``contrib_num = 4·m·in_c − d_c²`` (exact numerator over the
+    constant denominator 4m²) and ``q_e6`` is the whole partition's
+    Σ contrib·10⁶ div 4m², repeated per row (single-row fan-in).
+
+    Scale shape: canonicalization is one distinct; degrees are one
+    partial-aggregable count; in_c is two node-keyed equi-joins of the
+    edge list against the (broadcastable, |nodes|-row) assignment
+    frame + a partial-agg count; the m / Σ fan-ins are 1-row
+    crossJoins (the eval-summary pattern).  No iteration, no window,
+    no all-pairs anywhere.
+    """
+    from ..session import scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"),
+            F.greatest(a, b).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    own: list = [] if caches is None else caches
+    own.append(und)
+    dec = "decimal(38,0)"
+    m1 = und.agg(F.count("*").cast(dec).alias("__m"))
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("__deg"))
+    )
+    comm = communities.select(
+        F.col(node_col).alias("n"),
+        F.col(community_col).alias("community"),
+    )
+    d_c = (
+        deg.join(comm, "n")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("__deg").cast("long").alias("deg_sum"),
+        )
+    )
+    cu = comm.select(F.col("n").alias("u"), F.col("community").alias("cu"))
+    cv = comm.select(F.col("n").alias("v"), F.col("community").alias("cv"))
+    in_c = (
+        und.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("long").alias("in_edges"))
+    )
+    per = (
+        d_c.join(in_c, "community", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("in_edges", F.lit(0).cast("long")).alias("in_edges"),
+            "deg_sum",
+            (
+                F.lit(4).cast(dec) * F.col("__m")
+                * F.coalesce("in_edges", F.lit(0)).cast(dec)
+                - F.col("deg_sum").cast(dec) * F.col("deg_sum").cast(dec)
+            ).alias("__contrib"),
+            F.col("__m"),
+        )
+    )
+    tot = per.agg(
+        F.sum("__contrib").alias("__tot"),
+        F.max("__m").alias("__m2"),
+    ).select(
+        F.when(
+            F.col("__tot") >= 0,
+            F.expr("(__tot * 1000000) div (4 * __m2 * __m2)"),
+        )
+        .otherwise(
+            -F.expr("((-__tot) * 1000000) div (4 * __m2 * __m2)")
+        )
+        .cast("long")
+        .alias("q_e6")
+    )
+    ret = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "in_edges",
+            "deg_sum",
+            F.col("__contrib").cast("long").alias("contrib_num"),
+            "q_e6",
+        )
+    )
+    return ret if caches is not None else scope_caches(ret, *own)

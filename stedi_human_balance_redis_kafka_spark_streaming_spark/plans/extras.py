@@ -3277,25 +3277,13 @@ def _sql_lpa(iters: int) -> str:
     """
 
 
-@register("graph_label_propagation", oracle=_sql_lpa(_LPA_ITERS))
-def graph_label_propagation(
-    spark: SparkSession, sf_dir: str, *, iters: int = _LPA_ITERS
-) -> DataFrame:
-    """Trading-bloc communities of the strongest-partner backbone graph
-    (operators/graph.py label_propagation): each supplier nation keeps
-    its single highest-volume customer-nation tie, and synchronous LPA
-    (4 rounds, self-vote, exact-integer tie-breaks) elects one label
-    per densely-linked bloc — 6 blocs at sf0.01.
-
-    Scale shape: the backbone build is a partial-aggregable pair count
-    plus a per-nation top-1 window (partitioned by nation, never
-    global); each LPA round is one node-keyed join + vote count +
-    degree-bounded per-node rank.  Oracle: the identical rounds
-    unrolled (:func:`_sql_lpa`).
-    """
+def _lpa_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest-partner nation backbone: each supplier nation keeps
+    its single highest-volume customer-nation tie (top-1 window,
+    (cnt DESC, n2 ASC) total order), canonicalized undirected — the
+    shared input of graph_label_propagation and graph_modularity
+    (mirrors ``_LPA_BACKBONE_SQL`` line for line)."""
     from pyspark.sql import Window
-
-    from ..operators import graph
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_orderkey"
@@ -3321,7 +3309,7 @@ def graph_label_propagation(
         .agg(F.count("*").alias("cnt"))
     )
     top_w = Window.partitionBy("n1").orderBy(F.desc("cnt"), F.asc("n2"))
-    backbone = (
+    return (
         pair_cnt.withColumn("rk", F.row_number().over(top_w))
         .filter(F.col("rk") <= 1)
         .select(
@@ -3330,7 +3318,29 @@ def graph_label_propagation(
         )
         .distinct()
     )
-    return graph.label_propagation(backbone, iters=iters)
+
+
+@register("graph_label_propagation", oracle=_sql_lpa(_LPA_ITERS))
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, *, iters: int = _LPA_ITERS
+) -> DataFrame:
+    """Trading-bloc communities of the strongest-partner backbone graph
+    (operators/graph.py label_propagation): each supplier nation keeps
+    its single highest-volume customer-nation tie, and synchronous LPA
+    (4 rounds, self-vote, exact-integer tie-breaks) elects one label
+    per densely-linked bloc — 6 blocs at sf0.01.
+
+    Scale shape: the backbone build is a partial-aggregable pair count
+    plus a per-nation top-1 window (partitioned by nation, never
+    global); each LPA round is one node-keyed join + vote count +
+    degree-bounded per-node rank.  Oracle: the identical rounds
+    unrolled (:func:`_sql_lpa`).
+    """
+    from ..operators import graph
+
+    return graph.label_propagation(
+        _lpa_backbone(spark, sf_dir), iters=iters
+    )
 
 
 _BFS_MAX_SEED = 3  # seed customers: c_custkey <= 3 (4 seeds; keys start at 0)
@@ -4512,3 +4522,117 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_SUBSTR_K,
         max_gram_occ=_SUBSTR_MAX_OCC,
     )
+
+
+def _sql_modularity(iters: int) -> str:
+    """Modularity oracle on top of the *identical* unrolled LPA chain
+    (:func:`_sql_lpa`): score the round-``iters`` communities of the
+    strongest-partner backbone with exact HUGEINT arithmetic —
+    contrib_num = 4·m·in_c − d_c², q_e6 via sign-safe truncating
+    division (DuckDB ``//`` on the non-negative |x| == Spark ``div``)."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""l{t} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY votes DESC, lbl ASC) AS rn
+        FROM (
+          SELECT node, lbl, COUNT(*) AS votes FROM (
+            SELECT s.a AS node, p.lbl
+            FROM sym s JOIN {prev} p ON p.node = s.b
+            UNION ALL
+            SELECT node, lbl FROM {prev}
+          ) GROUP BY node, lbl
+        )
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{t}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH und AS MATERIALIZED ({_LPA_BACKBONE_SQL}),
+    sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+    {chain},
+    comm AS (
+      SELECT CAST(node AS BIGINT) AS n, CAST(lbl AS BIGINT) AS community
+      FROM {prev}
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+      ) GROUP BY n
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und),
+    dc AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(dg) AS BIGINT) AS deg_sum
+      FROM deg JOIN comm USING (n) GROUP BY community
+    ),
+    ic AS (
+      SELECT cu.community AS community, CAST(COUNT(*) AS BIGINT) AS in_edges
+      FROM und
+      JOIN comm cu ON cu.n = und.u
+      JOIN comm cv ON cv.n = und.v
+      WHERE cu.community = cv.community
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT dc.community, dc.n_nodes,
+             CAST(COALESCE(ic.in_edges, 0) AS BIGINT) AS in_edges,
+             dc.deg_sum,
+             4 * mm.m * CAST(COALESCE(ic.in_edges, 0) AS HUGEINT)
+               - CAST(dc.deg_sum AS HUGEINT) * CAST(dc.deg_sum AS HUGEINT)
+               AS contrib,
+             mm.m AS m
+      FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm
+    ),
+    tot AS (SELECT SUM(contrib) AS t, MAX(m) AS m2 FROM per)
+    SELECT per.community, per.n_nodes, per.in_edges, per.deg_sum,
+           CAST(per.contrib AS BIGINT) AS contrib_num,
+           CAST(CASE WHEN tot.t >= 0
+                     THEN (tot.t * 1000000) // (4 * tot.m2 * tot.m2)
+                     ELSE -(((-tot.t) * 1000000) // (4 * tot.m2 * tot.m2))
+                END AS BIGINT) AS q_e6
+    FROM per CROSS JOIN tot
+    """
+
+
+@register("graph_modularity", oracle=_sql_modularity(_LPA_ITERS))
+def graph_modularity(
+    spark: SparkSession, sf_dir: str, *, iters: int = _LPA_ITERS
+) -> DataFrame:
+    """Newman-Girvan modularity of the LPA trading blocs
+    (operators/graph.modularity_score over
+    operators/graph.label_propagation): the QUALITY score for the
+    communities graph_label_propagation mines — per bloc, how many
+    more backbone edges fall inside it than a degree-preserving
+    random graph would place there, all exact integers (contrib_num =
+    4·m·in_c − d_c² in decimal(38,0), partition q_e6 by sign-safe
+    truncating division).  Same backbone, same 4 synchronous rounds,
+    so the oracle replays LPA's chain verbatim and scores it.
+
+    Scale shape: LPA's rounds (node-keyed joins, degree-bounded per-
+    node rank) + three partial-aggregable counts and two 1-row
+    fan-ins; the assignment frame joins broadcast-small.  See
+    SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import scope_caches
+
+    # LPA's output lineage ends at a localCheckpoint whose handle must
+    # survive until the SCORED frame is consumed — thread both
+    # operators' caches and scope them to the returned frame (the
+    # graph_stress_centrality pattern; an early release fails hard
+    # with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, by contract).
+    held: list = []
+    # the 4-table backbone build feeds BOTH operators' canonicalization
+    # persists — cache it once (measured ~1.5 s of the warm runtime)
+    backbone = _lpa_backbone(spark, sf_dir).persist()
+    held.append(backbone)
+    comm = graph.label_propagation(backbone, iters=iters, caches=held)
+    out = graph.modularity_score(backbone, comm, caches=held)
+    return scope_caches(out, *held)

@@ -5222,7 +5222,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # shortest-path counts on the same purchase graph and seed set;
     # scc/label_propagation/shortest_paths keep the family in-window
     "graph_bfs_hops",
-    # --- round-14 rotation (zero-sum, ONE newcomer): ---
+    # --- round-14 rotation (zero-sum, TWO newcomers): ---
     # text dedup: chunk-aligned duplicate detection (text_chunk_dups,
     # r12+r13-verified, birth r5) yields to the new arbitrary-boundary
     # exact-substring run miner (dedup_substring_runs, birth r14),
@@ -5231,6 +5231,14 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # the chunking machinery in-window, and text_chunk_dups remains
     # parity-green every round
     "text_chunk_dups",
+    # graph: shortest_paths (r12+r13-verified, birth r10) yields to the
+    # new LPA-modularity scorer (graph_modularity, birth r14) — the
+    # quality signal for the communities graph_label_propagation
+    # (staying in-window) mines on the same backbone; the shortest-path
+    # frontier machinery itself stays in-window inside
+    # graph_stress_centrality's forward sigma pass, and scc keeps the
+    # iterative-graph family's third seat
+    "graph_shortest_paths",
 )
 
 

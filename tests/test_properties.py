@@ -2733,3 +2733,69 @@ def test_substring_runs_rejects_bad_params(spark):
         substring_run_pairs(df, k=1)
     with _pytest.raises(ValueError, match="max_gram_occ"):
         substring_run_pairs(df, k=3, max_gram_occ=1)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_modularity_matches_pure_python(spark, raw_edges, n_comm):
+    """modularity_score == the pure-python integer replay of
+    Q's exact numerator/denominator on the canonicalized simple graph:
+    per-community (n_nodes, in_edges, deg_sum, 4·m·in_c − d_c²) and the
+    sign-safe truncated q_e6.  Communities assigned node % n_comm so
+    every node is covered (the total-partition contract)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_score,
+    )
+
+    und = {
+        (min(s, d), max(s, d)) for s, d in raw_edges if s != d
+    }
+    if not und:
+        return  # empty simple graph: no rows either way
+    nodes = sorted({n for e in und for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    m = len(und)
+    deg = {n: 0 for n in nodes}
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    exp = {}
+    for c in sorted(set(comm.values())):
+        members = [n for n in nodes if comm[n] == c]
+        in_c = sum(1 for u, v in und if comm[u] == c and comm[v] == c)
+        d_c = sum(deg[n] for n in members)
+        exp[c] = (len(members), in_c, d_c, 4 * m * in_c - d_c * d_c)
+    tot = sum(v[3] for v in exp.values())
+    q_e6 = (
+        (tot * 1_000_000) // (4 * m * m)
+        if tot >= 0
+        else -((-tot * 1_000_000) // (4 * m * m))
+    )
+
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in raw_edges], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+    got = {
+        r.community: (
+            r.n_nodes,
+            r.in_edges,
+            r.deg_sum,
+            r.contrib_num,
+            r.q_e6,
+        )
+        for r in modularity_score(edf, cdf).collect()
+    }
+    assert got == {c: (*v, q_e6) for c, v in exp.items()}
