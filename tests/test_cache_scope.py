@@ -97,3 +97,75 @@ def test_multi_signal_caches_live_through_execution_then_release(spark, sf_dir):
     assert _persistent_rdd_count(spark) > baseline
     del result
     _assert_drains_to(spark, baseline)
+
+
+def test_srp_pairs_self_scope_releases_caches(spark, sf_dir):
+    """ADVICE r13 #2 regression pin: srp_lsh_pairs with caches=None
+    (property tests, plan audits, direct use) must release its two
+    persisted frames (flattened verify frame + signature frame) once
+    the caller drops the result."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    result = dedup.srp_lsh_pairs(emb, threshold=0.4)
+    result.count()
+    assert _persistent_rdd_count(spark) > baseline
+    del result
+    _assert_drains_to(spark, baseline)
+
+
+def test_followed_by_self_scope_releases_caches(spark):
+    """ADVICE r13 #2 regression pin, associations side: the persisted
+    (seq, item) first/last frame scopes to the returned rules frame
+    when caches=None."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        associations,
+    )
+
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    ev = spark.createDataFrame(
+        [(f"s{i % 3}", "ab"[i % 2], i, i) for i in range(12)],
+        "sid string, item string, ts long, eid long",
+    )
+    result = associations.followed_by_pairs(
+        ev, min_support=1, seq_col="sid", item_col="item",
+        order_cols=("ts", "eid"),
+    )
+    result.count()
+    del result
+    _assert_drains_to(spark, baseline)
+
+
+def test_substring_runs_self_scope_releases_caches(spark, sf_dir):
+    """substring_run_pairs persists the gram frame once for its four
+    consumers; caches=None callers must not leak it."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    result = dedup.substring_run_pairs(docs)
+    result.count()
+    assert _persistent_rdd_count(spark) > baseline
+    del result
+    _assert_drains_to(spark, baseline)
+
+
+def test_modularity_query_releases_all_caches(spark, sf_dir):
+    """graph_modularity threads LPA's checkpoint handle + two persists
+    through caches/scope_caches; everything drains once the scored
+    frame is dropped."""
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+    result = registry.queries()["graph_modularity"](spark, sf_dir)
+    rows = result.collect()
+    assert len(rows) >= 1
+    del result
+    _assert_drains_to(spark, baseline)
