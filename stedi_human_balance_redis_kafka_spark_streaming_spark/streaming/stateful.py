@@ -602,6 +602,86 @@ def streaming_near_dup_flags(
     )
 
 
+def streaming_substring_flags(
+    docs: DataFrame,
+    index_docs: DataFrame,
+    *,
+    k: int = 20,
+    max_gram_occ: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time EXACT-substring overlap flagging against a STATIC
+    corpus: each arriving document's length-``k`` token grams probe the
+    already-ingested corpus's gram index — the streaming half of
+    arbitrary-boundary substring dedup
+    (operators/dedup.substring_run_pairs), same discovery-vs-monitoring
+    split as :func:`streaming_near_dup_flags`: flag gram collisions at
+    ingest, stitch maximal runs in the batch layer (island detection is
+    a window over unbounded keys — not an append-mode streaming shape).
+
+    The STREAM side's grams are pure per-row higher-order expressions
+    (``transform`` over a ``sequence`` of positions — stateless,
+    streaming-safe; the batch operator's faster lead-window form is NOT
+    legal on a stream, and a micro-batch's volume amortizes the
+    interpreted path); gram strings and md5 keys are IDENTICAL to the
+    batch operator's, so a collision here is exactly a batch candidate.
+    The static side is bounded by the indexed corpus, carries the same
+    corpus-wide per-gram occurrence cap as the batch operator (the
+    boilerplate guard — computed where corpus-wide counts exist, on the
+    index), and re-plans per micro-batch (Catalyst broadcasts it when
+    small).
+
+    Emits (doc_id, pos, index_doc_id, index_pos) per gram collision in
+    append mode — positional evidence, so the batch stitcher can
+    resume diagonal islands directly from the flagged rows.
+
+    Batch/streaming duality: on a batch ``docs`` frame this equals the
+    plain gram-equality join (stream==batch tested).
+    """
+
+    def gram_rows(
+        df: DataFrame, id_alias: str, pos_alias: str
+    ) -> DataFrame:
+        base = df.filter(F.col(text_col).isNotNull()).select(
+            F.col("doc_id").alias(id_alias),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+        )
+        return (
+            base.select(
+                id_alias,
+                F.expr(
+                    f"CASE WHEN size(__t) >= {k} THEN"
+                    f" transform(sequence(0, size(__t) - {k}), p ->"
+                    f" struct(p AS pos,"
+                    f" md5(cast(array_join(slice(__t, p + 1, {k}), ' ')"
+                    f" as binary)) AS g))"
+                    f" ELSE cast(array() as array<struct<pos:int,g:string>>)"
+                    f" END"
+                ).alias("gs"),
+            )
+            .select(id_alias, F.explode("gs").alias("e"))
+            .select(
+                id_alias,
+                F.col("e.pos").cast("long").alias(pos_alias),
+                F.col("e.g").alias("g"),
+            )
+        )
+
+    idx = gram_rows(index_docs, "index_doc_id", "index_pos")
+    common = (
+        idx.groupBy("g")
+        .agg(F.count("*").alias("__occ"))
+        .filter(F.col("__occ") <= max_gram_occ)
+        .select("g")
+    )
+    idx = idx.join(common, "g", "left_semi")
+    return (
+        gram_rows(docs, "doc_id", "pos")
+        .join(idx, "g")
+        .select("doc_id", "pos", "index_doc_id", "index_pos")
+    )
+
+
 def streaming_anomaly_flags(
     events: DataFrame,
     baseline_events: DataFrame,

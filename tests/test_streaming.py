@@ -836,6 +836,60 @@ def test_streaming_near_dup_flags_stream_static_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_substring_flags_stream_static_matches_batch(spark, tmp_path):
+    """Ingest-time exact-substring flagging: an arriving document that
+    verbatim-repeats >= k tokens of an indexed document must collide on
+    every shared gram WITH positions (so the batch stitcher can resume
+    diagonal islands), the streaming join must equal the batch
+    gram-equality join, and the flagged positions must replay the batch
+    miner's maximal run on the same pair."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    shared = "one two three four five six"  # 6 tokens, k=4 -> 3 grams
+    index_rows = [
+        (100, "intro words then " + shared + " trailing tail"),
+        (101, "completely different indexed content here"),
+    ]
+    new_rows = [
+        (1, shared + " with a novel ending"),       # 6-token verbatim overlap
+        (2, "fresh novel text with zero overlap"),
+    ]
+    index_df = spark.createDataFrame(index_rows, "doc_id long, text string")
+    batch_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    expected = sorted(
+        (r.doc_id, r.pos, r.index_doc_id, r.index_pos)
+        for r in stateful.streaming_substring_flags(
+            batch_df, index_df, k=4
+        ).collect()
+    )
+    # doc 1's grams at pos 0,1,2 hit index doc 100 at pos 3,4,5 — one
+    # diagonal, consecutive: exactly the batch miner's island
+    assert expected == [(1, 0, 100, 3), (1, 1, 100, 4), (1, 2, 100, 5)]
+    runs = dedup.substring_run_pairs(
+        index_df.unionByName(batch_df), k=4
+    ).collect()
+    assert {(r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_tokens)
+            for r in runs} == {(1, 100, 0, 3, 6)}
+
+    path = str(tmp_path / "substr_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_substring_flags(sdf, index_df, k=4),
+        f"substr_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.doc_id, r.pos, r.index_doc_id, r.index_pos)
+        for r in out.collect()
+    )
+    assert got == expected
+
+
 def test_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     """J1 left_outer mode: a risk event with NO matching customer profile
     is emitted null-padded once the watermark passes the end of its
