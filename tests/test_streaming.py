@@ -1706,6 +1706,53 @@ def test_windowed_weighted_reservoir_stream_matches_batch(spark, tmp_path):
     assert got == per_key
 
 
+def test_windowed_weighted_reservoir_string_ids(spark, tmp_path):
+    """ADVICE r13 #4 regression pin: the stream sorts its struct on the
+    UN-CAST id, so stream==batch holds for NON-NUMERIC ids too (the old
+    long-cast either raised under ANSI or broke priority tie order).
+    String ids whose lexicographic and numeric orders DISAGREE
+    ('10' < '9' as strings) make a silent cast re-introduction fail."""
+    EV_SCHEMA = "event_id string, ts timestamp, event_type string, weight long"
+    b0 = [
+        ("9", _ts("2024-01-01T10:05:00"), "click", 3),
+        ("10", _ts("2024-01-01T10:10:00"), "click", 8),
+        ("07", _ts("2024-01-01T10:15:00"), "click", 1),
+        ("x4", _ts("2024-01-01T10:20:00"), "click", 5),
+    ]
+    b1 = [("wm", _ts("2024-01-01T14:00:00"), "view", 1)]
+    ev_dir = _write_ordered_files(spark, tmp_path, "wres_s", EV_SCHEMA, [b0, b1])
+    sdf = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = _run_to_memory(
+        spark,
+        stateful.windowed_weighted_reservoir(sdf, 2),
+        f"wress_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.event_type, r.event_id, r.weight, r.priority)
+        for r in out.collect()
+        if r.win_start.isoformat() == "2024-01-01T10:00:00"
+    )
+    assert len(got) == 2
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        weighted_reservoir_per_key,
+    )
+
+    batch_df = spark.createDataFrame(b0, EV_SCHEMA)
+    per_key = sorted(
+        (r.event_type, r.event_id, r.weight, r.priority)
+        for r in weighted_reservoir_per_key(
+            batch_df, 2,
+            key_col="event_type", weight_col="weight", id_col="event_id",
+        ).collect()
+    )
+    assert got == per_key
+
+
 def test_windowed_followed_by_stream_matches_batch_and_miner(spark, tmp_path):
     """Streaming gapped followed-by dual: closed windows' per-key pair
     sets equal the batch dual on the same rows, and equal the batch
