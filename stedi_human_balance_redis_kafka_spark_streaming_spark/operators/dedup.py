@@ -1470,3 +1470,76 @@ def substring_run_pairs(
         .select("doc_a", "doc_b", "a_start", "b_start", "match_tokens")
     )
     return ret if caches is not None else scope_caches(ret, *own)
+
+
+def substring_cut_spans(
+    runs: DataFrame,
+    *,
+    doc_col: str = "doc_b",
+    start_col: str = "b_start",
+    len_col: str = "match_tokens",
+) -> DataFrame:
+    """The ACTUATOR half of exact-substring dedup (Lee et al.'s removal
+    step): turn :func:`substring_run_pairs`'s maximal runs into merged,
+    non-overlapping CUT intervals per document — keep-first-occurrence
+    policy, so each run is charged to the pair's LARGER doc id
+    (``doc_b``; ``doc_a < doc_b`` by construction, and a chain
+    A < B < C sharing one span cuts it from B and C while A keeps its
+    copy — the min-id-keeps convention of the duplicate-cluster
+    representative selection).
+
+    A document's spans from different partners overlap freely, so the
+    merge is the classic gaps-and-islands reduction: per doc, order
+    spans by (start, end); a span starts a new island iff its start
+    exceeds the running max end of every earlier span (touching spans
+    merge — the cut text is contiguous either way); island id is the
+    prefix sum of those starts; each island collapses to
+    (min start, max end).  Both windows share ONE (doc, start, end)
+    sort; duplicates and ties cannot change islands (running max is
+    order-insensitive on equal keys), so the result is deterministic
+    and a SQL oracle replays it exactly.
+
+    Output: (doc_id, cut_start, cut_end, cut_tokens) — 0-based token
+    offsets, end EXCLUSIVE, ``cut_tokens = cut_end − cut_start`` (the
+    merged span length, ≥ the k of the runs that built it).
+
+    Scale shape: one doc-keyed window pair (islands are bounded by the
+    doc's span count, never global) + the same-keyed rollup — linear in
+    runs; no joins at all.
+    """
+    spans = runs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(start_col).cast("long").alias("s"),
+        (F.col(start_col) + F.col(len_col)).cast("long").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = spans.withColumn(
+        "prev_max", F.max("e").over(w_prev)
+    ).withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("s").alias("cut_start"),
+            F.max("e").alias("cut_end"),
+            (F.max("e") - F.min("s")).alias("cut_tokens"),
+        )
+        .select("doc_id", "cut_start", "cut_end", "cut_tokens")
+    )

@@ -4455,20 +4455,17 @@ def graph_stress_centrality(
 _SUBSTR_K = 20          # gram width = minimal detectable run, tokens
 _SUBSTR_MAX_OCC = 200   # corpus-wide occurrence cap per gram
 
-
-@register(
-    "dedup_substring_runs",
-    # Maximal cross-document exact-substring runs at ARBITRARY token
-    # boundaries (the suffix-array dedup class of Lee et al.,
-    # shuffle-friendly): every length-k token gram with its 0-based
-    # position, md5-keyed self-join into cross-doc position pairs
-    # (doc_a < doc_b, per-gram occurrence cap replayed identically),
-    # island detection on each (doc_a, doc_b, pa-pb) diagonal via
-    # pos - row_number, maximal run length = max(pa) - min(pa) + k.
-    # All counts/positions exact int64 — bit-replayable.
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {{tokens}} AS t FROM documents WHERE text IS NOT NULL
+# Shared CTE chain replaying operators/dedup.substring_run_pairs: every
+# length-k token gram with its 0-based position, md5-keyed self-join
+# into cross-doc position pairs (doc_a < doc_b, per-gram occurrence cap
+# replayed identically), island detection on each (doc_a, doc_b, pa-pb)
+# diagonal via pos - row_number, maximal run length =
+# max(pa) - min(pa) + k.  All counts/positions exact int64.  Used by
+# dedup_substring_runs (the miner) and dedup_substring_cuts (the
+# actuator on top).
+_SQL_SUBSTR_CTES = f"""toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
     ), grams AS (
       SELECT doc_id, CAST(p AS BIGINT) AS pos,
              md5(array_to_string(t[p + 1 : p + {_SUBSTR_K}], ' ')) AS g
@@ -4488,12 +4485,23 @@ _SUBSTR_MAX_OCC = 200   # corpus-wide occurrence cap per gram
              pa - row_number() OVER (
                PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
       FROM pair
-    )
-    SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
-           CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT) AS match_tokens
-    FROM isl GROUP BY doc_a, doc_b, diag, grp
-    HAVING MAX(pa) - MIN(pa) + {_SUBSTR_K} >= {_SUBSTR_K}
-    """.format(tokens="string_split_regex(trim(lower(text)), '\\s+')"),
+    ), runs AS (
+      SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+             CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT) AS match_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )"""
+
+
+@register(
+    "dedup_substring_runs",
+    # Miner: see _SQL_SUBSTR_CTES (the islands ARE the maximal runs;
+    # every island is >= one gram, so match_tokens >= k by
+    # construction — the Spark side's min_tokens=k filter is the same
+    # no-op).
+    oracle=f"""
+    WITH {_SQL_SUBSTR_CTES}
+    SELECT doc_a, doc_b, a_start, b_start, match_tokens FROM runs
+    """,
 )
 def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document EXACT-substring runs over the documents
@@ -4636,3 +4644,66 @@ def graph_modularity(
     comm = graph.label_propagation(backbone, iters=iters, caches=held)
     out = graph.modularity_score(backbone, comm, caches=held)
     return scope_caches(out, *held)
+
+
+@register(
+    "dedup_substring_cuts",
+    # Actuator on the miner's runs: keep-first-occurrence (each run
+    # charged to doc_b, the larger id), gaps-and-islands interval
+    # merge per doc — a span starts a new island iff its start exceeds
+    # the running max end of every earlier (start, end)-ordered span
+    # (touching spans merge), islands collapse to (min start, max end).
+    oracle=f"""
+    WITH {_SQL_SUBSTR_CTES},
+    spans AS (
+      SELECT doc_b AS doc_id, b_start AS s,
+             b_start + match_tokens AS e
+      FROM runs
+    ), ord AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM spans
+    ), isl2 AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS grp
+      FROM ord
+    )
+    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS cut_start,
+           CAST(MAX(e) AS BIGINT) AS cut_end,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS cut_tokens
+    FROM isl2 GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-document CUT intervals from the exact-substring runs
+    (operators/dedup.substring_cut_spans over substring_run_pairs) —
+    the ACTIONABLE half of substring dedup: dedup_substring_runs says
+    which pairs share what; this says exactly which token spans to
+    REMOVE from which document (keep-first-occurrence: every run is
+    charged to the pair's larger doc id, so the earliest copy in id
+    order survives — the duplicate-cluster representative convention).
+
+    Overlapping spans from different partners merge via the classic
+    gaps-and-islands reduction (one doc-keyed window pair sharing a
+    single sort — no joins), so the output is a minimal set of
+    non-overlapping (cut_start, cut_end) token intervals per doc.
+
+    Scale shape: the miner's cost plus one |runs|-row doc-keyed window
+    — linear; see SCALING.md.
+    """
+    from ..operators import dedup
+
+    caches: list[DataFrame] = []
+    runs = dedup.substring_run_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        max_gram_occ=_SUBSTR_MAX_OCC,
+        caches=caches,
+    )
+    return scope_caches(dedup.substring_cut_spans(runs), *caches)

@@ -5222,7 +5222,7 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # shortest-path counts on the same purchase graph and seed set;
     # scc/label_propagation/shortest_paths keep the family in-window
     "graph_bfs_hops",
-    # --- round-14 rotation (zero-sum, TWO newcomers): ---
+    # --- round-14 rotation (zero-sum, THREE newcomers): ---
     # text dedup: chunk-aligned duplicate detection (text_chunk_dups,
     # r12+r13-verified, birth r5) yields to the new arbitrary-boundary
     # exact-substring run miner (dedup_substring_runs, birth r14),
@@ -5239,6 +5239,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # graph_stress_centrality's forward sigma pass, and scc keeps the
     # iterative-graph family's third seat
     "graph_shortest_paths",
+    # TPC-H: q14 (promo revenue share — scan-join-agg, birth r11,
+    # r12+r13-verified) yields to the substring-cut actuator
+    # (dedup_substring_cuts, birth r14), the removal step on top of the
+    # new run miner; the q-shape family keeps SEVEN in-window seats
+    # (q8/q13/q15/q16/q18/q20/q21) plus q1/q3/q6's veteran record, and
+    # q14's scan-join-agg machinery is the family's most redundant
+    # shape (dedup_simhash_pairs was considered and rejected — it
+    # carries the demoted dedup_simhash dual, registry.py:4908)
+    "q14_promo_revenue_share",
 )
 
 

@@ -40,6 +40,7 @@ SCALE_PATH_QUERIES = [
     "dedup_exact",
     "text_repetition_stats",
     "dedup_substring_runs",
+    "dedup_substring_cuts",
     "graph_modularity",
 ]
 

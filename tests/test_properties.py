@@ -2799,3 +2799,50 @@ def test_modularity_matches_pure_python(spark, raw_edges, n_comm):
         for r in modularity_score(edf, cdf).collect()
     }
     assert got == {c: (*v, q_e6) for c, v in exp.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # doc_b
+            st.integers(min_value=0, max_value=30),  # b_start
+            st.integers(min_value=1, max_value=12),  # match_tokens
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_substring_cut_spans_match_interval_merge(spark, raw):
+    """substring_cut_spans == the pure-python sweep merge of each doc's
+    [start, start+len) intervals (touching intervals merge): the
+    gaps-and-islands windows reproduce the classic sorted sweep for
+    any overlap pattern, duplicates included."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_cut_spans,
+    )
+
+    runs = spark.createDataFrame(
+        [(0, d, 0, s, ln) for d, s, ln in raw],
+        "doc_a long, doc_b long, a_start long, b_start long,"
+        " match_tokens long",
+    )
+    got = {
+        (r.doc_id, r.cut_start, r.cut_end, r.cut_tokens)
+        for r in substring_cut_spans(runs).collect()
+    }
+    exp = set()
+    by_doc: dict = {}
+    for d, s, ln in raw:
+        by_doc.setdefault(d, []).append((s, s + ln))
+    for d, spans in by_doc.items():
+        spans.sort()
+        cur_s, cur_e = spans[0]
+        for s, e in spans[1:]:
+            if s > cur_e:
+                exp.add((d, cur_s, cur_e, cur_e - cur_s))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        exp.add((d, cur_s, cur_e, cur_e - cur_s))
+    assert got == exp
