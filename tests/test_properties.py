@@ -2846,3 +2846,49 @@ def test_substring_cut_spans_match_interval_merge(spark, raw):
                 cur_e = max(cur_e, e)
         exp.add((d, cur_s, cur_e, cur_e - cur_s))
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_modularity_of_cc_partition_invariants(spark, raw_edges):
+    """Cross-operator consistency (the coreness/scc verification style):
+    scoring the CONNECTED-COMPONENTS partition with modularity_score
+    must satisfy the exact identities a components partition implies —
+    every edge is internal to exactly one component (Σ in_edges = m,
+    per-component in_edges = that component's edge count, deg_sum =
+    2·in_edges), and Q >= 0 (Q = 1 − Σ(d_c/2m)², with Σd_c = 2m)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.curation import (
+        connected_components,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_score,
+    )
+
+    und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
+    if not und:
+        return
+    m = len(und)
+    edf = spark.createDataFrame(sorted(und), "doc_a long, doc_b long")
+    comm = connected_components(edf).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("community")
+    )
+    rows = modularity_score(
+        edf.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        comm,
+    ).collect()
+    assert sum(r.in_edges for r in rows) == m
+    for r in rows:
+        assert r.deg_sum == 2 * r.in_edges  # components close over edges
+        assert r.contrib_num == 4 * m * r.in_edges - r.deg_sum**2
+        assert r.q_e6 >= 0
