@@ -110,9 +110,15 @@ def _env_fingerprint(spark) -> dict:
     # (JVM codegen + CPU for one, parquet scan + page cache for the
     # other), not the engine.  vs-prev divides the common-set ratio by
     # the cpu-probe ratio to separate plan drift from machine drift.
-    fp["calib_cpu_s"] = round(min(_calib_cpu(spark) for _ in range(2)), 3)
+    # MEDIAN of 3 runs, not min of 2 (VERDICT r14 #5): the r14
+    # final-tree log's single-shot-ish probe drifted 0.28→0.18 s
+    # between same-day runs and INVERTED the normalized line; the
+    # median absorbs one outlier sample in either direction.
+    fp["calib_cpu_s"] = round(
+        sorted(_calib_cpu(spark) for _ in range(3))[1], 3
+    )
     fp["calib_scan_s"] = round(
-        min(_calib_scan(spark) for _ in range(2)), 3
+        sorted(_calib_scan(spark) for _ in range(3))[1], 3
     )
     return fp
 

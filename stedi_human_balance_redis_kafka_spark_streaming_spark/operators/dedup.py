@@ -1355,7 +1355,9 @@ def substring_run_pairs(
     Construction (all joins/windows, no suffix array):
 
     1. every length-``k`` token gram with its 0-based position —
-       ``transform`` over a ``sequence``, one narrow projection;
+       ``posexplode`` + a (k−1)-lead concat over ONE doc-keyed window
+       (codegen'd; measured ~7× faster than the interpreted
+       ``transform``/``slice`` HOF form — see the inline comment);
     2. grams are md5'd and self-equi-joined on the gram key
        (``doc_a < doc_b``) into cross-document position pairs;
     3. matching grams from one shared span land on one DIAGONAL
@@ -1380,7 +1382,9 @@ def substring_run_pairs(
     (deterministically — the oracle replays the same cap).  Runs
     shorter than ``min_tokens`` (default ``k``) are dropped.
 
-    Scale shape: gram emission is one narrow map (no shuffle); the
+    Scale shape: gram emission costs one doc-keyed exchange (the lead
+    window's partitioning — amortized across the count, the semi-join
+    probe, and both self-join sides via the shared persist); the
     occurrence cap is a partial-aggregable count + semi-join; the pair
     stage is an equi-join on the gram hash (never all-pairs — fan-out
     is Σ occ² over surviving grams, cap-bounded); island detection is

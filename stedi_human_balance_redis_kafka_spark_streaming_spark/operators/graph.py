@@ -1931,6 +1931,7 @@ def modularity_score(
     dst: str = "dst",
     node_col: str = "node",
     community_col: str = "community",
+    assume_canonical: bool = False,
     caches: list | None = None,
 ) -> DataFrame:
     """EXACT integer Newman-Girvan modularity of a community
@@ -1956,10 +1957,22 @@ def modularity_score(
     exactly as :func:`label_propagation` canonicalizes its input
     (self-loops dropped, orientation + duplicates collapsed), so the
     score measures the same graph the communities were mined from.
-    Nodes absent from ``communities`` are excluded by the inner joins
-    (degrees and m still count the full graph — the standard
-    definition assumes a total partition, which LPA emits by
-    construction).
+    ``assume_canonical=True`` skips that distinct (and its persist)
+    for callers whose edges are ALREADY simple-undirected-canonical
+    (``u < v``, no self-loops, no duplicates — e.g. the registered
+    LPA backbone, which arrives least/greatest+distinct'd and
+    persisted); the input contract is the caller's to honor, exactly
+    like ``stress_centrality(dedupe_edges=False)`` (ADVICE r14: the
+    redundant re-distinct was one full edge shuffle + an extra
+    persisted frame per run).  Nodes absent from ``communities`` get
+    no community row but still count toward degrees and m; community
+    MEMBERS with no incident edge are kept — their community row
+    reports them in ``n_nodes`` with 0-coalesced ``in_edges`` /
+    ``deg_sum`` (ADVICE r14: an inner deg-join silently dropped
+    all-isolated communities and undercounted ``n_nodes``; isolated
+    members contribute exactly 0 to Q, so scores are unchanged).
+    ``communities`` must be one row per node (a partition, not a
+    cover).
 
     Output: one row per community —
     (community, n_nodes, in_edges, deg_sum, contrib_num, q_e6) where
@@ -1977,17 +1990,23 @@ def modularity_score(
     from ..session import scope_caches
 
     a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(
-            F.least(a, b).alias("u"),
-            F.greatest(a, b).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
     own: list = [] if caches is None else caches
-    own.append(und)
+    if assume_canonical:
+        # caller-guaranteed simple undirected canonical form; callers
+        # on this path persist the edge frame themselves (it feeds m,
+        # degrees, and the in-community join below)
+        und = edges.select(a.alias("u"), b.alias("v"))
+    else:
+        und = (
+            edges.select(
+                F.least(a, b).alias("u"),
+                F.greatest(a, b).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        own.append(und)
     dec = "decimal(38,0)"
     m1 = und.agg(F.count("*").cast(dec).alias("__m"))
     deg = (
@@ -2000,12 +2019,17 @@ def modularity_score(
         F.col(node_col).alias("n"),
         F.col(community_col).alias("community"),
     )
+    # LEFT join from the assignment frame (ADVICE r14): members with no
+    # incident edge keep their community's row — n_nodes counts ALL
+    # members, deg_sum coalesces their missing degree to 0.
     d_c = (
-        deg.join(comm, "n")
+        comm.join(deg, "n", "left")
         .groupBy("community")
         .agg(
             F.count("*").cast("long").alias("n_nodes"),
-            F.sum("__deg").cast("long").alias("deg_sum"),
+            F.coalesce(F.sum("__deg"), F.lit(0))
+            .cast("long")
+            .alias("deg_sum"),
         )
     )
     cu = comm.select(F.col("n").alias("u"), F.col("community").alias("cu"))

@@ -4462,7 +4462,11 @@ _SUBSTR_MAX_OCC = 200   # corpus-wide occurrence cap per gram
 # diagonal via pos - row_number, maximal run length =
 # max(pa) - min(pa) + k.  All counts/positions exact int64.  Used by
 # dedup_substring_runs (the miner) and dedup_substring_cuts (the
-# actuator on top).
+# actuator on top).  ASSUMES the operator default min_tokens == k
+# (ADVICE r14): every island is >= one gram so match_tokens >= k holds
+# by construction and no HAVING is needed; a registration passing
+# min_tokens > k must add `HAVING match_tokens >= {min_tokens}` to the
+# runs CTE or it silently diverges from its oracle.
 _SQL_SUBSTR_CTES = f"""toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents WHERE text IS NOT NULL
@@ -4517,7 +4521,9 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query emits one maximal run per contaminated pair (26 at sf0.001,
     24 at sf0.01) while unrelated docs share no 20-gram at all.
 
-    Scale shape: gram emission is one narrow map; the occurrence cap
+    Scale shape: gram emission is posexplode + one doc-keyed lead
+    window (a single exchange, shared by every downstream consumer of
+    the persisted gram frame); the occurrence cap
     (<= 200 corpus-wide, replayed by the oracle) bounds the self-join
     fan-out on boilerplate grams exactly as max_shingle_freq does for
     MinHash; island detection is ONE (doc_a, doc_b, diagonal)-keyed
@@ -4642,7 +4648,12 @@ def graph_modularity(
     backbone = _lpa_backbone(spark, sf_dir).persist()
     held.append(backbone)
     comm = graph.label_propagation(backbone, iters=iters, caches=held)
-    out = graph.modularity_score(backbone, comm, caches=held)
+    # the backbone IS canonical (least/greatest + distinct + no self
+    # loops in _lpa_backbone) and persisted above — skip the scorer's
+    # redundant re-distinct + second persist (ADVICE r14)
+    out = graph.modularity_score(
+        backbone, comm, assume_canonical=True, caches=held
+    )
     return scope_caches(out, *held)
 
 

@@ -678,6 +678,14 @@ def streaming_substring_flags(
     return (
         gram_rows(docs, "doc_id", "pos")
         .join(idx, "g")
+        # A document re-ingested with an id already in the index (an
+        # UPDATE, or a replayed micro-batch) would otherwise flag every
+        # one of its own grams against itself — and substring grams fan
+        # out FAR more rows per self-match than the LSH probe's band
+        # keys, so the self-pair drop lives at the source rather than
+        # being delegated to consumers (ADVICE r14; the
+        # streaming_phash_flags convention).
+        .filter(F.col("doc_id") != F.col("index_doc_id"))
         .select("doc_id", "pos", "index_doc_id", "index_pos")
     )
 

@@ -2892,3 +2892,40 @@ def test_modularity_of_cc_partition_invariants(spark, raw_edges):
         assert r.deg_sum == 2 * r.in_edges  # components close over edges
         assert r.contrib_num == 4 * m * r.in_edges - r.deg_sum**2
         assert r.q_e6 >= 0
+
+
+def test_modularity_isolated_members_and_canonical_flag(spark):
+    """ADVICE r14 closures on modularity_score: (1) community members
+    with NO incident edge still produce/extend their community's row —
+    n_nodes counts all members, deg_sum/in_edges coalesce to 0 (an
+    all-isolated community contributes exactly 0 to Q); (2)
+    assume_canonical=True on an already least/greatest+distinct'd edge
+    list returns bit-identical rows to the default path."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_score,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    # community 10: nodes 1-3 (edge-incident); community 20: nodes 4-5
+    # (fully isolated); node 3's sibling 6 is isolated INSIDE 10
+    comm = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (6, 10), (4, 20), (5, 20)],
+        "node long, community long",
+    )
+    rows = {
+        r.community: (r.n_nodes, r.in_edges, r.deg_sum, r.contrib_num)
+        for r in modularity_score(edges, comm).collect()
+    }
+    # m = 2: community 10 contrib = 4*2*2 - 4^2 = 0; community 20 all 0
+    assert rows == {10: (4, 2, 4, 0), 20: (2, 0, 0, 0)}
+
+    canon = modularity_score(
+        edges, comm, assume_canonical=True
+    ).collect()
+    assert {
+        r.community: (r.n_nodes, r.in_edges, r.deg_sum, r.contrib_num)
+        for r in canon
+    } == rows
+    assert all(r.q_e6 == 0 for r in canon)

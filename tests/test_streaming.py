@@ -873,6 +873,14 @@ def test_streaming_substring_flags_stream_static_matches_batch(spark, tmp_path):
     ).collect()
     assert {(r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_tokens)
             for r in runs} == {(1, 100, 0, 3, 6)}
+    # ADVICE r14: an indexed document RE-INGESTED on the stream side
+    # (same id) must not flag its own grams against itself — substring
+    # grams fan out far more self-match rows than the LSH band probe,
+    # so the guard lives in the operator; cross-doc hits still emit
+    replay = stateful.streaming_substring_flags(
+        index_df, index_df, k=4
+    ).collect()
+    assert all(r.doc_id != r.index_doc_id for r in replay)
 
     path = str(tmp_path / "substr_stream")
     batch_df.write.parquet(path)
