@@ -1334,6 +1334,76 @@ def edit_distance_pairs(
     return ret if caches is not None else scope_caches(ret, *own)
 
 
+def _validate_substring_params(
+    k: int, min_tokens: int | None, max_gram_occ: int
+) -> None:
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_tokens is not None and min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): runs are "
+            "built from length-k grams, so shorter overlaps are invisible"
+        )
+    if max_gram_occ < 2:
+        raise ValueError(f"max_gram_occ must be >= 2, got {max_gram_occ}")
+
+
+def _capped_substring_grams(
+    docs: DataFrame,
+    k: int,
+    max_gram_occ: int,
+    text_col: str,
+    own: list[DataFrame],
+) -> DataFrame:
+    """The shared gram stage of the substring-dedup family
+    (:func:`substring_run_pairs` / :func:`substring_self_run_pairs`):
+    every length-``k`` token gram with its 0-based position, md5-keyed,
+    kept only when its corpus-wide occurrence count is in
+    [2, max_gram_occ].
+
+    Grams via posexplode + lead window, NOT transform/slice/array_join:
+    higher-order functions run on the interpreted expression path (no
+    whole-stage codegen), and a k-wide slice+join per position was
+    measured at ~7 s for 178k grams at sf0.1, vs ~1 s for this
+    codegen'd lead-concat over one doc-keyed shuffle (the
+    shared_span_stats construction).  concat_ws skips nulls, so the
+    last lead's null-ness gates the row (only trailing leads can be
+    null — the tokens array itself has no null elements).
+
+    The gram frame feeds the occurrence count, the semi-join probe
+    side, AND both sides of the pair self-join — persisted once into
+    ``own`` (the caches out-param convention) instead of re-running
+    the k-lead window four times.
+    """
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", tokens(F.col(text_col)).alias("t")
+    )
+    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(wdoc) for j in range(1, k)
+    ]
+    grams = (
+        pe.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", *parts).cast("binary")).alias("g"),
+            parts[-1].alias("__full"),
+        )
+        .filter(F.col("__full").isNotNull())
+        .select("doc_id", "pos", "g")
+        .persist()
+    )
+    own.append(grams)
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("__occ"))
+        .filter((F.col("__occ") >= 2) & (F.col("__occ") <= max_gram_occ))
+        .select("g")
+    )
+    return grams.join(keep, "g", "left_semi")
+
+
 def substring_run_pairs(
     docs: DataFrame,
     *,
@@ -1396,57 +1466,11 @@ def substring_run_pairs(
     Output: (doc_a, doc_b, a_start, b_start, match_tokens), one row
     per maximal run, positions 0-based token offsets.
     """
+    _validate_substring_params(k, min_tokens, max_gram_occ)
     if min_tokens is None:
         min_tokens = k
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    if min_tokens < k:
-        raise ValueError(
-            f"min_tokens ({min_tokens}) must be >= k ({k}): runs are "
-            "built from length-k grams, so shorter overlaps are invisible"
-        )
-    if max_gram_occ < 2:
-        raise ValueError(f"max_gram_occ must be >= 2, got {max_gram_occ}")
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
-        "doc_id", tokens(F.col(text_col)).alias("t")
-    )
-    # Grams via posexplode + lead window, NOT transform/slice/array_join:
-    # higher-order functions run on the interpreted expression path (no
-    # whole-stage codegen), and a k-wide slice+join per position was
-    # measured at ~7 s for 178k grams at sf0.1, vs ~1 s for this
-    # codegen'd lead-concat over one doc-keyed shuffle (the
-    # shared_span_stats construction).  concat_ws skips nulls, so the
-    # last lead's null-ness gates the row (only trailing leads can be
-    # null — the tokens array itself has no null elements).
-    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", j).over(wdoc) for j in range(1, k)
-    ]
-    grams = (
-        pe.select(
-            "doc_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.md5(F.concat_ws(" ", *parts).cast("binary")).alias("g"),
-            parts[-1].alias("__full"),
-        )
-        .filter(F.col("__full").isNotNull())
-        .select("doc_id", "pos", "g")
-    )
-    # The gram frame feeds the occurrence count, the semi-join probe
-    # side, AND both sides of the pair self-join — persist once
-    # (caches out-param, the minhash_lsh_pairs convention) instead of
-    # re-running the k-lead window four times.
     own: list[DataFrame] = [] if caches is None else caches
-    grams = grams.persist()
-    own.append(grams)
-    keep = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("__occ"))
-        .filter((F.col("__occ") >= 2) & (F.col("__occ") <= max_gram_occ))
-        .select("g")
-    )
-    g2 = grams.join(keep, "g", "left_semi")
+    g2 = _capped_substring_grams(docs, k, max_gram_occ, text_col, own)
     a, b = g2.alias("a"), g2.alias("b")
     pairs = a.join(
         b,
@@ -1472,6 +1496,83 @@ def substring_run_pairs(
         )
         .filter(F.col("match_tokens") >= min_tokens)
         .select("doc_a", "doc_b", "a_start", "b_start", "match_tokens")
+    )
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def substring_self_run_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 20,
+    min_tokens: int | None = None,
+    max_gram_occ: int = 200,
+    text_col: str = "text",
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """MAXIMAL INTRA-document exact-substring runs — the self-pair
+    variant of :func:`substring_run_pairs`: a document that verbatim-
+    repeats its own >= ``min_tokens``-token span (duplicated paragraph,
+    pasted boilerplate, generation loop) is invisible to the cross-
+    document miner's ``doc_a < doc_b`` guard, yet Lee et al.'s pipeline
+    ("Deduplicating Training Data Makes Language Models Better")
+    removes intra-document repeats FIRST.  Completes the family
+    (VERDICT r14 next-round #1).
+
+    Identical machinery, one changed join predicate: the shared capped
+    gram stage (:func:`_capped_substring_grams` — same tokenizer, same
+    md5 keys, same corpus-wide occurrence cap, so cross- and intra-
+    document mining can share one gram build), self-joined on
+    ``(g, doc_id)`` with ``pa < pb``.  The strict inequality excludes
+    the trivial zero diagonal (every gram matches itself) and mirrored
+    islands (each unordered position pair appears exactly once), so a
+    span of M >= k tokens repeated at offset d yields exactly one
+    island on diagonal ``d = pb − pa`` with ``match_tokens = M``;
+    OVERLAPPING self-matches (period-p repetition, p < k) are
+    legitimate rows here — e.g. 10 copies of one token at k=3 report
+    (a_start 0, b_start 1, match_tokens 9) on diagonal 1: the span
+    [0, 9) verbatim-equals [1, 10).  Maximality is the cross-document
+    argument verbatim: equal adjacent grams on a diagonal stitch, and
+    a longer surrounding match would extend the island (modulo md5
+    collisions and the occurrence cap, both shared).
+
+    Output: (doc_id, a_start, b_start, match_tokens), one row per
+    maximal run, ``a_start < b_start``, positions 0-based token
+    offsets.
+
+    Scale shape: identical to the cross-document miner — the pair
+    stage is an equi-join on ``(g, doc_id)`` (strictly FINER than the
+    cross miner's gram-only key, so fan-out is per-doc occ², never
+    corpus occ²); island detection is one (doc_id, diag)-keyed window.
+    The same 100 TB levers apply (raise k, lower the cap).
+    """
+    _validate_substring_params(k, min_tokens, max_gram_occ)
+    if min_tokens is None:
+        min_tokens = k
+    own: list[DataFrame] = [] if caches is None else caches
+    g2 = _capped_substring_grams(docs, k, max_gram_occ, text_col, own)
+    a, b = g2.alias("a"), g2.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_id", "diag").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    ret = (
+        isl.groupBy("doc_id", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_tokens)
+        .select("doc_id", "a_start", "b_start", "match_tokens")
     )
     return ret if caches is not None else scope_caches(ret, *own)
 

@@ -5248,6 +5248,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # shape (dedup_simhash_pairs was considered and rejected — it
     # carries the demoted dedup_simhash dual, registry.py:4908)
     "q14_promo_revenue_share",
+    # --- round-15 rotation (zero-sum): ---
+    # TPC-H: q13 (customer order-count distribution — outer-join +
+    # double agg, birth r3, driver-hashed r11-r14) yields to the
+    # intra-document self-run miner (dedup_substring_self_runs, birth
+    # r15), completing the substring family's Lee-et-al. coverage
+    # (cross-doc runs + intra-doc runs + cuts); the q-shape family
+    # keeps SIX in-window seats (q8/q15/q16/q18/q20/q21) plus
+    # q1/q3/q6's veteran record, and q13 carries no supplementary dual
+    "q13_customer_distribution",
 )
 
 

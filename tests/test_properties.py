@@ -2719,6 +2719,75 @@ def test_substring_runs_gram_cap_drops_boilerplate(spark):
     assert capped == {(1, 4, 4)}
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_substring_self_runs_match_brute_force(spark, doc_tokens, k):
+    """substring_self_run_pairs == the brute-force per-document
+    diagonal scan: for every offset d >= 1, every maximal run of
+    consecutive positions i with t[i:i+k] == t[i+d:i+d+k] — including
+    overlapping (period < k) self-matches — and nothing else.  Cap
+    disabled (10_000) so the scan needs no cap replay; the >= 2
+    occurrence floor is vacuous for self-pairs (a self-matching gram
+    occurs >= 2 times by definition)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_self_run_pairs,
+    )
+
+    exp = set()
+    for doc_id, t in enumerate(doc_tokens):
+        n = len(t)
+        for d in range(1, n):
+            run_start = None
+            for i in range(0, n - d - k + 2):
+                hit = i <= n - d - k and t[i : i + k] == t[i + d : i + d + k]
+                if hit and run_start is None:
+                    run_start = i
+                elif not hit and run_start is not None:
+                    exp.add(
+                        (doc_id, run_start, run_start + d, i - 1 - run_start + k)
+                    )
+                    run_start = None
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(doc_tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in substring_self_run_pairs(
+            df, k=k, max_gram_occ=10_000
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_substring_self_runs_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_self_run_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_tokens"):
+        substring_self_run_pairs(df, k=5, min_tokens=4)
+    with _pytest.raises(ValueError, match="k must be"):
+        substring_self_run_pairs(df, k=1)
+    with _pytest.raises(ValueError, match="max_gram_occ"):
+        substring_self_run_pairs(df, k=3, max_gram_occ=1)
+
+
 def test_substring_runs_rejects_bad_params(spark):
     import pytest as _pytest
 
