@@ -1648,3 +1648,106 @@ def substring_cut_spans(
         )
         .select("doc_id", "cut_start", "cut_end", "cut_tokens")
     )
+
+
+def apply_substring_cuts(
+    docs: DataFrame,
+    cuts: DataFrame,
+    *,
+    text_col: str = "text",
+    start_col: str = "cut_start",
+    end_col: str = "cut_end",
+) -> DataFrame:
+    """The EMITTER that completes substring dedup end-to-end (VERDICT
+    r14 next-round #2): rebuild each document's token stream MINUS its
+    merged cut intervals (:func:`substring_cut_spans`'s output), so the
+    family is actionable — mine (:func:`substring_run_pairs`) → cut →
+    cleaned corpus, Lee et al.'s removal step actually applied.
+
+    The cut positions live in the MINERS' token space (lowercased,
+    whitespace-collapsed — :func:`~..functions.hashing.tokens`), so the
+    rebuild happens there too: the emitted ``text`` is the normalized
+    token stream joined by single spaces, NOT a splice of the raw
+    string (the miners emit token offsets, not char offsets; a
+    training-data pipeline tokenizes anyway).  Documents without cuts
+    pass through with their normalized stream intact; null-text
+    documents pass through null with 0 counts.
+
+    Interval semantics: 0-based token offsets, end exclusive, and the
+    intervals of one document MUST be non-overlapping
+    (``substring_cut_spans`` guarantees it; overlap would double-count
+    nothing here — the positional filter is idempotent — but
+    ``n_removed`` assumes disjointness is the caller's contract).
+    Positions beyond the document's stream remove nothing.
+
+    Output: (doc_id, text, n_tokens, n_removed) — original token
+    count and removed token count, so Σ n_removed / Σ n_tokens is the
+    corpus removal rate (:func:`substring_removal_summary`).
+
+    Scale shape: ONE doc-keyed aggregation of the cut frame (bounded:
+    cut docs only, few intervals each) + ONE doc-keyed left equi-join
+    against the corpus + a narrow per-row indexed ``filter`` higher-
+    order expression (O(tokens × cuts-per-doc) per row, no shuffle of
+    the corpus beyond the join, no Python row UDFs).  The interpreted
+    HOF path is fine here — unlike gram emission (k md5s per
+    position), this is one integer comparison per (token, interval).
+    """
+    spans = (
+        cuts.select(
+            "doc_id",
+            F.struct(
+                F.col(start_col).cast("long").alias("s"),
+                F.col(end_col).cast("long").alias("e"),
+            ).alias("__c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("__c").alias("__cs"))
+    )
+    empty_cs = F.array().cast("array<struct<s:long,e:long>>")
+    base = docs.select(
+        "doc_id",
+        F.col(text_col).alias("__raw"),
+        F.when(
+            F.col(text_col).isNotNull(), tokens(F.col(text_col))
+        ).otherwise(F.array().cast("array<string>")).alias("__t"),
+    )
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "__cs", F.coalesce("__cs", empty_cs)
+    )
+    kept = F.filter(
+        "__t",
+        lambda x, i: ~F.exists(
+            "__cs", lambda c: (i >= c.s) & (i < c.e)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(
+            F.col("__raw").isNotNull(), F.array_join(kept, " ")
+        ).alias("text"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def substring_removal_summary(cleaned: DataFrame) -> DataFrame:
+    """Corpus-level removal-rate rollup of
+    :func:`apply_substring_cuts`'s output — one row: document and
+    token totals, documents touched, tokens removed, and the exact
+    integer removal rate (ppm, truncating div — the recall-eval
+    convention).  A single partial-aggregable pass."""
+    return cleaned.agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum((F.col("n_removed") > 0).cast("long"))
+        .cast("long")
+        .alias("docs_touched"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum("n_removed").cast("long").alias("tokens_removed"),
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.expr("(sum(n_removed) * 1000000L) div sum(n_tokens)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("removal_rate_e6"),
+    )

@@ -4761,16 +4761,14 @@ def graph_modularity(
     return scope_caches(out, *held)
 
 
-@register(
-    "dedup_substring_cuts",
-    # Actuator on the miner's runs: keep-first-occurrence (each run
-    # charged to doc_b, the larger id), gaps-and-islands interval
-    # merge per doc — a span starts a new island iff its start exceeds
-    # the running max end of every earlier (start, end)-ordered span
-    # (touching spans merge), islands collapse to (min start, max end).
-    oracle=f"""
-    WITH {_SQL_SUBSTR_CTES},
-    spans AS (
+# Shared actuator chain on top of _SQL_SUBSTR_CTES' runs: keep-first-
+# occurrence (each run charged to doc_b, the larger id), gaps-and-
+# islands interval merge per doc — a span starts a new island iff its
+# start exceeds the running max end of every earlier (start, end)-
+# ordered span (touching spans merge), islands collapse to
+# (min start, max end).  Used by dedup_substring_cuts (the intervals)
+# and dedup_substring_apply (the cleaned-corpus emitter on top).
+_SQL_SUBSTR_CUTS_CTES = """spans AS (
       SELECT doc_b AS doc_id, b_start AS s,
              b_start + match_tokens AS e
       FROM runs
@@ -4788,11 +4786,19 @@ def graph_modularity(
                      ROWS BETWEEN UNBOUNDED PRECEDING
                      AND CURRENT ROW) AS grp
       FROM ord
-    )
-    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS cut_start,
-           CAST(MAX(e) AS BIGINT) AS cut_end,
-           CAST(MAX(e) - MIN(s) AS BIGINT) AS cut_tokens
-    FROM isl2 GROUP BY doc_id, grp
+    ), cuts AS (
+      SELECT doc_id, CAST(MIN(s) AS BIGINT) AS cut_start,
+             CAST(MAX(e) AS BIGINT) AS cut_end,
+             CAST(MAX(e) - MIN(s) AS BIGINT) AS cut_tokens
+      FROM isl2 GROUP BY doc_id, grp
+    )"""
+
+
+@register(
+    "dedup_substring_cuts",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_CTES}, {_SQL_SUBSTR_CUTS_CTES}
+    SELECT doc_id, cut_start, cut_end, cut_tokens FROM cuts
     """,
 )
 def dedup_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4822,3 +4828,76 @@ def dedup_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         caches=caches,
     )
     return scope_caches(dedup.substring_cut_spans(runs), *caches)
+
+
+@register(
+    "dedup_substring_apply",
+    # Emitter on the shared miner+actuator chain: per-doc cut structs,
+    # indexed list_filter over the normalized token stream (DuckDB's
+    # lambda index is 1-based, hence i - 1 against the 0-based cut
+    # offsets), null-text docs pass through null with 0 counts.
+    oracle=f"""
+    WITH {_SQL_SUBSTR_CTES}, {_SQL_SUBSTR_CUTS_CTES},
+    csagg AS (
+      SELECT doc_id,
+             list({{'s': cut_start, 'e': cut_end}}) AS cs
+      FROM cuts GROUP BY doc_id
+    ), allt AS (
+      SELECT d.doc_id, d.text IS NOT NULL AS has_text,
+             CASE WHEN d.text IS NOT NULL
+                  THEN string_split_regex(trim(lower(d.text)), '\\s+')
+                  ELSE CAST([] AS VARCHAR[]) END AS t,
+             COALESCE(c.cs,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cs
+      FROM documents d LEFT JOIN csagg c USING (doc_id)
+    ), kept AS (
+      SELECT doc_id, has_text, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(cs, c -> i - 1 >= c.s AND i - 1 < c.e))
+                 = 0) AS kt
+      FROM allt
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' — a fully-cut doc must emit ''
+           CASE WHEN has_text
+                THEN COALESCE(array_to_string(kt, ' '), '') END AS text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kt) AS BIGINT) AS n_removed
+    FROM kept
+    """,
+)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANED CORPUS: substring dedup applied end-to-end
+    (operators/dedup.apply_substring_cuts over substring_cut_spans
+    over substring_run_pairs) — mine every >= 20-token cross-document
+    verbatim run, merge the keep-first-occurrence cut intervals, and
+    EMIT every document with its cut token spans removed (VERDICT r14
+    next-round #2: the intervals are now consumed, not just reported).
+    One row per document — touched docs lose their duplicated spans,
+    untouched docs pass through with their normalized token stream,
+    null-text docs stay null — plus exact token accounting
+    (n_tokens/n_removed; operators/dedup.substring_removal_summary
+    rolls the corpus rate up).
+
+    The output text is the NORMALIZED token stream (the miners' token
+    space — cut offsets are token positions, not char positions).
+    Fixpoint property (Lee et al.): re-mining the cleaned corpus at
+    the same k finds zero cross-document runs (pytest at sf0.001).
+
+    Scale shape: the miner+actuator cost, plus one bounded doc-keyed
+    cut aggregation, one doc-keyed left equi-join against the corpus,
+    and a narrow indexed-filter projection — no extra shuffles, no
+    Python row UDFs.  See SCALING.md.
+    """
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    runs = dedup.substring_run_pairs(
+        docs, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC, caches=caches
+    )
+    cleaned = dedup.apply_substring_cuts(
+        docs, dedup.substring_cut_spans(runs)
+    )
+    return scope_caches(cleaned, *caches)

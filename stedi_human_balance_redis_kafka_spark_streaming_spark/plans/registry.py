@@ -5257,6 +5257,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # keeps SIX in-window seats (q8/q15/q16/q18/q20/q21) plus
     # q1/q3/q6's veteran record, and q13 carries no supplementary dual
     "q13_customer_distribution",
+    # TPC-H: q15 (top supplier via revenue view + max-match, birth r3,
+    # driver-hashed r11-r14) yields to the cleaned-corpus emitter
+    # (dedup_substring_apply, birth r15) — the step that makes the
+    # substring family end-to-end actionable (mine → cut → corpus);
+    # the q-shape family keeps FIVE in-window seats
+    # (q8/q16/q18/q20/q21), and q15's rank-by-agg machinery stays
+    # in-window via q18's scored top-k; q15 carries no supplementary
+    # dual
+    "q15_top_supplier",
 )
 
 

@@ -2788,6 +2788,110 @@ def test_substring_self_runs_rejects_bad_params(spark):
         substring_self_run_pairs(df, k=3, max_gram_occ=1)
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]),
+                min_size=0,
+                max_size=15,
+            ),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=18),
+                    st.integers(min_value=1, max_value=8),
+                ),
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_apply_substring_cuts_matches_python_splice(spark, doc_specs):
+    """apply_substring_cuts == the pure-python positional splice: kept
+    tokens are exactly those whose 0-based position is covered by NO
+    interval (overlapping/out-of-range intervals included — the
+    positional filter is idempotent and clips naturally), text is the
+    kept stream space-joined, n_tokens/n_removed exact."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        apply_substring_cuts,
+    )
+
+    docs, cut_rows = [], []
+    exp = {}
+    for doc_id, (toks, ivs) in enumerate(doc_specs):
+        docs.append((doc_id, " ".join(toks) if toks else None))
+        covered = set()
+        for s, ln in ivs:
+            cut_rows.append((doc_id, s, s + ln))
+            covered |= set(range(s, s + ln))
+        if toks:
+            kept = [t for i, t in enumerate(toks) if i not in covered]
+            exp[doc_id] = (
+                " ".join(kept), len(toks), len(toks) - len(kept)
+            )
+        else:
+            # "" tokenizes to [''] — one empty token, cuttable like any
+            kept0 = 0 not in covered
+            exp[doc_id] = ("" if kept0 else "", 1, 0 if kept0 else 1)
+
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    cdf = spark.createDataFrame(
+        cut_rows or [(None, None, None)],
+        "doc_id long, cut_start long, cut_end long",
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in apply_substring_cuts(ddf, cdf).collect()
+    }
+    for doc_id, (toks, _) in enumerate(doc_specs):
+        if docs[doc_id][1] is None:
+            assert got[doc_id] == (None, 0, 0)
+        else:
+            assert got[doc_id] == exp[doc_id]
+
+
+def test_substring_apply_fixpoint_on_testdata(spark):
+    """The Lee et al. fixpoint property, end-to-end on the real corpus
+    at sf0.001: after mine → cut → apply, re-mining the CLEANED corpus
+    at the same k finds ZERO cross-document runs (keep-first leaves
+    exactly one copy of every duplicated span), and the removal
+    accounting ties out (tokens_removed == Σ cut_tokens; every doc
+    emitted exactly once)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        apply_substring_cuts,
+        substring_cut_spans,
+        substring_removal_summary,
+        substring_run_pairs,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    runs = substring_run_pairs(docs, k=20, max_gram_occ=200)
+    cuts = substring_cut_spans(runs).persist()
+    cleaned = apply_substring_cuts(docs, cuts).persist()
+
+    assert cleaned.count() == docs.count()
+    cut_total = cuts.agg(F.sum("cut_tokens")).first()[0]
+    summ = substring_removal_summary(cleaned).first()
+    assert summ.tokens_removed == cut_total
+    assert summ.docs_touched == cuts.select("doc_id").distinct().count()
+    assert 0 < summ.tokens_removed < summ.tokens_total
+
+    # fixpoint: the cleaned corpus has no >= 20-token cross-doc run
+    remined = substring_run_pairs(
+        cleaned.select("doc_id", "text"), k=20, max_gram_occ=200
+    )
+    assert remined.count() == 0
+    cuts.unpersist()
+    cleaned.unpersist()
+
+
 def test_substring_runs_rejects_bad_params(spark):
     import pytest as _pytest
 
