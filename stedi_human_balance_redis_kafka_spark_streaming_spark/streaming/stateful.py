@@ -604,8 +604,9 @@ def streaming_near_dup_flags(
 
 def streaming_substring_flags(
     docs: DataFrame,
-    index_docs: DataFrame,
+    index_docs: DataFrame | None = None,
     *,
+    index: DataFrame | None = None,
     k: int = 20,
     max_gram_occ: int = 200,
     text_col: str = "text",
@@ -625,11 +626,28 @@ def streaming_substring_flags(
     legal on a stream, and a micro-batch's volume amortizes the
     interpreted path); gram strings and md5 keys are IDENTICAL to the
     batch operator's, so a collision here is exactly a batch candidate.
-    The static side is bounded by the indexed corpus, carries the same
-    corpus-wide per-gram occurrence cap as the batch operator (the
-    boilerplate guard — computed where corpus-wide counts exist, on the
-    index), and re-plans per micro-batch (Catalyst broadcasts it when
-    small).
+
+    The static side comes in two forms:
+
+    * ``index_docs`` — raw indexed documents, grammed + occurrence-
+      capped INLINE (the cap computed where corpus-wide counts exist,
+      on the index).  Convenient, but the whole chain re-plans and
+      re-executes per micro-batch trigger — fine at sandbox scale,
+      wrong at 100 TB.
+    * ``index`` — a MATERIALIZED gram index
+      (operators/dedup.substring_gram_index: (index_doc_id, index_pos,
+      g), cap already applied at build time), typically read back from
+      a versioned parquet path.  This is the production deployment:
+      build once at ingest, probe a bounded artifact per trigger, and
+      refresh by the versioned-swap restart contract
+      (:func:`streaming_phash_flags` — zero streaming state, so a
+      restart against the new version replays nothing and loses
+      nothing; tested in
+      tests/test_streaming.py::test_streaming_substring_index_version_swap).
+      ``max_gram_occ`` is baked into the artifact; the parameter is
+      ignored on this path.
+
+    Exactly one of the two must be provided.
 
     Emits (doc_id, pos, index_doc_id, index_pos) per gram collision in
     append mode — positional evidence, so the batch stitcher can
@@ -667,14 +685,22 @@ def streaming_substring_flags(
             )
         )
 
-    idx = gram_rows(index_docs, "index_doc_id", "index_pos")
-    common = (
-        idx.groupBy("g")
-        .agg(F.count("*").alias("__occ"))
-        .filter(F.col("__occ") <= max_gram_occ)
-        .select("g")
-    )
-    idx = idx.join(common, "g", "left_semi")
+    if (index_docs is None) == (index is None):
+        raise ValueError(
+            "provide exactly one of index_docs (inline gramming) or "
+            "index (materialized substring_gram_index frame)"
+        )
+    if index is not None:
+        idx = index.select("index_doc_id", "index_pos", "g")
+    else:
+        idx = gram_rows(index_docs, "index_doc_id", "index_pos")
+        common = (
+            idx.groupBy("g")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_gram_occ)
+            .select("g")
+        )
+        idx = idx.join(common, "g", "left_semi")
     return (
         gram_rows(docs, "doc_id", "pos")
         .join(idx, "g")

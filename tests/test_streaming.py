@@ -898,6 +898,113 @@ def test_streaming_substring_flags_stream_static_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_substring_index_version_swap(spark, tmp_path):
+    """The materialized gram-index deployment contract (VERDICT r14 #3,
+    mirroring test_streaming_phash_index_version_swap): the static side
+    is BUILT ONCE batch-side (operators/dedup.substring_gram_index),
+    written to a versioned parquet path, and probed per trigger —
+    refresh = restart the query on the same source + checkpoint against
+    the new version.  Zero streaming state: the restart reprocesses
+    NOTHING (v1-era rows appear exactly once) and every post-swap
+    arrival probes only the new index.  The materialized path must be
+    row-identical to the inline index_docs path on the same corpus."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    shared = "one two three four five six"          # 6 tokens, k=4
+    extra = "alpha beta gamma delta epsilon zeta"   # v2-only member
+    schema = "doc_id long, text string"
+    idx_v1_docs = spark.createDataFrame(
+        [(100, "pre words " + shared + " post")], schema
+    )
+    idx_v2_docs = spark.createDataFrame(
+        [(100, "pre words " + shared + " post"),
+         (200, "lead " + extra + " tail")],
+        schema,
+    )
+    v1_path = str(tmp_path / "gramidx_v1")
+    v2_path = str(tmp_path / "gramidx_v2")
+    dedup.substring_gram_index(idx_v1_docs, k=4).write.parquet(v1_path)
+    dedup.substring_gram_index(idx_v2_docs, k=4).write.parquet(v2_path)
+
+    # materialized == inline on the same corpus (bit-identical probe
+    # results: same tokenizer, same gram strings, same md5 keys, same
+    # occurrence cap, batch lead-window build vs per-trigger HOF)
+    arrival1 = spark.createDataFrame(
+        [(1, shared + " with novel ending")], schema
+    )
+    inline = sorted(
+        (r.doc_id, r.pos, r.index_doc_id, r.index_pos)
+        for r in stateful.streaming_substring_flags(
+            arrival1, idx_v1_docs, k=4
+        ).collect()
+    )
+    materialized = sorted(
+        (r.doc_id, r.pos, r.index_doc_id, r.index_pos)
+        for r in stateful.streaming_substring_flags(
+            arrival1, index=spark.read.parquet(v1_path), k=4
+        ).collect()
+    )
+    assert inline == materialized and len(inline) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        stateful.streaming_substring_flags(arrival1, k=4)
+    with _pytest.raises(ValueError, match="exactly one"):
+        stateful.streaming_substring_flags(
+            arrival1, idx_v1_docs, index=spark.read.parquet(v1_path)
+        )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    arrival1.write.parquet(src)
+
+    def run(index_path):
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful.streaming_substring_flags(
+                sdf, index=spark.read.parquet(index_path), k=4
+            )
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+        return progress
+
+    p1 = run(v1_path)
+    assert p1 is None or p1["stateOperators"] == []  # zero state
+    v1_rows = [
+        (r.doc_id, r.index_doc_id)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert set(v1_rows) == {(1, 100)} and len(v1_rows) == 3
+    # redeploy: new arrival overlaps the NEW index member only
+    spark.createDataFrame(
+        [(3, extra + " and fresh words")], schema
+    ).write.mode("append").parquet(src)
+    run(v2_path)
+    rows = [
+        (r.doc_id, r.index_doc_id)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # v1-era output intact, not reprocessed against v2
+    assert len([x for x in rows if x == (1, 100)]) == 3
+    pairs = set(rows)
+    assert (3, 200) in pairs           # matches the v2 addition
+    assert (3, 100) not in pairs       # no overlap with the old member
+    assert (1, 200) not in pairs       # old arrival never re-probed
+
+
 def test_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     """J1 left_outer mode: a risk event with NO matching customer profile
     is emitted null-padded once the watermark passes the end of its
