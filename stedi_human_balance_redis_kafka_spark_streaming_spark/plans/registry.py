@@ -386,6 +386,36 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_jaccard_truth(spark, sf_dir: str, build_live):
+    """The complete exact-Jaccard (J >= 0.7, 3-gram) pair set of the
+    documents corpus — the SHARED truth side of dedup_prefix_prune_eval
+    and dedup_snm_recall_eval (VERDICT r14 #4: both previously cached
+    the identical set under different keys, so each paid its own cold
+    build; one key means whichever eval runs first warms the other).
+
+    ``build_live`` produces the live distributed plan on a cache miss
+    (each eval reuses its own already-persisted frames for the cold
+    build); the result is LIMIT-gated into the ingest-time build cache
+    per corpus fingerprint, degrading to the live plan over the cap,
+    and rehydrated through one Arrow batch."""
+    tkey = (
+        "jaccard_truth",
+        table_fingerprint(sf_dir, "documents"),
+        3,
+        700_000,
+    )
+    hit = buildcache.lookup(tkey)
+    if hit is not None:
+        return buildcache.rehydrate(spark, hit, "doc_a long, doc_b long")
+    live = build_live()
+    rows = live.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
+    if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
+        return live  # over-cap corpus: live distributed plan
+    data = [(int(r["doc_a"]), int(r["doc_b"])) for r in rows]
+    buildcache.store(tkey, data)
+    return buildcache.rehydrate(spark, data, "doc_a long, doc_b long")
+
+
 @register(
     "dedup_prefix_prune_eval",
     # Quantifies what prefix filtering buys: candidate pairs vs ALL
@@ -491,23 +521,18 @@ def dedup_prefix_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ann_truth pattern — instead of re-verifying on every run (the
     # verify join was the eval's wobbliest stage: 2.8-4 s of its
     # 5.4-9.9 s cross-run spread).  The candidate side stays LIVE —
-    # it is the system under evaluation.
-    fp = table_fingerprint(sf_dir, "documents")
-    tkey = ("prefix_truth", fp, 3, 700000, _MAX_SHINGLE_FREQ)
-    hit = buildcache.lookup(tkey)
-    if hit is not None:
-        truth = buildcache.rehydrate(spark, hit, "doc_a long, doc_b long")
-    else:
-        truth_live = dedup._verify_jaccard(e, cand, 0.7).select(
+    # it is the system under evaluation.  The cache ENTRY is shared
+    # with dedup_snm_recall_eval (same corpus, same n/threshold ⇒ the
+    # same pair set — VERDICT r14 #4): whichever eval runs first warms
+    # the other.  The cold build here reuses this eval's already-
+    # persisted e + cand frames.
+    truth = _shared_jaccard_truth(
+        spark,
+        sf_dir,
+        lambda: dedup._verify_jaccard(e, cand, 0.7).select(
             "doc_a", "doc_b"
-        )
-        rows = truth_live.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
-        if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
-            truth = truth_live  # over-cap corpus: live distributed plan
-        else:
-            data = [(int(r["doc_a"]), int(r["doc_b"])) for r in rows]
-            buildcache.store(tkey, data)
-            truth = buildcache.rehydrate(spark, data, "doc_a long, doc_b long")
+        ),
+    )
     # completeness: |truth ∩ cand| == |truth| — truth is derived FROM
     # cand here (once per corpus), so equality holds iff verify lost
     # nothing; the oracle computes truth independently from the FULL
@@ -744,29 +769,18 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
     # Truth = the complete prefix-filtered exact-Jaccard pair set —
-    # deterministic per (corpus, threshold, n), so it rides the same
-    # ingest-time build cache as the ANN ground truths (_ann_truth):
-    # computed once per corpus fingerprint, LIMIT-gated, degrading to
-    # the live distributed plan over the cap.
-    tkey = ("snm_truth", table_fingerprint(sf_dir, "documents"), 700_000, 3)
-    hit = buildcache.lookup(tkey)
-    if hit is not None:
-        truth = spark.createDataFrame(
-            hit, schema="doc_a long, doc_b long"
-        )
-    else:
-        tf = dedup.ngram_jaccard_prefix_pairs(
+    # deterministic per (corpus, threshold, n), riding the ingest-time
+    # build cache.  The entry is SHARED with dedup_prefix_prune_eval
+    # (identical pipeline: e → prefix_candidates → _verify_jaccard, so
+    # the sets are bit-identical — VERDICT r14 #4), and rehydration is
+    # the Arrow path, not row-wise Py4J.
+    truth = _shared_jaccard_truth(
+        spark,
+        sf_dir,
+        lambda: dedup.ngram_jaccard_prefix_pairs(
             docs, threshold=0.7, n=3, caches=caches
-        ).select("doc_a", "doc_b")
-        rows = tf.limit(_DUP_PAIR_CACHE_MAX_ROWS + 1).collect()
-        if len(rows) > _DUP_PAIR_CACHE_MAX_ROWS:
-            truth = tf
-        else:
-            data = [(int(r["doc_a"]), int(r["doc_b"])) for r in rows]
-            buildcache.store(tkey, data)
-            truth = spark.createDataFrame(
-                data, schema="doc_a long, doc_b long"
-            )
+        ).select("doc_a", "doc_b"),
+    )
     # One tagged candidate union + ONE shared verify instead of running
     # the single-pass and multi-pass operators separately (which would
     # verify the pass-1 candidates twice): pass-1 membership survives
