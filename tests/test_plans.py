@@ -41,6 +41,8 @@ SCALE_PATH_QUERIES = [
     "text_repetition_stats",
     "dedup_substring_runs",
     "dedup_substring_cuts",
+    "dedup_substring_self_runs",
+    "dedup_substring_apply",
     "graph_modularity",
 ]
 
