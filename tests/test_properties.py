@@ -2892,6 +2892,49 @@ def test_substring_apply_fixpoint_on_testdata(spark):
     cleaned.unpersist()
 
 
+def test_substring_self_cut_apply_composition(spark):
+    """The INTRA-document removal pipeline composes from the same
+    parts: substring_cut_spans is doc/start-column parameterized, so
+    feeding it the SELF-run frame (doc_col='doc_id',
+    start_col='b_start' — keep the FIRST occurrence, cut the later
+    one) and applying the merged intervals removes every intra-doc
+    repeat: re-mining self-runs on the cleaned docs finds nothing,
+    and the first occurrence survives verbatim."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        apply_substring_cuts,
+        substring_cut_spans,
+        substring_self_run_pairs,
+    )
+
+    para = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro " + para + " middle words " + para + " outro"),
+            (2, "x x x x x x"),
+            (3, "clean text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    self_runs = substring_self_run_pairs(docs, k=3)
+    cuts = substring_cut_spans(
+        self_runs, doc_col="doc_id", start_col="b_start"
+    )
+    cleaned = apply_substring_cuts(docs, cuts)
+    got = {r.doc_id: (r.text, r.n_removed) for r in cleaned.collect()}
+    # doc 1: second copy of the 6-token paragraph removed, first kept
+    assert got[1] == (
+        "intro " + para + " middle words outro", 6
+    )
+    # doc 2: period-1 repetition collapses to its first token (the
+    # diag-1 maximal run is (0, 1, 5) ⇒ cut [1, 6))
+    assert got[2] == ("x", 5)
+    assert got[3][1] == 0
+    # fixpoint: no intra-doc repeats remain in the cleaned corpus
+    assert substring_self_run_pairs(
+        cleaned.select("doc_id", "text"), k=3
+    ).count() == 0
+
+
 def test_substring_runs_rejects_bad_params(spark):
     import pytest as _pytest
 
