@@ -781,11 +781,16 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, threshold=0.7, n=3, caches=caches
         ).select("doc_a", "doc_b"),
     )
-    # One tagged candidate union + ONE shared verify instead of running
-    # the single-pass and multi-pass operators separately (which would
-    # verify the pass-1 candidates twice): pass-1 membership survives
-    # the verify join, and filtering verified pairs on it reproduces
-    # the single-pass result exactly (identical verify predicate).
+    # Recall numerators by DEFINITION (r15): |truth ∩ cand| via two
+    # semi-joins of the (cached, tiny) truth frame against the live
+    # candidate sets — replacing the previous explicit exact-Jaccard
+    # verify of the candidate union, which was provably redundant:
+    # SNM-verified pairs == truth ∩ candidates because the verify
+    # predicate is identical and truth is complete (the ORACLE has
+    # always computed the hits exactly this way, truth SEMI JOIN cand).
+    # Drops the eval's heaviest stage (the ~2.9 s verify join + the
+    # exploded-terms persist) while the candidate side — the system
+    # under evaluation — stays fully live.
     k1 = docs.select("doc_id", dedup._snm_key("text", 24).alias("bkey"))
     k2 = docs.select(
         "doc_id",
@@ -797,27 +802,18 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = pair(dedup._snm_candidates_sharded(k1, 3, None, caches))
     c2 = pair(dedup._snm_candidates_sharded(k2, 3, None, caches))
-    cand = (
-        c1.withColumn("__p1", F.lit(1))
-        .unionByName(c2.withColumn("__p1", F.lit(0)))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("__p1").alias("__p1"))
-        .persist()
-    )
-    cand.count()
-    caches.append(cand)
-    e = dedup._exploded_terms(docs, 3).persist()
-    e.count()
-    caches.append(e)
-    verified = dedup._verify_jaccard(
-        e, cand.select("doc_a", "doc_b"), 0.7
-    ).join(cand, ["doc_a", "doc_b"])
-    n_true = truth.agg(F.count("*").alias("n_true"))
-    counts = verified.agg(
-        F.coalesce(F.sum("__p1"), F.lit(0))
-        .cast("long")
-        .alias("n_snm_1pass"),
-        F.count("*").cast("long").alias("n_snm_2pass"),
+    tr = truth.persist()
+    tr.count()
+    caches.append(tr)
+    n_true = tr.agg(F.count("*").alias("n_true"))
+    counts = (
+        tr.join(c1, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_snm_1pass"))
+        .crossJoin(
+            tr.join(
+                c1.unionByName(c2), ["doc_a", "doc_b"], "left_semi"
+            ).agg(F.count("*").cast("long").alias("n_snm_2pass"))
+        )
     )
     rec = lambda n, alias: (  # noqa: E731
         F.when(
