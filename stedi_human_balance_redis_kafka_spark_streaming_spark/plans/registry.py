@@ -5276,6 +5276,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # in-window via q18's scored top-k; q15 carries no supplementary
     # dual
     "q15_top_supplier",
+    # TPC-H: q16 (supplier count by part — anti-join + distinct agg,
+    # birth r3, driver-hashed r11-r14) yields to the mutual-best
+    # community merge pass (graph_modularity_merge, birth r15) — the
+    # guaranteed-improvement distributed-Louvain coarsening step
+    # completing the r14 community arc (mine → score → coarsen); the
+    # q-shape family keeps FOUR in-window seats (q8/q18/q20/q21),
+    # anti-join machinery stays in-window via q21's double anti/semi
+    # stack, and q16 carries no supplementary dual
+    "q16_supplier_count_by_part",
 )
 
 

@@ -44,6 +44,7 @@ SCALE_PATH_QUERIES = [
     "dedup_substring_self_runs",
     "dedup_substring_apply",
     "graph_modularity",
+    "graph_modularity_merge",
 ]
 
 

@@ -3110,6 +3110,210 @@ def test_modularity_of_cc_partition_invariants(spark, raw_edges):
         assert r.q_e6 >= 0
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_modularity_refine_matches_pure_python(spark, raw_edges, n_comm):
+    """modularity_refine_step == the pure-python integer replay of one
+    synchronous greedy sweep: per node, T(c) = 2m·k_{i,c} − k_i·(d_c −
+    k_i·[c = own]) over neighbor communities + own, argmax with
+    (T DESC, c ASC) tie-break, move iff strictly better than staying —
+    all moves applied simultaneously against the old assignment."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_step,
+    )
+
+    und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
+    if not und:
+        return
+    nodes = sorted({n for e in und for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    m = len(und)
+    deg = {n: 0 for n in nodes}
+    adj = {n: [] for n in nodes}
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+        adj[u].append(v)
+        adj[v].append(u)
+    d_c: dict = {}
+    for n in nodes:
+        d_c[comm[n]] = d_c.get(comm[n], 0) + deg[n]
+    exp = {}
+    for i in nodes:
+        k_ic: dict = {}
+        for j in adj[i]:
+            k_ic[comm[j]] = k_ic.get(comm[j], 0) + 1
+        cand = set(k_ic) | {comm[i]}
+        scores = {
+            c: 2 * m * k_ic.get(c, 0)
+            - deg[i] * (d_c[c] - (deg[i] if c == comm[i] else 0))
+            for c in cand
+        }
+        best = min(cand, key=lambda c: (-scores[c], c))
+        exp[i] = best if scores[best] > scores[comm[i]] else comm[i]
+
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in raw_edges], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+    got = {
+        r.node: r.community
+        for r in modularity_refine_step(edf, cdf).collect()
+    }
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_modularity_merge_matches_python_and_never_decreases_q(
+    spark, raw_edges, n_comm
+):
+    """modularity_merge_step == the pure-python replay of one
+    mutual-best positive-gain community merge pass (gain 2m·e_ab −
+    d_a·d_b, best partner by (gain DESC, id ASC), merge iff mutual,
+    min id wins), AND the operator's theorem holds as a hypothesis
+    invariant: Q(merged) >= Q(before) on EVERY graph and partition —
+    mutual-best pairs form a matching and Q is additive over
+    communities, so there are no cross terms to overshoot on."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_merge_step,
+        modularity_score,
+    )
+
+    und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
+    if not und:
+        return
+    nodes = sorted({n for e in und for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    m = len(und)
+    deg = {n: 0 for n in nodes}
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    d_c: dict = {}
+    for n in nodes:
+        d_c[comm[n]] = d_c.get(comm[n], 0) + deg[n]
+    e_ab: dict = {}
+    for u, v in und:
+        a_, b_ = comm[u], comm[v]
+        if a_ != b_:
+            key = (min(a_, b_), max(a_, b_))
+            e_ab[key] = e_ab.get(key, 0) + 1
+    gains = {
+        pair: 2 * m * e - d_c[pair[0]] * d_c[pair[1]]
+        for pair, e in e_ab.items()
+    }
+    best: dict = {}
+    for (a_, b_), g in gains.items():
+        if g <= 0:
+            continue
+        for c, p in ((a_, b_), (b_, a_)):
+            cur = best.get(c)
+            if cur is None or (g, -p) > (cur[0], -cur[1]):
+                best[c] = (g, p)
+    mapping = {}
+    for c, (_, p) in best.items():
+        if best.get(p, (None, None))[1] == c and c > p:
+            mapping[c] = p
+    exp = {n: mapping.get(comm[n], comm[n]) for n in nodes}
+
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in raw_edges], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+    merged = modularity_merge_step(edf, cdf)
+    got = {r.node: r.community for r in merged.collect()}
+    assert got == exp
+    q0 = modularity_score(edf, cdf).select("q_e6").first()[0]
+    q1 = modularity_score(edf, merged).select("q_e6").first()[0]
+    assert q1 >= q0
+    if mapping:
+        assert q1 > q0
+
+
+def test_modularity_merge_improves_purchase_graph_q(spark):
+    """The registered merge pipeline's value, pinned as data: one
+    mutual-best merge pass over the hash-sharded purchase graph at
+    sf0.001 STRICTLY improves the exact partition modularity and
+    actually merges shards (a no-op pass would make the registered
+    query a re-badged sharding)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_merge_step,
+        modularity_score,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    held: list = [edges]
+    seed = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 16).alias("community"))
+        .persist()
+    )
+    held.append(seed)
+    merged = modularity_merge_step(
+        edges, seed, assume_canonical=True, caches=held
+    ).persist()
+    held.append(merged)
+    q0 = modularity_score(
+        edges, seed, assume_canonical=True
+    ).select("q_e6").first()[0]
+    q1 = modularity_score(
+        edges, merged, assume_canonical=True
+    ).select("q_e6").first()[0]
+    assert q1 > q0
+    n_nodes = seed.count()
+    assert merged.count() == n_nodes
+    n_comm_before = seed.select("community").distinct().count()
+    n_comm_after = merged.select("community").distinct().count()
+    assert n_comm_after < n_comm_before
+    for h in held:
+        h.unpersist()
+
+
 def test_modularity_isolated_members_and_canonical_flag(spark):
     """ADVICE r14 closures on modularity_score: (1) community members
     with NO incident edge still produce/extend their community's row —
