@@ -716,6 +716,113 @@ def streaming_substring_flags(
     )
 
 
+def streaming_self_repeat_flags(
+    docs: DataFrame,
+    *,
+    k: int = 20,
+    min_tokens: int | None = None,
+    max_gram_occ: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time INTRA-document repeated-substring flagging — the
+    streaming dual of ``operators/dedup.substring_self_run_pairs``:
+    a document that verbatim-repeats its own >= ``min_tokens``-token
+    span (duplicated paragraph, generation loop) is flagged AT INGEST,
+    with the same (a_start, b_start, match_tokens) evidence the batch
+    miner emits.  Self-runs are a pure function of ONE document's own
+    tokens — no corpus, no index, no state — so unlike the cross-
+    document probe (:func:`streaming_substring_flags`, which needs the
+    materialized gram index) this dual is a stateless per-row map:
+    Arrow-batched whole-batch ``mapInPandas`` (the blockhash
+    convention), append mode, no watermark, zero streaming state, and
+    trivially correct under restart.
+
+    Per document the scan is the batch miner's algorithm localized:
+    group gram positions by gram (exact tuples, not md5 — strictly
+    stronger than the batch fingerprint), pair positions within
+    [2, ``max_gram_occ``] occurrence bounds, and stitch maximal
+    diagonal islands.  O(grams + matched pairs) per document, with the
+    occurrence bound capping the quadratic blowup on degenerate
+    (periodic) documents exactly as the batch cap does.  CAP SEMANTICS
+    DIFFER BY SCOPE, stated honestly: the batch miner's
+    ``max_gram_occ`` is CORPUS-wide (computed where corpus counts
+    exist), this dual's is within-document (the only scope a stateless
+    map has) — identical whenever the corpus-wide cap is not binding,
+    which the stream==batch pytest pins (batch side at a non-binding
+    cap).  Tokenization replays ``functions.hashing.tokens`` exactly
+    (lower, trim of SPACES only, split on whitespace runs).
+
+    Output: (doc_id, a_start, b_start, match_tokens) per maximal
+    intra-document run, ``a_start < b_start``.
+    """
+    import re as _re
+
+    if min_tokens is None:
+        min_tokens = k
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): runs are "
+            "built from length-k grams, so shorter overlaps are invisible"
+        )
+    if max_gram_occ < 2:
+        raise ValueError(f"max_gram_occ must be >= 2, got {max_gram_occ}")
+
+    out_schema = (
+        "doc_id long, a_start long, b_start long, match_tokens long"
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None or (
+                    isinstance(text, float) and pd.isna(text)
+                ):
+                    continue
+                # replay tokens(): lower → trim SPACES (Spark trim
+                # strips ' ' only, not \t/\n) → split on \s+ runs
+                t = _re.split(r"\s+", str(text).lower().strip(" "))
+                n = len(t)
+                if n < k:
+                    continue
+                pos: dict = {}
+                for p in range(n - k + 1):
+                    pos.setdefault(tuple(t[p : p + k]), []).append(p)
+                pairs: list[tuple] = []
+                for ps in pos.values():
+                    if 2 <= len(ps) <= max_gram_occ:
+                        for i in range(len(ps)):
+                            for j in range(i + 1, len(ps)):
+                                pairs.append((ps[j] - ps[i], ps[i]))
+                pairs.sort()
+                run_d = run_s = run_e = None
+                for d, pa in pairs:
+                    if d == run_d and pa == run_e + 1:
+                        run_e = pa
+                        continue
+                    if run_d is not None:
+                        m = run_e - run_s + k
+                        if m >= min_tokens:
+                            rows.append(
+                                (int(doc_id), run_s, run_s + run_d, m)
+                            )
+                    run_d, run_s, run_e = d, pa, pa
+                if run_d is not None:
+                    m = run_e - run_s + k
+                    if m >= min_tokens:
+                        rows.append((int(doc_id), run_s, run_s + run_d, m))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "a_start", "b_start", "match_tokens"],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(scan, out_schema)
+
+
 def streaming_anomaly_flags(
     events: DataFrame,
     baseline_events: DataFrame,

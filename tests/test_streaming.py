@@ -898,6 +898,56 @@ def test_streaming_substring_flags_stream_static_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_self_repeat_flags_match_batch_miner(spark, tmp_path):
+    """Ingest-time intra-document repeat flagging: the stateless
+    mapInPandas dual emits exactly the batch self-run miner's maximal
+    runs (exact tuple grams vs md5 fingerprints — same diagonals, same
+    islands; batch cap non-binding so the corpus-wide vs within-doc
+    cap scopes coincide), and the streaming run equals the batch-mode
+    run on the same rows."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    para = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, "start " + para + " middle " + para + " end"),
+        (2, "x x x x x x"),
+        (3, "all distinct tokens here only once"),
+        (4, None),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        (r.doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in dedup.substring_self_run_pairs(
+            batch_df, k=4, max_gram_occ=10_000
+        ).collect()
+    }
+    assert (1, 1, 10, 8) in expected        # the duplicated paragraph
+    got_batch = {
+        (r.doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in stateful.streaming_self_repeat_flags(
+            batch_df, k=4, max_gram_occ=10_000
+        ).collect()
+    }
+    assert got_batch == expected
+
+    path = str(tmp_path / "selfrep_stream")
+    batch_df.write.parquet(path)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_to_memory(
+        spark,
+        stateful.streaming_self_repeat_flags(sdf, k=4, max_gram_occ=10_000),
+        f"selfrep_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got_stream = {
+        (r.doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in out.collect()
+    }
+    assert got_stream == expected
+
+
 def test_streaming_substring_index_version_swap(spark, tmp_path):
     """The materialized gram-index deployment contract (VERDICT r14 #3,
     mirroring test_streaming_phash_index_version_swap): the static side
