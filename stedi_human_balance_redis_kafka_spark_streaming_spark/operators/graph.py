@@ -2119,7 +2119,10 @@ def modularity_merge_step(
     such guarantee (and measurably overshoot on hub-heavy graphs —
     see SCALING.md); a production coarsening loop alternates merge
     passes and re-scores (:func:`modularity_score`) until no pair
-    qualifies.
+    qualifies — and must ``localCheckpoint`` each pass's output before
+    feeding it back (the iterative-graph-operator pattern: without
+    truncation every pass re-optimizes the whole deepening lineage;
+    the convergence pytest demonstrates the loop).
 
     Determinism: best partner by (gain DESC, partner id ASC); a merged
     pair adopts min(a, b) as its community id.  All gains in

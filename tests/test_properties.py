@@ -3255,6 +3255,52 @@ def test_modularity_merge_matches_python_and_never_decreases_q(
         assert q1 > q0
 
 
+def test_modularity_merge_loop_converges_monotonically(spark):
+    """The coarsening LOOP story (SCALING.md): iterating
+    modularity_merge_step from singletons converges — Q is
+    non-decreasing at EVERY pass (the matching theorem, applied
+    repeatedly), the community count is non-increasing, and a
+    fixpoint (no mutual positive-gain pair) is reached in a few
+    passes on a two-cluster graph."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_merge_step,
+        modularity_score,
+    )
+
+    # two K4 cliques joined by one bridge edge
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 10, j + 10) for i, j in k4a]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(3, 10)], "src long, dst long"
+    )
+    comm = spark.createDataFrame(
+        [(n, n) for n in list(range(4)) + list(range(10, 14))],
+        "node long, community long",
+    )
+    qs = [modularity_score(edges, comm).select("q_e6").first()[0]]
+    n_comm = [8]
+    for _ in range(6):
+        # localCheckpoint truncates the per-pass lineage (the graph
+        # operators' own iteration pattern) — without it each pass
+        # re-optimizes the whole deepening chain
+        nxt = modularity_merge_step(edges, comm).localCheckpoint()
+        if (
+            nxt.alias("a")
+            .join(comm.alias("b"), F.col("a.node") == F.col("b.node"))
+            .filter(F.col("a.community") != F.col("b.community"))
+            .count()
+            == 0
+        ):
+            break
+        comm = nxt
+        qs.append(modularity_score(edges, comm).select("q_e6").first()[0])
+        n_comm.append(comm.select("community").distinct().count())
+    assert all(b >= a for a, b in zip(qs, qs[1:]))  # monotone
+    assert all(b <= a for a, b in zip(n_comm, n_comm[1:]))
+    assert n_comm[-1] <= 2  # coarsened to (at most) the two cliques
+    assert qs[-1] > qs[0]
+
+
 def test_modularity_merge_improves_purchase_graph_q(spark):
     """The registered merge pipeline's value, pinned as data: one
     mutual-best merge pass over the hash-sharded purchase graph at
