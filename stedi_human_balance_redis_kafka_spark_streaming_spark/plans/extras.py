@@ -4794,6 +4794,149 @@ def _sql_merge() -> str:
     """
 
 
+_COARSEN_PASSES = 3  # 16 hash shards halve per matching pass at best
+
+
+def _sql_coarsen(passes: int) -> str:
+    """Oracle for graph_louvain_coarsen: the :func:`_sql_merge` pass
+    UNROLLED ``passes`` times (the _sql_lpa inlining rule — one
+    MATERIALIZED assignment CTE per pass; und/deg/mm are pass-
+    invariant and computed once).  Each pass replays the mutual-best
+    positive-gain matching in exact HUGEINT; a fixpointed pass is a
+    no-op and chains through unchanged."""
+    blocks = []
+    prev = "comm0"
+    for t in range(1, passes + 1):
+        blocks.append(f"""dc{t} AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS d
+      FROM deg JOIN {prev} USING (n) GROUP BY c
+    ), ce{t} AS (
+      SELECT least(cu.c, cv.c) AS ca, greatest(cu.c, cv.c) AS cb,
+             CAST(COUNT(*) AS BIGINT) AS e
+      FROM und
+      JOIN {prev} cu ON cu.n = und.u
+      JOIN {prev} cv ON cv.n = und.v
+      WHERE cu.c <> cv.c
+      GROUP BY 1, 2
+    ), gains{t} AS (
+      SELECT x.ca, x.cb,
+             2 * mm.m * CAST(x.e AS HUGEINT)
+               - CAST(da.d AS HUGEINT) * CAST(db.d AS HUGEINT) AS g
+      FROM ce{t} x
+      JOIN dc{t} da ON da.c = x.ca
+      JOIN dc{t} db ON db.c = x.cb
+      CROSS JOIN mm
+    ), symg{t} AS (
+      SELECT ca AS c, cb AS p, g FROM gains{t} WHERE g > 0
+      UNION ALL
+      SELECT cb AS c, ca AS p, g FROM gains{t} WHERE g > 0
+    ), best{t} AS (
+      SELECT c, p FROM (
+        SELECT c, p,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY g DESC, p ASC) AS rn
+        FROM symg{t}
+      ) WHERE rn = 1
+    ), map{t} AS (
+      SELECT x.c AS old_c, x.p AS new_c
+      FROM best{t} x JOIN best{t} y ON x.c = y.p AND x.p = y.c
+      WHERE x.c > x.p
+    ), comm{t} AS MATERIALIZED (
+      SELECT {prev}.n, COALESCE(map{t}.new_c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN map{t} ON {prev}.c = map{t}.old_c
+    )""")
+        prev = f"comm{t}"
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+             CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (
+      SELECT u AS n FROM und UNION ALL SELECT v FROM und
+    ),
+    comm0 AS MATERIALIZED (
+      SELECT DISTINCT n, n % {_MERGE_SHARDS} AS c FROM nodes
+    ),
+    deg AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS k FROM nodes GROUP BY n
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und),
+    {chain}
+    SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(n // 2 AS BIGINT) AS entity_id,
+           CAST(c AS BIGINT) AS community
+    FROM {prev}
+    """
+
+
+@register("graph_louvain_coarsen", oracle=_sql_coarsen(_COARSEN_PASSES))
+def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style COARSENING LOOP, driver-verified: three
+    mutual-best merge passes (operators/graph.modularity_merge_step,
+    lineage-truncated per pass — the iterative-graph-operator
+    contract) over the hash-sharded customer↔supplier purchase graph.
+    Each pass is a matching of strictly-positive-gain community pairs,
+    so Q is non-decreasing at EVERY pass (the graph_modularity_merge
+    theorem, applied repeatedly) and the community count is
+    non-increasing; a fixpointed pass chains through as a no-op —
+    both engines replay the full 3-pass chain bit-for-bit.
+
+    This is the user-facing form of the family: seed → coarsen N →
+    score (graph_modularity's machinery) — agglomerative community
+    detection without label-propagation's oscillation modes.
+
+    Scale shape: the merge pass's frontier-free shape × 3, with the
+    community graph SHRINKING geometrically per pass (mutual matching
+    can at best halve the community count: 16 → ≥8 → ≥4 → ≥2);
+    und/deg are pass-invariant and the node-level work per pass is
+    two broadcastable assignment joins.  See SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import scope_caches
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    held: list = [edges]
+    comm = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            (F.col("node") % _MERGE_SHARDS).alias("community"),
+        )
+    )
+    for _ in range(_COARSEN_PASSES):
+        comm = graph.modularity_merge_step(
+            edges, comm, assume_canonical=True, caches=held
+        ).localCheckpoint()
+        held.append(comm)
+    out = comm.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        "community",
+    )
+    return scope_caches(out, *held)
+
+
 @register("graph_modularity_merge", oracle=_sql_merge())
 def graph_modularity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One GUARANTEED-improvement community merge pass

@@ -5285,6 +5285,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # anti-join machinery stays in-window via q21's double anti/semi
     # stack, and q16 carries no supplementary dual
     "q16_supplier_count_by_part",
+    # TPC-H: q20 (heavy-share suppliers — nested semi-joins + share
+    # threshold, birth r3, driver-hashed r11-r14) yields to the
+    # Louvain coarsening loop (graph_louvain_coarsen, birth r15) —
+    # the user-facing N-pass form of the merge step, unrolled in both
+    # engines; the q-shape family keeps THREE in-window seats
+    # (q8/q18/q21), semi/anti-join machinery stays in-window via
+    # q21's double anti/semi stack and q18's scored top-k, and q20
+    # carries no supplementary dual
+    "q20_heavy_share_suppliers",
 )
 
 

@@ -45,6 +45,7 @@ SCALE_PATH_QUERIES = [
     "dedup_substring_apply",
     "graph_modularity",
     "graph_modularity_merge",
+    "graph_louvain_coarsen",
 ]
 
 
