@@ -2345,10 +2345,18 @@ def modularity_refine_step(
         .groupBy("n", "c")
         .agg(F.max("kc").alias("kc"))
     )
+    # LEFT joins (ADVICE r15): deg is built from the EDGE list, so an
+    # assignment member with no incident edge has no deg row, and a
+    # community whose members are all isolated has no d_c row — inner
+    # joins here would silently drop those members from the returned
+    # assignment (the defect class modularity_score fixed in r14).
+    # Coalescing k and d to 0 gives isolated nodes T = 0 for every
+    # candidate (their only candidate is their own community, from the
+    # cand union), so they stay put and pass through unchanged.
     scored = (
         cand.join(comm.select("n", F.col("c").alias("__own")), "n")
-        .join(deg, "n")
-        .join(d_c, "c")
+        .join(deg, "n", "left")
+        .join(d_c, "c", "left")
         .crossJoin(F.broadcast(m1))
         .select(
             "n",
@@ -2357,11 +2365,13 @@ def modularity_refine_step(
             (
                 F.lit(2).cast(dec) * F.col("__m")
                 * F.col("kc").cast(dec)
-                - F.col("k").cast(dec)
+                - F.coalesce(F.col("k"), F.lit(0)).cast(dec)
                 * (
-                    F.col("d")
-                    - F.when(F.col("c") == F.col("__own"), F.col("k"))
-                    .otherwise(F.lit(0))
+                    F.coalesce(F.col("d"), F.lit(0))
+                    - F.when(
+                        F.col("c") == F.col("__own"),
+                        F.coalesce(F.col("k"), F.lit(0)),
+                    ).otherwise(F.lit(0))
                 ).cast(dec)
             ).alias("__t"),
         )

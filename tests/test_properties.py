@@ -3451,3 +3451,35 @@ def test_modularity_isolated_members_and_canonical_flag(spark):
         for r in canon
     } == rows
     assert all(r.q_e6 == 0 for r in canon)
+
+
+def test_refine_isolated_members_pass_through(spark):
+    """ADVICE r15 closure on modularity_refine_step: assignment members
+    with NO incident edge must pass through unchanged (T = 0 for their
+    only candidate — their own community — so they stay put), not be
+    silently dropped by an inner deg join; a community whose members
+    are ALL isolated likewise keeps every row (no d_c row to inner-join
+    away).  The returned assignment is the same SIZE and node set as
+    the input, the refine-step output contract."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_step,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    # node 6 is isolated inside edge-incident community 10; community
+    # 20 is entirely isolated (nodes 4, 5)
+    comm = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (6, 10), (4, 20), (5, 20)],
+        "node long, community long",
+    )
+    got = {
+        r.node: r.community
+        for r in modularity_refine_step(edges, comm).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[6] == 10 and got[4] == 20 and got[5] == 20
+    # edge-incident nodes keep a valid community from the input label
+    # set (the sweep may move them, never invent labels)
+    assert all(c in {10, 20} for c in got.values())
