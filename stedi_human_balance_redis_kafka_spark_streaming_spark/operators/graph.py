@@ -2093,6 +2093,7 @@ def modularity_merge_step(
     dst: str = "dst",
     node_col: str = "node",
     community_col: str = "community",
+    weight_col: str | None = None,
     assume_canonical: bool = False,
     caches: list | None = None,
 ) -> DataFrame:
@@ -2128,6 +2129,25 @@ def modularity_merge_step(
     pair adopts min(a, b) as its community id.  All gains in
     ``decimal(38,0)`` (terms compound multiplicatively in m).
 
+    WEIGHTED form (``weight_col``, the Louvain phase-2 input): edges
+    carry an integer weight and may include SELF-LOOPS — the
+    :func:`contract_graph` output contract (canonical ``u <= v``, one
+    row per pair), which the caller asserts by ALSO passing
+    ``assume_canonical=True`` (enforced; canonicalizing weighted
+    multi-edges is the contractor's job, not this step's).  Weighted
+    semantics are the standard generalization: ``m`` = total edge
+    weight (self-loops once), a node's degree = incident weight with
+    self-loops counted TWICE, ``e_ab`` = inter-community weight; gain
+    stays 2m·e_ab − d_a·d_b.  The CONTRACTION-INVARIANCE lemma this
+    enables: on ``contract_graph(E, P)`` with the IDENTITY partition,
+    every quantity above equals its value on ``(E, P)`` — m is
+    preserved by construction, a super-node's degree 2·w_cc + Σw_cd
+    telescopes to its community's degree sum, and e'_ab = w_ab = e_ab
+    — so one weighted pass on the contracted graph returns exactly the
+    community relabeling the unit-weight pass returns on the original
+    graph (hypothesis-tested), while joining |communities|²-bounded
+    rows instead of |E|.
+
     Output: (node, community) — the coarsened assignment, LPA's
     schema; unmerged communities pass through unchanged.
 
@@ -2143,8 +2163,23 @@ def modularity_merge_step(
 
     a, b = F.col(src), F.col(dst)
     own: list = [] if caches is None else caches
-    if assume_canonical:
-        und = edges.select(a.alias("u"), b.alias("v"))
+    if weight_col is not None:
+        if not assume_canonical:
+            raise ValueError(
+                "weight_col requires assume_canonical=True: weighted "
+                "edges must already be canonical (u <= v, one row per "
+                "pair, self-loops allowed) — the contract_graph output "
+                "contract; canonicalize there, not here"
+            )
+        und = edges.select(
+            a.alias("u"),
+            b.alias("v"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+    elif assume_canonical:
+        und = edges.select(
+            a.alias("u"), b.alias("v"), F.lit(1).cast("long").alias("__w")
+        )
     else:
         und = (
             edges.select(
@@ -2153,6 +2188,7 @@ def modularity_merge_step(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .withColumn("__w", F.lit(1).cast("long"))
             .persist()
         )
         own.append(und)
@@ -2162,12 +2198,15 @@ def modularity_merge_step(
         F.col(community_col).alias("c"),
     ).persist()
     own.append(comm)
-    m1 = und.agg(F.count("*").cast(dec).alias("__m"))
+    m1 = und.agg(F.sum("__w").cast(dec).alias("__m"))
+    # a self-loop lands in BOTH union branches as the same node, so it
+    # contributes 2w to its endpoint's degree — the weighted-graph
+    # degree convention the contraction-invariance lemma needs
     deg = (
-        und.select(F.col("u").alias("n"))
-        .unionByName(und.select(F.col("v").alias("n")))
+        und.select(F.col("u").alias("n"), "__w")
+        .unionByName(und.select(F.col("v").alias("n"), "__w"))
         .groupBy("n")
-        .agg(F.count("*").cast("long").alias("k"))
+        .agg(F.sum("__w").cast("long").alias("k"))
     )
     d_c = (
         deg.join(comm, "n")
@@ -2187,9 +2226,10 @@ def modularity_merge_step(
         .select(
             F.least("cu", "cv").alias("ca"),
             F.greatest("cu", "cv").alias("cb"),
+            "__w",
         )
         .groupBy("ca", "cb")
-        .agg(F.count("*").cast("long").alias("e"))
+        .agg(F.sum("__w").cast("long").alias("e"))
     )
     gains = (
         ce.join(d_c.select(F.col("c").alias("ca"), F.col("d").alias("da")), "ca")
@@ -2237,6 +2277,113 @@ def modularity_merge_step(
             F.col("n").alias("node"),
             F.coalesce("__new", "c").alias("community"),
         )
+    )
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def contract_graph(
+    edges: DataFrame,
+    communities: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    weight_col: str | None = None,
+    assume_canonical: bool = False,
+    caches: list | None = None,
+) -> DataFrame:
+    """Louvain PHASE-2 graph contraction: collapse a partition's
+    communities into super-nodes and return the weighted community
+    super-graph — inter-community edge weights plus SELF-LOOP rows
+    carrying each community's internal edge weight.  This is the
+    operator that makes a coarsening loop scale: after one
+    contraction, every further merge pass joins a graph bounded by the
+    (geometrically shrinking) community count instead of re-joining
+    the full |E| edge list every pass (VERDICT r15 next-round #1).
+
+    Weight bookkeeping is chosen so modularity is INVARIANT under
+    contraction (the standard Louvain phase-2 construction, Blondel et
+    al. 2008 §2):
+
+    * total weight is preserved — every original edge lands in exactly
+      one output row (an inter row or a self-loop), so m' = m;
+    * a super-node's weighted degree (self-loops counted TWICE,
+      :func:`modularity_merge_step`'s weighted convention) telescopes
+      to its community's degree sum: 2·w_cc + Σ_d w_cd = 2·in_c +
+      out_c = d_c.
+
+    Hence one weighted merge pass on the contracted graph with the
+    IDENTITY partition computes exactly the community-level gains of
+    the unit-weight pass on the original graph (the contraction-
+    invariance lemma, hypothesis-tested), and a loop may recurse:
+    contract → merge → contract → merge on ever-smaller graphs.
+
+    Input forms: raw unit-weight edges (canonicalized here unless
+    ``assume_canonical`` — least/greatest, self-loops dropped,
+    multi-edges collapsed, the simple-graph convention every scorer in
+    this module uses), or an already-contracted weighted graph
+    (``weight_col`` — REQUIRED canonical, this function's own output
+    contract, so recursion composes).  Every assignment member must
+    appear in ``communities``; edge endpoints absent from the
+    assignment are dropped by the inner joins (callers seed
+    assignments FROM the edge list, so this is vacuous in practice).
+
+    Output: (``src``, ``dst``, weight) with ``src <= dst``, one row
+    per super-edge, weight a long count/sum; self-loops are the
+    ``src == dst`` rows.  Column names follow the input params so the
+    output feeds straight back in.
+
+    Scale shape: ONE edge-list double-join against the (broadcastable)
+    assignment frame + one partial-aggregable rollup keyed by the
+    community pair — the same shape as one merge pass's ``ce`` stage,
+    paid ONCE; output rows are bounded by community pairs ≪ |E|.
+    """
+    from ..session import scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    own: list = [] if caches is None else caches
+    if weight_col is not None:
+        und = edges.select(
+            a.alias("u"),
+            b.alias("v"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+    elif assume_canonical:
+        und = edges.select(
+            a.alias("u"), b.alias("v"), F.lit(1).cast("long").alias("__w")
+        )
+    else:
+        und = (
+            edges.select(
+                F.least(a, b).alias("u"),
+                F.greatest(a, b).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .withColumn("__w", F.lit(1).cast("long"))
+        )
+    comm = communities.select(
+        F.col(node_col).alias("n"),
+        F.col(community_col).alias("c"),
+    ).persist()
+    own.append(comm)
+    ret = (
+        und.join(
+            comm.select(F.col("n").alias("u"), F.col("c").alias("cu")),
+            "u",
+        )
+        .join(
+            comm.select(F.col("n").alias("v"), F.col("c").alias("cv")),
+            "v",
+        )
+        .select(
+            F.least("cu", "cv").alias(src),
+            F.greatest("cu", "cv").alias(dst),
+            "__w",
+        )
+        .groupBy(src, dst)
+        .agg(F.sum("__w").cast("long").alias("weight"))
     )
     return ret if caches is not None else scope_caches(ret, *own)
 

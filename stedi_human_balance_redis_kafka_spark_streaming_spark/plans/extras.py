@@ -4874,28 +4874,41 @@ def _sql_coarsen(passes: int) -> str:
 
 @register("graph_louvain_coarsen", oracle=_sql_coarsen(_COARSEN_PASSES))
 def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain-style COARSENING LOOP, driver-verified: three
-    mutual-best merge passes (operators/graph.modularity_merge_step,
-    lineage-truncated per pass — the iterative-graph-operator
-    contract) over the hash-sharded customer↔supplier purchase graph.
-    Each pass is a matching of strictly-positive-gain community pairs,
-    so Q is non-decreasing at EVERY pass (the graph_modularity_merge
-    theorem, applied repeatedly) and the community count is
-    non-increasing; a fixpointed pass chains through as a no-op —
-    both engines replay the full 3-pass chain bit-for-bit.
+    """Louvain coarsening with TRUE PHASE-2 CONTRACTION,
+    driver-verified: contract the hash-sharded customer↔supplier
+    purchase graph ONCE into its weighted community super-graph
+    (operators/graph.contract_graph), then run three weighted
+    mutual-best merge passes (modularity_merge_step with weight_col)
+    on the geometrically shrinking super-graph, re-contracting between
+    passes and composing the community relabelings back onto the
+    node-level seed at the end.  By the contraction-invariance lemma
+    (m, degrees, and inter-community weights are preserved, so every
+    pass's gains equal the unit-weight pass's on the full graph —
+    hypothesis-tested and pinned equal to the uncontracted loop on
+    this data), the result is BIT-IDENTICAL to merging on the raw
+    edge list every pass, which is exactly what the unrolled DuckDB
+    oracle still replays.  Q is non-decreasing at every pass (the
+    graph_modularity_merge theorem, applied repeatedly) and the
+    community count non-increasing; a fixpointed pass chains through
+    as a no-op.
 
-    This is the user-facing form of the family: seed → coarsen N →
-    score (graph_modularity's machinery) — agglomerative community
-    detection without label-propagation's oscillation modes.
+    This is the user-facing form of the family: seed → contract →
+    coarsen N → score (graph_modularity's machinery) — agglomerative
+    community detection without label-propagation's oscillation modes.
 
-    Scale shape: the merge pass's frontier-free shape × 3, with the
-    community graph SHRINKING geometrically per pass (mutual matching
-    can at best halve the community count: 16 → ≥8 → ≥4 → ≥2);
-    und/deg are pass-invariant and the node-level work per pass is
-    two broadcastable assignment joins.  See SCALING.md.
+    Scale shape (the r15 VERDICT's one known-better plan, now
+    implemented): the |E|-sized assignment double-join is paid ONCE
+    (the contraction) instead of once PER PASS; every subsequent pass
+    joins a graph bounded by the surviving community count (16 → 14 →
+    11 → 10 here, ≤ 16·17/2 weighted rows), so a deeper loop costs
+    O(|E| + passes·|communities|²) instead of O(passes·|E|).  Each
+    pass's tiny output is localCheckpoint'd (the iterative-operator
+    lineage contract) and released via session.checkpoint_handle
+    (ADVICE r15: raw checkpointed frames no-op on unpersist).  See
+    SCALING.md.
     """
     from ..operators import graph
-    from ..session import scope_caches
+    from ..session import checkpoint_handle, scope_caches
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -4913,7 +4926,7 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     held: list = [edges]
-    comm = (
+    seed = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -4921,12 +4934,56 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("node") % _MERGE_SHARDS).alias("community"),
         )
+        .persist()
     )
-    for _ in range(_COARSEN_PASSES):
-        comm = graph.modularity_merge_step(
-            edges, comm, assume_canonical=True, caches=held
+    held.append(seed)
+    # the ONLY |E|-sized join in the loop: node graph -> 16-community
+    # weighted super-graph (inter weights + intra self-loops)
+    g = graph.contract_graph(
+        edges, seed, assume_canonical=True, caches=held
+    ).localCheckpoint()
+    held.append(checkpoint_handle(g))
+    mapping: DataFrame | None = None
+    for t in range(_COARSEN_PASSES):
+        ident = (
+            g.select(F.col("src").alias("node"))
+            .unionByName(g.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
+        merged = graph.modularity_merge_step(
+            g,
+            ident,
+            weight_col="weight",
+            assume_canonical=True,
+            caches=held,
         ).localCheckpoint()
-        held.append(comm)
+        held.append(checkpoint_handle(merged))
+        # compose the community->community relabelings (tiny frames)
+        if mapping is None:
+            mapping = merged
+        else:
+            mapping = mapping.join(
+                merged.select(
+                    F.col("node").alias("__c"),
+                    F.col("community").alias("__c2"),
+                ),
+                mapping["community"] == F.col("__c"),
+            ).select("node", F.col("__c2").alias("community"))
+        if t < _COARSEN_PASSES - 1:
+            g = graph.contract_graph(
+                g, merged, weight_col="weight", caches=held
+            ).localCheckpoint()
+            held.append(checkpoint_handle(g))
+    comm = seed.join(
+        F.broadcast(
+            mapping.select(
+                F.col("node").alias("__from"),
+                F.col("community").alias("__to"),
+            )
+        ),
+        seed["community"] == F.col("__from"),
+    ).select("node", F.col("__to").alias("community"))
     out = comm.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

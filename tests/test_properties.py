@@ -3357,6 +3357,166 @@ def test_coarsen_passes_monotone_on_purchase_graph(spark):
     edges.unpersist()
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_contract_graph_invariance_lemma(spark, raw_edges, n_comm):
+    """The CONTRACTION-INVARIANCE lemma (Louvain phase 2, Blondel et
+    al. 2008 §2), as a hypothesis invariant over arbitrary graphs and
+    partitions: contract_graph preserves total weight (every edge
+    lands in exactly one inter row or self-loop, so m' = m) and
+    telescopes degrees (2·w_cc + Σ w_cd = community degree sum), so
+    ONE weighted merge pass on the contracted graph with the IDENTITY
+    partition returns exactly the community relabeling the unit-weight
+    pass computes on the original graph — the theorem that lets the
+    coarsening loop recurse on super-graphs instead of re-joining the
+    full edge list every pass."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        contract_graph,
+        modularity_merge_step,
+    )
+
+    und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
+    if not und:
+        return
+    nodes = sorted({n for e in und for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in raw_edges], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+
+    g = contract_graph(edf, cdf)
+    grows = {(r.src, r.dst): r.weight for r in g.collect()}
+    # weight preservation: m' == m, and every row is canonical
+    assert sum(grows.values()) == len(und)
+    assert all(s <= d for s, d in grows)
+    # degree telescoping: 2*self + inter == the community's degree sum
+    deg = {n: 0 for n in nodes}
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    d_c: dict = {}
+    for n in nodes:
+        d_c[comm[n]] = d_c.get(comm[n], 0) + deg[n]
+    for c, dsum in d_c.items():
+        got = 2 * grows.get((c, c), 0) + sum(
+            w for (s, d), w in grows.items() if s != d and c in (s, d)
+        )
+        assert got == dsum
+
+    direct = {
+        (r.node, r.community)
+        for r in modularity_merge_step(edf, cdf).collect()
+    }
+    ident = (
+        g.select(F.col("src").alias("node"))
+        .unionByName(g.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    relab = {
+        r.node: r.community
+        for r in modularity_merge_step(
+            g, ident, weight_col="weight", assume_canonical=True
+        ).collect()
+    }
+    composed = {(n, relab[c]) for n, c in comm.items()}
+    assert composed == direct
+
+
+def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
+    """The registered contract-then-merge pipeline (r16) is
+    BIT-IDENTICAL to the r15 uncontracted loop at equal passes on the
+    real sf0.001 purchase graph — the lemma instantiated end-to-end:
+    relabel-composition over the recursively contracted super-graph
+    reproduces the full-edge-list merge chain exactly (which is also
+    why the unrolled DuckDB oracle needed no change), while paying the
+    |E|-sized assignment join ONCE instead of once per pass.  The
+    per-pass Q-monotonicity pin transfers by equality (the r15 pin,
+    test_coarsen_passes_monotone_on_purchase_graph, asserts it on the
+    same chain)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        contract_graph,
+        modularity_merge_step,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
+        queries,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        (r.node_type, r.entity_id, r.community)
+        for r in queries()["graph_louvain_coarsen"](spark, SF).collect()
+    }
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    comm = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 16).alias("community"))
+    )
+    held = []
+    for _ in range(3):
+        comm = modularity_merge_step(
+            edges, comm, assume_canonical=True
+        ).localCheckpoint()
+        held.append(comm)
+    exp = {
+        (
+            "customer" if r.node % 2 == 0 else "supplier",
+            r.node // 2,
+            r.community,
+        )
+        for r in comm.collect()
+    }
+    assert got == exp
+    edges.unpersist()
+    for h in held:
+        h.unpersist()
+
+    # contract_graph recursion composes: contract(contract(E, P), R)
+    # == contract(E, R∘P) would be the next lemma; here pin the cheap
+    # guard instead — weighted input demands the canonical contract
+    import pytest as _pytest
+
+    wdf = spark.createDataFrame(
+        [(1, 2, 3)], "src long, dst long, weight long"
+    )
+    cdf = spark.createDataFrame([(1, 1), (2, 1)], "node long, community long")
+    with _pytest.raises(ValueError, match="assume_canonical"):
+        modularity_merge_step(wdf, cdf, weight_col="weight")
+
+
 def test_modularity_merge_improves_purchase_graph_q(spark):
     """The registered merge pipeline's value, pinned as data: one
     mutual-best merge pass over the hash-sharded purchase graph at
