@@ -4562,15 +4562,10 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_SELF_MOD = 5     # plant every doc_id % 5 == 0 document
 _SUBSTR_SELF_LEN = 40    # re-appended leading-token count (= 2k)
 
-
-@register(
-    "dedup_substring_self_runs",
-    # Self-pair variant of _SQL_SUBSTR_CTES over the planted view: same
-    # gram stage (shared CTE builder), pair join on (g, doc_id) with
-    # pa < pb — the strict inequality excludes the trivial zero
-    # diagonal and mirrored islands — islands per (doc_id, diag).
-    oracle=f"""
-    WITH planted AS (
+# the planted view, shared by dedup_substring_self_runs and
+# dedup_substring_self_apply — one definition per engine so the two
+# registered queries cannot drift apart
+_SQL_SELF_PLANTED_CTE = f"""planted AS (
       SELECT doc_id,
              CASE WHEN text IS NOT NULL AND doc_id % {_SUBSTR_SELF_MOD} = 0
                        AND len(string_split_regex(trim(text), '\\s+'))
@@ -4581,7 +4576,13 @@ _SUBSTR_SELF_LEN = 40    # re-appended leading-token count (= 2k)
                          ' ')
                   ELSE text END AS text
       FROM documents
-    ), {_sql_substr_gram_ctes("planted")}, spair AS (
+    )"""
+
+# self-pair join + diagonal islands over the shared gram stage — the
+# intra-document dual of _SQL_SUBSTR_CTES' pair/isl/runs chain; the
+# runs CTE aliases doc_id AS doc_b so _SQL_SUBSTR_CUTS_CTES (which cuts
+# the pair's b side) composes unchanged for the self-apply emitter
+_SQL_SELF_RUNS_CTES = f"""spair AS (
       SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb,
              b.pos - a.pos AS diag
       FROM g2 a JOIN g2 b
@@ -4591,10 +4592,47 @@ _SUBSTR_SELF_LEN = 40    # re-appended leading-token count (= 2k)
              pa - row_number() OVER (
                PARTITION BY doc_id, diag ORDER BY pa) AS grp
       FROM spair
+    ), runs AS (
+      SELECT doc_id AS doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+             CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT)
+               AS match_tokens
+      FROM sisl GROUP BY doc_id, diag, grp
+    )"""
+
+
+def _planted_self_view(docs: DataFrame) -> DataFrame:
+    """Spark side of _SQL_SELF_PLANTED_CTE: every ``_SUBSTR_SELF_MOD``-th
+    document with >= ``_SUBSTR_SELF_LEN`` raw tokens re-appends its own
+    leading ``_SUBSTR_SELF_LEN`` tokens (the duplicated-paragraph
+    model)."""
+    rt = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % _SUBSTR_SELF_MOD == 0)
+            & (F.size(rt) >= _SUBSTR_SELF_LEN),
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(F.slice(rt, 1, _SUBSTR_SELF_LEN), " "),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
-    SELECT doc_id, MIN(pa) AS a_start, MIN(pb) AS b_start,
-           CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT) AS match_tokens
-    FROM sisl GROUP BY doc_id, diag, grp
+
+
+@register(
+    "dedup_substring_self_runs",
+    # Self-pair variant of _SQL_SUBSTR_CTES over the planted view: same
+    # gram stage (shared CTE builder), pair join on (g, doc_id) with
+    # pa < pb — the strict inequality excludes the trivial zero
+    # diagonal and mirrored islands — islands per (doc_id, diag).
+    oracle=f"""
+    WITH {_SQL_SELF_PLANTED_CTE}, {_sql_substr_gram_ctes("planted")},
+    {_SQL_SELF_RUNS_CTES}
+    SELECT doc_b AS doc_id, a_start, b_start, match_tokens FROM runs
     """,
 )
 def dedup_substring_self_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4620,23 +4658,7 @@ def dedup_substring_self_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
-    rt = F.split(F.trim(F.col("text")), r"\s+")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("text").isNotNull()
-            & (F.col("doc_id") % _SUBSTR_SELF_MOD == 0)
-            & (F.size(rt) >= _SUBSTR_SELF_LEN),
-            F.concat(
-                F.col("text"),
-                F.lit(" "),
-                F.array_join(F.slice(rt, 1, _SUBSTR_SELF_LEN), " "),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    planted = _planted_self_view(load_table(spark, sf_dir, "documents"))
     return dedup.substring_self_run_pairs(
         planted, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC
     )
@@ -5241,5 +5263,87 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned = dedup.apply_substring_cuts(
         docs, dedup.substring_cut_spans(runs)
+    )
+    return scope_caches(cleaned, *caches)
+
+
+@register(
+    "dedup_substring_self_apply",
+    # The INTRA-document emitter: planted view -> shared gram stage ->
+    # self-runs (doc_id aliased to doc_b so the shared cut chain
+    # composes) -> _SQL_SUBSTR_CUTS_CTES -> the apply projection over
+    # the PLANTED corpus (same indexed list_filter as
+    # dedup_substring_apply's oracle, 1-based lambda index).
+    oracle=f"""
+    WITH {_SQL_SELF_PLANTED_CTE}, {_sql_substr_gram_ctes("planted")},
+    {_SQL_SELF_RUNS_CTES}, {_SQL_SUBSTR_CUTS_CTES},
+    csagg AS (
+      SELECT doc_id,
+             list({{'s': cut_start, 'e': cut_end}}) AS cs
+      FROM cuts GROUP BY doc_id
+    ), allt AS (
+      SELECT d.doc_id, d.text IS NOT NULL AS has_text,
+             CASE WHEN d.text IS NOT NULL
+                  THEN string_split_regex(trim(lower(d.text)), '\\s+')
+                  ELSE CAST([] AS VARCHAR[]) END AS t,
+             COALESCE(c.cs,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cs
+      FROM planted d LEFT JOIN csagg c USING (doc_id)
+    ), kept AS (
+      SELECT doc_id, has_text, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(cs, c -> i - 1 >= c.s AND i - 1 < c.e))
+                 = 0) AS kt
+      FROM allt
+    )
+    SELECT doc_id,
+           CASE WHEN has_text
+                THEN COALESCE(array_to_string(kt, ' '), '') END AS text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kt) AS BIGINT) AS n_removed
+    FROM kept
+    """,
+)
+def dedup_substring_self_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTRA-document cleaned corpus — Lee et al.'s FIRST removal
+    step, registered (VERDICT r15 next-round #2: the self-runs were
+    mined but never applied by a driver-verified query): mine every
+    >= 20-token verbatim self-repeat on the planted view
+    (dedup_substring_self_runs' derivation, shared helper), merge the
+    keep-FIRST-occurrence cut intervals WITHIN each document
+    (substring_cut_spans with doc_col='doc_id', start_col='b_start' —
+    the later copy is cut, the earliest survives verbatim), and emit
+    every document with those spans removed plus exact token
+    accounting.  Composes the exact operators the r15 pytest composed
+    (operators/dedup.substring_self_run_pairs -> substring_cut_spans
+    -> apply_substring_cuts); the Lee-et-al. FIXPOINT property is
+    pytest-pinned on this registered pipeline: re-mining self-runs on
+    the cleaned output finds ZERO intra-document runs >= k.
+
+    Against the planted view, each planted document loses exactly its
+    re-appended 40-token paragraph (b_start = its original token
+    count) unless its own content organically extends the repeat —
+    both engines replay the truth identically.
+
+    Scale shape: the self-miner's cost (per-document occ² pair
+    fan-out, strictly finer join key than the cross miner) + one
+    bounded doc-keyed cut aggregation + one doc-keyed left equi-join +
+    the narrow indexed-filter projection — the dedup_substring_apply
+    shape with the cheapest family member as the miner.  See
+    SCALING.md.
+    """
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = _planted_self_view(docs)
+    caches: list[DataFrame] = []
+    self_runs = dedup.substring_self_run_pairs(
+        planted, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC, caches=caches
+    )
+    cleaned = dedup.apply_substring_cuts(
+        planted,
+        dedup.substring_cut_spans(
+            self_runs, doc_col="doc_id", start_col="b_start"
+        ),
     )
     return scope_caches(cleaned, *caches)

