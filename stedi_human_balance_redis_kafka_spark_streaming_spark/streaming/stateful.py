@@ -650,8 +650,10 @@ def streaming_substring_flags(
     Exactly one of the two must be provided.
 
     Emits (doc_id, pos, index_doc_id, index_pos) per gram collision in
-    append mode — positional evidence, so the batch stitcher can
-    resume diagonal islands directly from the flagged rows.
+    append mode — positional evidence; the PRODUCT stitcher
+    (``operators/dedup.stitch_flag_runs``) resumes diagonal islands
+    directly from the flagged rows and returns the batch miner's run
+    schema (equivalence pytest-pinned, both id orientations).
 
     Batch/streaming duality: on a batch ``docs`` frame this equals the
     plain gram-equality join (stream==batch tested).

@@ -948,6 +948,77 @@ def test_streaming_self_repeat_flags_match_batch_miner(spark, tmp_path):
     assert got_stream == expected
 
 
+def test_stitch_flag_runs_equals_batch_miner(spark, tmp_path):
+    """The PRODUCT stitcher (operators/dedup.stitch_flag_runs, r16 —
+    VERDICT r15 #3): stitching the streaming substring probe's
+    positional flags yields EXACTLY the batch miner's maximal runs
+    restricted to stream×index pairs (caps non-binding), in BOTH id
+    orientations (the miner orients by doc_a < doc_b; the stitcher
+    orients stream→index), across multiple runs per pair and multiple
+    partners per stream doc — and an at-least-once sink duplicating
+    flag rows cannot split islands (the stitcher distincts first).
+    This closes the discovery→monitoring loop as product code."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    span1 = "one two three four five six"            # 6 tokens
+    span2 = "red orange yellow green blue"           # 5 tokens
+    index_rows = [
+        (100, "intro " + span1 + " filler words here " + span2 + " tail"),
+        (101, span2 + " other indexed content entirely"),
+    ]
+    new_rows = [
+        # id BELOW the index ids: miner orients this doc as doc_a
+        (1, span1 + " then novel text " + span2),
+        # id ABOVE the index ids: miner orients this doc as doc_b
+        (200, "prefix " + span2 + " suffix tokens"),
+        (2, "zero overlap with anything indexed"),
+    ]
+    index_df = spark.createDataFrame(index_rows, "doc_id long, text string")
+    batch_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    k = 4
+
+    flags = stateful.streaming_substring_flags(
+        batch_df, index_df, k=k, max_gram_occ=10_000
+    )
+    got = {
+        (r.doc_id, r.index_doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in dedup.stitch_flag_runs(flags, k=k).collect()
+    }
+
+    stream_ids = {1, 2, 200}
+    exp = set()
+    for r in dedup.substring_run_pairs(
+        index_df.unionByName(batch_df), k=k, max_gram_occ=10_000
+    ).collect():
+        a_is_stream = r.doc_a in stream_ids
+        if a_is_stream == (r.doc_b in stream_ids):
+            continue  # stream×stream or index×index — probe can't see
+        if a_is_stream:
+            exp.add((r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_tokens))
+        else:
+            exp.add((r.doc_b, r.doc_a, r.b_start, r.a_start, r.match_tokens))
+    assert got == exp
+    assert len(got) >= 3  # both orientations + a multi-partner doc
+    # span2 is shared by BOTH indexed docs — doc 200 must hit both
+    assert len({i for d, i, *_ in got if d == 200}) == 2
+
+    # at-least-once duplication: replaying every flag twice is a no-op
+    dup = dedup.stitch_flag_runs(flags.unionByName(flags), k=k)
+    assert {
+        (r.doc_id, r.index_doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in dup.collect()
+    } == exp
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_tokens"):
+        dedup.stitch_flag_runs(flags, k=5, min_tokens=4)
+    with _pytest.raises(ValueError, match="k must be"):
+        dedup.stitch_flag_runs(flags, k=1)
+
+
 def test_streaming_substring_index_version_swap(spark, tmp_path):
     """The materialized gram-index deployment contract (VERDICT r14 #3,
     mirroring test_streaming_phash_index_version_swap): the static side
