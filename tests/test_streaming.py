@@ -948,6 +948,51 @@ def test_streaming_self_repeat_flags_match_batch_miner(spark, tmp_path):
     assert got_stream == expected
 
 
+def test_self_repeat_flags_java_whitespace_tokenization(spark):
+    """ADVICE r15 closure: the self-repeat dual must tokenize with
+    JAVA's \\s class ([ \\t\\n\\x0B\\f\\r]) like the batch miner's
+    Spark split — Python's Unicode-aware \\s would ALSO split on
+    U+00A0 (no-break space) and U+2028 (line separator), breaking
+    stream==batch for documents containing them.  Here 'p\\u00a0q' and
+    'm\\u2028n' are single tokens on both engines; tab/newline remain
+    separators; and a leading tab survives trim (which strips spaces
+    only) to make an empty first token identically on both sides."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    rows = [
+        # U+00A0 joins: the repeated unit is the 2-token span
+        # ('p q', 'r') — a Python-\s tokenizer would see 3 tokens
+        # and different positions
+        (2, "p q r s p q r s t u v w"),
+        # U+2028 joins likewise
+        (3, "m n o m n o z1 z2 z3 z4"),
+        # tab IS a Java separator and trim strips only spaces: leading
+        # empty token shifts every position on BOTH engines
+        (4, "\tx y x y x y q1 q2 q3 q4 q5"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = sorted(
+        (r.doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in dedup.substring_self_run_pairs(
+            df, k=2, max_gram_occ=1000
+        ).collect()
+    )
+    stream = sorted(
+        (r.doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in stateful.streaming_self_repeat_flags(
+            df, k=2, max_gram_occ=1000
+        ).collect()
+    )
+    assert stream == batch
+    # doc 2: tokens (p\xa0q, r, s) repeat at offset 3 -> one 3-token
+    # run; a Unicode-\s split would have yielded 4-token units instead
+    assert (2, 0, 3, 3) in stream
+    assert (3, 0, 2, 2) in stream
+
+
 def test_stitch_flag_runs_equals_batch_miner(spark, tmp_path):
     """The PRODUCT stitcher (operators/dedup.stitch_flag_runs, r16 —
     VERDICT r15 #3): stitching the streaming substring probe's
