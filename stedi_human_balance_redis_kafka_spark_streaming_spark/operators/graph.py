@@ -1931,6 +1931,7 @@ def modularity_score(
     dst: str = "dst",
     node_col: str = "node",
     community_col: str = "community",
+    weight_col: str | None = None,
     assume_canonical: bool = False,
     caches: list | None = None,
 ) -> DataFrame:
@@ -1974,6 +1975,18 @@ def modularity_score(
     ``communities`` must be one row per node (a partition, not a
     cover).
 
+    WEIGHTED form (``weight_col``, r16): score a
+    :func:`contract_graph` output directly — canonical weighted edges
+    with self-loops, asserted via ``assume_canonical=True`` (enforced,
+    the :func:`modularity_merge_step` convention).  ``m`` = total
+    weight, degrees count self-loops twice, ``in_c`` = intra-community
+    weight (a super-node's self-loop is its community's internal
+    weight).  By the contraction-invariance lemma,
+    score(contract(E, P), identity) reproduces score(E, P)'s
+    in_edges/deg_sum/contrib_num/q_e6 per community EXACTLY
+    (pytest-pinned); only ``n_nodes`` differs by design — it counts
+    super-nodes (1 per community), not members.
+
     Output: one row per community —
     (community, n_nodes, in_edges, deg_sum, contrib_num, q_e6) where
     ``contrib_num = 4·m·in_c − d_c²`` (exact numerator over the
@@ -1991,11 +2004,26 @@ def modularity_score(
 
     a, b = F.col(src), F.col(dst)
     own: list = [] if caches is None else caches
-    if assume_canonical:
+    if weight_col is not None:
+        if not assume_canonical:
+            raise ValueError(
+                "weight_col requires assume_canonical=True: weighted "
+                "edges must already be canonical (u <= v, one row per "
+                "pair, self-loops allowed) — the contract_graph output "
+                "contract; canonicalize there, not here"
+            )
+        und = edges.select(
+            a.alias("u"),
+            b.alias("v"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+    elif assume_canonical:
         # caller-guaranteed simple undirected canonical form; callers
         # on this path persist the edge frame themselves (it feeds m,
         # degrees, and the in-community join below)
-        und = edges.select(a.alias("u"), b.alias("v"))
+        und = edges.select(
+            a.alias("u"), b.alias("v"), F.lit(1).cast("long").alias("__w")
+        )
     else:
         und = (
             edges.select(
@@ -2004,16 +2032,19 @@ def modularity_score(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .withColumn("__w", F.lit(1).cast("long"))
             .persist()
         )
         own.append(und)
     dec = "decimal(38,0)"
-    m1 = und.agg(F.count("*").cast(dec).alias("__m"))
+    m1 = und.agg(F.sum("__w").cast(dec).alias("__m"))
+    # self-loops land in both branches → 2w, the weighted-degree
+    # convention the contraction-invariance lemma needs
     deg = (
-        und.select(F.col("u").alias("n"))
-        .unionByName(und.select(F.col("v").alias("n")))
+        und.select(F.col("u").alias("n"), "__w")
+        .unionByName(und.select(F.col("v").alias("n"), "__w"))
         .groupBy("n")
-        .agg(F.count("*").cast("long").alias("__deg"))
+        .agg(F.sum("__w").cast("long").alias("__deg"))
     )
     comm = communities.select(
         F.col(node_col).alias("n"),
@@ -2039,7 +2070,7 @@ def modularity_score(
         .join(cv, "v")
         .filter(F.col("cu") == F.col("cv"))
         .groupBy(F.col("cu").alias("community"))
-        .agg(F.count("*").cast("long").alias("in_edges"))
+        .agg(F.sum("__w").cast("long").alias("in_edges"))
     )
     per = (
         d_c.join(in_c, "community", "left")
@@ -2538,4 +2569,88 @@ def modularity_refine_step(
         .otherwise(F.col("__own"))
         .alias("community"),
     )
+    return ret if caches is not None else scope_caches(ret, *own)
+
+
+def modularity_refine_guarded(
+    edges: DataFrame,
+    communities: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    assume_canonical: bool = False,
+    caches: list | None = None,
+) -> DataFrame:
+    """SCORE-AND-KEEP-BETTER wrapper around
+    :func:`modularity_refine_step` — the safe form of the local-move
+    sweep: run one synchronous sweep, score BOTH partitions exactly
+    (:func:`modularity_score`), and return whichever has the higher
+    Q.  The sweep alone carries no monotonicity guarantee and
+    measurably overshoots on hub-heavy graphs (SCALING.md records the
+    A/B: Q −66,405 → −291,409 e6 on the sharded purchase graph); this
+    wrapper restores the guarantee BY CONSTRUCTION — Q(returned) =
+    max(Q(input), Q(swept)) ≥ Q(input), for any graph and any
+    partition (hypothesis-tested) — so callers can interleave guarded
+    sweeps with :func:`modularity_merge_step` passes in a coarsening
+    loop without risking regression, the standard Louvain
+    move-then-check discipline.
+
+    The comparison is a DRIVER-SIDE decision over two 1-row exact
+    integer aggregates (the ``shortest_paths`` negative-weight-guard
+    precedent: a bounded ``first()``, never a data collect), so this
+    operator is EAGER — it runs the sweep and both scorings when
+    called.  Ties keep the INPUT partition (the sweep must strictly
+    improve to be adopted, matching the step's own strict-improvement
+    move gate).  Canonicalization happens ONCE here and is shared by
+    the sweep and both scorings via ``assume_canonical=True``.
+
+    Output: (node, community) — the better of the two assignments,
+    LPA's schema.
+
+    Scale shape: exactly one canonicalization + one refine sweep + two
+    frontier-free scorings (each: two broadcastable assignment joins +
+    partial aggs + a 1-row fan-in); the returned frame is persisted so
+    the winner is not recomputed downstream.
+    """
+    from ..session import scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    own: list = [] if caches is None else caches
+    if assume_canonical:
+        und = edges.select(a.alias("src"), b.alias("dst"))
+    else:
+        und = (
+            edges.select(
+                F.least(a, b).alias("src"),
+                F.greatest(a, b).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    und = und.persist()
+    own.append(und)
+    comm = communities.select(
+        F.col(node_col).alias("node"),
+        F.col(community_col).alias("community"),
+    ).persist()
+    own.append(comm)
+    refined = modularity_refine_step(
+        und, comm, assume_canonical=True, caches=own
+    ).persist()
+    own.append(refined)
+    q0_row = (
+        modularity_score(und, comm, assume_canonical=True, caches=own)
+        .select("q_e6")
+        .first()
+    )
+    q1_row = (
+        modularity_score(und, refined, assume_canonical=True, caches=own)
+        .select("q_e6")
+        .first()
+    )
+    q0 = q0_row[0] if q0_row is not None else None
+    q1 = q1_row[0] if q1_row is not None else None
+    ret = refined if (q0 is not None and q1 is not None and q1 > q0) else comm
     return ret if caches is not None else scope_caches(ret, *own)

@@ -3421,6 +3421,7 @@ def test_contract_graph_invariance_lemma(spark, raw_edges, n_comm):
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
         contract_graph,
         modularity_merge_step,
+        modularity_score,
     )
 
     und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
@@ -3472,6 +3473,22 @@ def test_contract_graph_invariance_lemma(spark, raw_edges, n_comm):
     }
     composed = {(n, relab[c]) for n, c in comm.items()}
     assert composed == direct
+
+    # weighted SCORE lemma (r16): scoring the contracted graph under
+    # the identity partition reproduces the original score exactly —
+    # in_edges/deg_sum/contrib_num/q_e6 per community; only n_nodes
+    # differs by design (super-nodes, not members)
+    orig = {
+        r.community: (r.in_edges, r.deg_sum, r.contrib_num, r.q_e6)
+        for r in modularity_score(edf, cdf).collect()
+    }
+    contracted = {
+        r.community: (r.in_edges, r.deg_sum, r.contrib_num, r.q_e6)
+        for r in modularity_score(
+            g, ident, weight_col="weight", assume_canonical=True
+        ).collect()
+    }
+    assert contracted == orig
 
 
 def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
@@ -3649,6 +3666,127 @@ def test_modularity_isolated_members_and_canonical_flag(spark):
         for r in canon
     } == rows
     assert all(r.q_e6 == 0 for r in canon)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_refine_guarded_never_decreases_q(spark, raw_edges, n_comm):
+    """modularity_refine_guarded's theorem, as a hypothesis invariant:
+    Q(returned) = max(Q(input), Q(swept)) >= Q(input) for ANY graph and
+    partition — the wrapper restores the guarantee the raw synchronous
+    sweep lacks, and the returned frame is always one of the two
+    candidate assignments over the same node set."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_guarded,
+        modularity_refine_step,
+        modularity_score,
+    )
+
+    und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
+    if not und:
+        return
+    nodes = sorted({n for e in und for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in raw_edges], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+    got = {
+        (r.node, r.community)
+        for r in modularity_refine_guarded(edf, cdf).collect()
+    }
+    swept = {
+        (r.node, r.community)
+        for r in modularity_refine_step(edf, cdf).collect()
+    }
+    assert got in (set(comm.items()), swept)
+    gdf = spark.createDataFrame(list(got), "node long, community long")
+    q_in = modularity_score(edf, cdf).select("q_e6").first()[0]
+    q_out = modularity_score(edf, gdf).select("q_e6").first()[0]
+    assert q_out >= q_in
+
+
+def test_refine_guarded_adopts_and_rejects(spark):
+    """Both branches of the guard, pinned on concrete graphs: (1) a
+    mis-assigned clique member is adopted (the sweep strictly improves
+    Q, the swept partition returns); (2) on the hub-heavy sf0.001
+    purchase graph — where the raw sweep measurably OVERSHOOTS
+    (SCALING.md) — the guard returns the INPUT partition unchanged."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_guarded,
+        modularity_score,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    # two K4 cliques + bridge; node 3 seeded into the WRONG clique
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 10, j + 10) for i, j in k4a]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(3, 10)], "src long, dst long"
+    )
+    comm = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 10)]
+        + [(n, 10) for n in range(10, 14)],
+        "node long, community long",
+    )
+    got = {
+        r.node: r.community
+        for r in modularity_refine_guarded(edges, comm).collect()
+    }
+    assert got[3] == 0  # adopted: the sweep fixed the mis-assignment
+    q0 = modularity_score(edges, comm).select("q_e6").first()[0]
+    gdf = spark.createDataFrame(
+        list(got.items()), "node long, community long"
+    )
+    q1 = modularity_score(edges, gdf).select("q_e6").first()[0]
+    assert q1 > q0
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pedges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    seed = (
+        pedges.select(F.col("src").alias("node"))
+        .unionByName(pedges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 16).alias("community"))
+        .persist()
+    )
+    guarded = {
+        (r.node, r.community)
+        for r in modularity_refine_guarded(
+            pedges, seed, assume_canonical=True
+        ).collect()
+    }
+    assert guarded == {(r.node, r.community) for r in seed.collect()}
+    pedges.unpersist()
+    seed.unpersist()
 
 
 def test_refine_isolated_members_pass_through(spark):
