@@ -2654,3 +2654,134 @@ def modularity_refine_guarded(
     q1 = q1_row[0] if q1_row is not None else None
     ret = refined if (q0 is not None and q1 is not None and q1 > q0) else comm
     return ret if caches is not None else scope_caches(ret, *own)
+
+
+def louvain_coarsen(
+    edges: DataFrame,
+    communities: DataFrame | None = None,
+    *,
+    passes: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    assume_canonical: bool = False,
+    caches: list | None = None,
+) -> DataFrame:
+    """Louvain-style agglomerative COARSENING as a user-facing
+    operator (r16 — previously this loop lived inline in the
+    registered ``graph_louvain_coarsen`` query): contract the graph
+    ONCE into its weighted community super-graph
+    (:func:`contract_graph`), run ``passes`` weighted mutual-best
+    merge passes (:func:`modularity_merge_step`) on the recursively
+    re-contracted super-graph, and compose the relabelings back onto
+    the node-level seed.  ``communities=None`` seeds singletons (every
+    node its own community — classic Louvain's start).
+
+    Guarantees, inherited per pass: Q is non-decreasing at EVERY pass
+    (mutual-best positive-gain merges form a matching; Q is additive),
+    the community count is non-increasing, and a fixpointed pass
+    chains through as a no-op — so ``passes`` is an upper bound, not a
+    tuning hazard.  By the contraction-invariance lemma the result is
+    BIT-IDENTICAL to iterating the unit-weight merge on the full edge
+    list (hypothesis- and data-pinned), while paying the |E|-sized
+    assignment join once.
+
+    Iteration contract: each pass's (tiny, community-count-bounded)
+    output is ``localCheckpoint``'d — without truncation every pass
+    re-optimizes the whole deepening lineage (measured as a hang) —
+    and released through :func:`..session.checkpoint_handle` (a raw
+    ``Dataset.unpersist`` is a silent no-op on checkpoint blocks).
+    The operator is therefore EAGER per pass.
+
+    Output: (node, community) — LPA's schema, every seed member
+    present.
+
+    Scale shape: O(|E| + passes·|communities|²) — one edge-sized
+    double-join + rollup (the contraction), then per pass a few
+    community-count-bounded joins/windows and one-row fan-ins; the
+    final relabel is one broadcastable join against the seed.
+    """
+    from ..session import checkpoint_handle, scope_caches
+
+    a, b = F.col(src), F.col(dst)
+    own: list = [] if caches is None else caches
+    if assume_canonical:
+        und = edges.select(a.alias("src"), b.alias("dst"))
+    else:
+        und = (
+            edges.select(
+                F.least(a, b).alias("src"),
+                F.greatest(a, b).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    if communities is None:
+        # und feeds BOTH the singleton seed and the contraction —
+        # persist it; with a caller-supplied assignment it has exactly
+        # one consumer (the contraction), so a persist would only
+        # duplicate the caller's (typically already-persisted) edges
+        und = und.persist()
+        own.append(und)
+        seed = (
+            und.select(F.col("src").alias("node"))
+            .unionByName(und.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
+    else:
+        seed = communities.select(
+            F.col(node_col).alias("node"),
+            F.col(community_col).alias("community"),
+        )
+    seed = seed.persist()
+    own.append(seed)
+    if passes <= 0:
+        return seed if caches is not None else scope_caches(seed, *own)
+    # the ONLY |E|-sized join of the loop
+    g = contract_graph(
+        und, seed, assume_canonical=True, caches=own
+    ).localCheckpoint()
+    own.append(checkpoint_handle(g))
+    mapping: DataFrame | None = None
+    for t in range(passes):
+        ident = (
+            g.select(F.col("src").alias("node"))
+            .unionByName(g.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
+        merged = modularity_merge_step(
+            g,
+            ident,
+            weight_col="weight",
+            assume_canonical=True,
+            caches=own,
+        ).localCheckpoint()
+        own.append(checkpoint_handle(merged))
+        if mapping is None:
+            mapping = merged
+        else:
+            mapping = mapping.join(
+                merged.select(
+                    F.col("node").alias("__c"),
+                    F.col("community").alias("__c2"),
+                ),
+                mapping["community"] == F.col("__c"),
+            ).select("node", F.col("__c2").alias("community"))
+        if t < passes - 1:
+            g = contract_graph(
+                g, merged, weight_col="weight", caches=own
+            ).localCheckpoint()
+            own.append(checkpoint_handle(g))
+    ret = seed.join(
+        F.broadcast(
+            mapping.select(
+                F.col("node").alias("__from"),
+                F.col("community").alias("__to"),
+            )
+        ),
+        seed["community"] == F.col("__from"),
+    ).select("node", F.col("__to").alias("community"))
+    return ret if caches is not None else scope_caches(ret, *own)

@@ -4926,11 +4926,13 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|E| + passes·|communities|²) instead of O(passes·|E|).  Each
     pass's tiny output is localCheckpoint'd (the iterative-operator
     lineage contract) and released via session.checkpoint_handle
-    (ADVICE r15: raw checkpointed frames no-op on unpersist).  See
-    SCALING.md.
+    (ADVICE r15: raw checkpointed frames no-op on unpersist).  The
+    loop itself is the user-facing operator
+    operators/graph.louvain_coarsen; this query seeds it with the
+    16-shard hash partition.  See SCALING.md.
     """
     from ..operators import graph
-    from ..session import checkpoint_handle, scope_caches
+    from ..session import scope_caches
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -4956,56 +4958,14 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("node") % _MERGE_SHARDS).alias("community"),
         )
-        .persist()
     )
-    held.append(seed)
-    # the ONLY |E|-sized join in the loop: node graph -> 16-community
-    # weighted super-graph (inter weights + intra self-loops)
-    g = graph.contract_graph(
-        edges, seed, assume_canonical=True, caches=held
-    ).localCheckpoint()
-    held.append(checkpoint_handle(g))
-    mapping: DataFrame | None = None
-    for t in range(_COARSEN_PASSES):
-        ident = (
-            g.select(F.col("src").alias("node"))
-            .unionByName(g.select(F.col("dst").alias("node")))
-            .distinct()
-            .select("node", F.col("node").alias("community"))
-        )
-        merged = graph.modularity_merge_step(
-            g,
-            ident,
-            weight_col="weight",
-            assume_canonical=True,
-            caches=held,
-        ).localCheckpoint()
-        held.append(checkpoint_handle(merged))
-        # compose the community->community relabelings (tiny frames)
-        if mapping is None:
-            mapping = merged
-        else:
-            mapping = mapping.join(
-                merged.select(
-                    F.col("node").alias("__c"),
-                    F.col("community").alias("__c2"),
-                ),
-                mapping["community"] == F.col("__c"),
-            ).select("node", F.col("__c2").alias("community"))
-        if t < _COARSEN_PASSES - 1:
-            g = graph.contract_graph(
-                g, merged, weight_col="weight", caches=held
-            ).localCheckpoint()
-            held.append(checkpoint_handle(g))
-    comm = seed.join(
-        F.broadcast(
-            mapping.select(
-                F.col("node").alias("__from"),
-                F.col("community").alias("__to"),
-            )
-        ),
-        seed["community"] == F.col("__from"),
-    ).select("node", F.col("__to").alias("community"))
+    comm = graph.louvain_coarsen(
+        edges,
+        seed,
+        passes=_COARSEN_PASSES,
+        assume_canonical=True,
+        caches=held,
+    )
     out = comm.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

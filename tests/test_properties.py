@@ -3491,6 +3491,43 @@ def test_contract_graph_invariance_lemma(spark, raw_edges, n_comm):
     assert contracted == orig
 
 
+def test_louvain_coarsen_operator_matches_iterated_merge(spark):
+    """The user-facing louvain_coarsen operator (r16): with singleton
+    seeding (communities=None) and N passes it returns exactly the
+    partition of iterating modularity_merge_step N times from
+    singletons on the raw edge list (the contraction-invariance lemma
+    composed across passes), and passes=0 returns the seed unchanged."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        louvain_coarsen,
+        modularity_merge_step,
+    )
+
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 10, j + 10) for i, j in k4a]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(3, 10)], "src long, dst long"
+    )
+    nodes = list(range(4)) + list(range(10, 14))
+    comm = spark.createDataFrame(
+        [(n, n) for n in nodes], "node long, community long"
+    )
+    for _ in range(4):
+        comm = modularity_merge_step(edges, comm).localCheckpoint()
+    exp = {(r.node, r.community) for r in comm.collect()}
+
+    got = {
+        (r.node, r.community)
+        for r in louvain_coarsen(edges, passes=4).collect()
+    }
+    assert got == exp
+
+    seeded = {
+        (r.node, r.community)
+        for r in louvain_coarsen(edges, passes=0).collect()
+    }
+    assert seeded == {(n, n) for n in nodes}
+
+
 def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
     """The registered contract-then-merge pipeline (r16) is
     BIT-IDENTICAL to the r15 uncontracted loop at equal passes on the
