@@ -2682,7 +2682,11 @@ def louvain_coarsen(
     (mutual-best positive-gain merges form a matching; Q is additive),
     the community count is non-increasing, and a fixpointed pass
     chains through as a no-op — so ``passes`` is an upper bound, not a
-    tuning hazard.  By the contraction-invariance lemma the result is
+    tuning hazard: the loop EARLY-STOPS the first time a pass merges
+    nothing (one tiny bounded existence check per pass against the
+    community-count-sized relabel frame — every later pass would be
+    the identity, so the result is provably unchanged and a
+    generous ``passes`` costs nothing past convergence).  By the contraction-invariance lemma the result is
     BIT-IDENTICAL to iterating the unit-weight merge on the full edge
     list (hypothesis- and data-pinned), while paying the |E|-sized
     assignment join once.
@@ -2760,6 +2764,17 @@ def louvain_coarsen(
             caches=own,
         ).localCheckpoint()
         own.append(checkpoint_handle(merged))
+        # fixpoint check: a pass that merges nothing relabels identity
+        # to itself, and every later pass would be the identity too —
+        # stop before paying another contraction (bounded: the relabel
+        # frame is community-count-sized, limit(1) short-circuits)
+        if (
+            merged.filter(F.col("node") != F.col("community"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            break
         if mapping is None:
             mapping = merged
         else:
@@ -2775,6 +2790,9 @@ def louvain_coarsen(
                 g, merged, weight_col="weight", caches=own
             ).localCheckpoint()
             own.append(checkpoint_handle(g))
+    if mapping is None:
+        # the very first pass was already a fixpoint
+        return seed if caches is not None else scope_caches(seed, *own)
     ret = seed.join(
         F.broadcast(
             mapping.select(

@@ -3527,6 +3527,29 @@ def test_louvain_coarsen_operator_matches_iterated_merge(spark):
     }
     assert seeded == {(n, n) for n in nodes}
 
+    # EARLY STOP: a generous pass bound converges to the same
+    # partition without paying post-fixpoint contractions (the no-op
+    # pass check) — and finishes promptly
+    deep = {
+        (r.node, r.community)
+        for r in louvain_coarsen(edges, passes=50).collect()
+    }
+    assert deep == {
+        (r.node, r.community)
+        for r in louvain_coarsen(edges, passes=6).collect()
+    }
+    # first-pass fixpoint: seeding with the optimal two-clique
+    # partition leaves no positive-gain pair (bridge gain
+    # 2m·1 − 13·13 < 0), so the seed returns unchanged
+    opt = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 10) for n in range(10, 14)],
+        "node long, community long",
+    )
+    assert {
+        (r.node, r.community)
+        for r in louvain_coarsen(edges, opt, passes=3).collect()
+    } == {(n, 0) for n in range(4)} | {(n, 10) for n in range(10, 14)}
+
 
 def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
     """The registered contract-then-merge pipeline (r16) is
