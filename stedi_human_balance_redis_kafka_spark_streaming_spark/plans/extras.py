@@ -4819,13 +4819,11 @@ def _sql_merge() -> str:
 _COARSEN_PASSES = 3  # 16 hash shards halve per matching pass at best
 
 
-def _sql_coarsen(passes: int) -> str:
-    """Oracle for graph_louvain_coarsen: the :func:`_sql_merge` pass
-    UNROLLED ``passes`` times (the _sql_lpa inlining rule — one
-    MATERIALIZED assignment CTE per pass; und/deg/mm are pass-
-    invariant and computed once).  Each pass replays the mutual-best
-    positive-gain matching in exact HUGEINT; a fixpointed pass is a
-    no-op and chains through unchanged."""
+def _coarsen_chain(passes: int) -> tuple[str, str]:
+    """The unrolled merge-pass CTE chain shared by the coarsening
+    oracles (:func:`_sql_coarsen`, :func:`_sql_coarsen_scored`):
+    returns (chain_sql, final_assignment_cte_name).  Assumes the
+    surrounding query defines und/nodes/comm0/deg/mm."""
     blocks = []
     prev = "comm0"
     for t in range(1, passes + 1):
@@ -4868,9 +4866,12 @@ def _sql_coarsen(passes: int) -> str:
       FROM {prev} LEFT JOIN map{t} ON {prev}.c = map{t}.old_c
     )""")
         prev = f"comm{t}"
-    chain = ",\n    ".join(blocks)
-    return f"""
-    WITH und AS MATERIALIZED (
+    return ",\n    ".join(blocks), prev
+
+
+# the pass-invariant purchase-graph preamble shared by the coarsening
+# oracles: und/nodes/comm0 (the 16-shard hash seed)/deg/mm
+_SQL_COARSEN_PREAMBLE = f"""und AS MATERIALIZED (
       SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
              CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -4884,13 +4885,73 @@ def _sql_coarsen(passes: int) -> str:
     deg AS MATERIALIZED (
       SELECT n, CAST(COUNT(*) AS BIGINT) AS k FROM nodes GROUP BY n
     ),
-    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und),
+    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und)"""
+
+
+def _sql_coarsen(passes: int) -> str:
+    """Oracle for graph_louvain_coarsen: the :func:`_sql_merge` pass
+    UNROLLED ``passes`` times (the _sql_lpa inlining rule — one
+    MATERIALIZED assignment CTE per pass; und/deg/mm are pass-
+    invariant and computed once).  Each pass replays the mutual-best
+    positive-gain matching in exact HUGEINT; a fixpointed pass is a
+    no-op and chains through unchanged."""
+    chain, prev = _coarsen_chain(passes)
+    return f"""
+    WITH {_SQL_COARSEN_PREAMBLE},
     {chain}
     SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END
              AS node_type,
            CAST(n // 2 AS BIGINT) AS entity_id,
            CAST(c AS BIGINT) AS community
     FROM {prev}
+    """
+
+
+def _sql_coarsen_scored(passes: int) -> str:
+    """Oracle for graph_louvain_scored: the identical unrolled
+    coarsening chain, then the coarsened partition SCORED ON THE FULL
+    GRAPH with the exact-HUGEINT modularity rollup (_sql_modularity's
+    policy: contrib = 4·m·in_c − d_c², sign-safe truncating q_e6).
+    The Spark side scores the partition on the weighted community
+    SUPER-graph instead — the contraction-invariance lemma says the
+    per-community numbers coincide exactly, so the driver's
+    cross-engine hash match IS the lemma verified on real data."""
+    chain, prev = _coarsen_chain(passes)
+    return f"""
+    WITH {_SQL_COARSEN_PREAMBLE},
+    {chain},
+    commF AS (SELECT n, CAST(c AS BIGINT) AS community FROM {prev}),
+    dcS AS (
+      SELECT community, CAST(SUM(k) AS BIGINT) AS deg_sum
+      FROM deg JOIN commF USING (n) GROUP BY community
+    ),
+    icS AS (
+      SELECT cu.community AS community, CAST(COUNT(*) AS BIGINT) AS in_edges
+      FROM und
+      JOIN commF cu ON cu.n = und.u
+      JOIN commF cv ON cv.n = und.v
+      WHERE cu.community = cv.community
+      GROUP BY 1
+    ),
+    perS AS (
+      SELECT dcS.community,
+             CAST(COALESCE(icS.in_edges, 0) AS BIGINT) AS in_edges,
+             dcS.deg_sum,
+             4 * mm.m * CAST(COALESCE(icS.in_edges, 0) AS HUGEINT)
+               - CAST(dcS.deg_sum AS HUGEINT)
+                 * CAST(dcS.deg_sum AS HUGEINT) AS contrib,
+             mm.m AS m
+      FROM dcS LEFT JOIN icS USING (community) CROSS JOIN mm
+    ),
+    totS AS (SELECT SUM(contrib) AS t, MAX(m) AS m2 FROM perS)
+    SELECT perS.community, perS.in_edges, perS.deg_sum,
+           CAST(perS.contrib AS BIGINT) AS contrib_num,
+           CAST(CASE WHEN totS.t >= 0
+                     THEN (totS.t * 1000000) // (4 * totS.m2 * totS.m2)
+                     ELSE -(((-totS.t) * 1000000)
+                            // (4 * totS.m2 * totS.m2))
+                END AS BIGINT) AS q_e6
+    FROM perS CROSS JOIN totS
     """
 
 
@@ -4972,6 +5033,96 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.expr("node div 2").cast("long").alias("entity_id"),
         "community",
+    )
+    return scope_caches(out, *held)
+
+
+@register("graph_louvain_scored", oracle=_sql_coarsen_scored(_COARSEN_PASSES))
+def graph_louvain_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community EXACT modularity of the coarsened purchase-graph
+    partition, computed ON THE WEIGHTED COMMUNITY SUPER-GRAPH (birth
+    r16) — the contraction-invariance lemma as a DRIVER-VERIFIED
+    claim: the Spark side runs the coarsening loop
+    (operators/graph.louvain_coarsen), contracts the graph under the
+    final partition (operators/graph.contract_graph), and scores the
+    super-graph under the IDENTITY partition with the weighted scorer
+    (modularity_score(weight_col=...)); the DuckDB oracle unrolls the
+    identical coarsening chain but scores the partition ON THE FULL
+    EDGE LIST.  m is preserved by contraction, super-node degrees
+    telescope to community degree sums, and a super-node's self-loop
+    is its community's internal weight — so in_edges / deg_sum /
+    contrib_num / q_e6 coincide EXACTLY per community, and the
+    driver's cross-engine value hash is the lemma verified on real
+    data (n_nodes is projected out: it counts super-nodes vs members,
+    the one quantity contraction changes by design).
+
+    This is also the scale story for loop re-scoring: a coarsening
+    loop that already holds the contracted graph re-scores its
+    partition on community-count-bounded rows instead of re-joining
+    the full edge list (graph_modularity's shape) every time.
+
+    Output: (community, in_edges, deg_sum, contrib_num, q_e6), one
+    row per coarsened community.
+
+    Scale shape: the coarsen loop's O(|E| + passes·|communities|²)
+    plus ONE more |E|-sized contraction under the final partition
+    (the same double-join graph_modularity's in_c stage pays), then a
+    frontier-free weighted scoring of a ≤16-super-node graph with
+    1-row fan-ins.  See SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import scope_caches
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    held: list = [edges]
+    seed = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            (F.col("node") % _MERGE_SHARDS).alias("community"),
+        )
+    )
+    comm = graph.louvain_coarsen(
+        edges,
+        seed,
+        passes=_COARSEN_PASSES,
+        assume_canonical=True,
+        caches=held,
+    )
+    # contract under the FINAL partition; persist — the weighted
+    # scorer reads it three times (m, degrees, in-community weights)
+    # and each read would otherwise replay the |E| double-join
+    g = graph.contract_graph(
+        edges, comm, assume_canonical=True, caches=held
+    ).persist()
+    held.append(g)
+    ident = (
+        g.select(F.col("src").alias("node"))
+        .unionByName(g.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    scored = graph.modularity_score(
+        g, ident, weight_col="weight", assume_canonical=True, caches=held
+    )
+    out = scored.select(
+        "community", "in_edges", "deg_sum", "contrib_num", "q_e6"
     )
     return scope_caches(out, *held)
 

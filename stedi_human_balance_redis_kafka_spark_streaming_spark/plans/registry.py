@@ -5305,6 +5305,17 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # in-window via q21's double anti/semi stack and q18's scored
     # top-k join chain, and q8 carries no supplementary dual
     "q8_market_share",
+    # graph: the LPA-backbone modularity scorer (graph_modularity,
+    # birth r14, driver-hashed r14+r15) yields to the super-graph
+    # scoring query (graph_louvain_scored, birth r16) — a strictly
+    # STRONGER claim on the same machinery: the Spark side scores the
+    # coarsened partition on the weighted community super-graph while
+    # the oracle scores it on the full edge list, so the driver hash
+    # match verifies the contraction-invariance lemma on real data;
+    # the exact-HUGEINT rollup graph_modularity pins stays in-window
+    # inside the new oracle, and the graph family keeps
+    # merge/coarsen/scored + scc/lpa/stress in-window
+    "graph_modularity",
 )
 
 

@@ -47,6 +47,7 @@ SCALE_PATH_QUERIES = [
     "graph_modularity",
     "graph_modularity_merge",
     "graph_louvain_coarsen",
+    "graph_louvain_scored",
 ]
 
 
