@@ -2935,6 +2935,76 @@ def test_substring_self_cut_apply_composition(spark):
     ).count() == 0
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abc"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from("abc"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_stitch_flag_runs_equivalence_hypothesis(
+    spark, stream_toks, index_toks
+):
+    """stitch_flag_runs' equivalence contract as a hypothesis
+    invariant over random tiny-alphabet corpora (heavy accidental
+    repetition — the adversarial case for diagonal stitching): with
+    non-binding caps, stitching the probe's gram-collision flags
+    equals substring_run_pairs over stream ∪ index restricted to
+    stream×index pairs, orientation-normalized, for ANY pair of
+    corpora."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        dedup,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.streaming import (
+        stateful,
+    )
+
+    k = 2
+    # stream ids 1..n, index ids 100..: disjoint; also exercise a
+    # stream id ABOVE the index range for orientation coverage
+    stream_rows = [
+        (1000 + i if i == 0 else i + 1, " ".join(t))
+        for i, t in enumerate(stream_toks)
+    ]
+    index_rows = [(100 + i, " ".join(t)) for i, t in enumerate(index_toks)]
+    sdf = spark.createDataFrame(stream_rows, "doc_id long, text string")
+    idf = spark.createDataFrame(index_rows, "doc_id long, text string")
+    flags = stateful.streaming_substring_flags(
+        sdf, idf, k=k, max_gram_occ=10_000
+    )
+    got = {
+        (r.doc_id, r.index_doc_id, r.a_start, r.b_start, r.match_tokens)
+        for r in dedup.stitch_flag_runs(flags, k=k).collect()
+    }
+    stream_ids = {d for d, _ in stream_rows}
+    exp = set()
+    for r in dedup.substring_run_pairs(
+        idf.unionByName(sdf), k=k, max_gram_occ=10_000
+    ).collect():
+        a_s = r.doc_a in stream_ids
+        if a_s == (r.doc_b in stream_ids):
+            continue
+        if a_s:
+            exp.add(
+                (r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_tokens)
+            )
+        else:
+            exp.add(
+                (r.doc_b, r.doc_a, r.b_start, r.a_start, r.match_tokens)
+            )
+    assert got == exp
+
+
 def test_registered_self_apply_fixpoint_on_real_corpus(spark):
     """The REGISTERED intra-document cleaned corpus
     (dedup_substring_self_apply, r16 — Lee et al.'s first removal step
