@@ -3561,6 +3561,64 @@ def test_contract_graph_invariance_lemma(spark, raw_edges, n_comm):
     assert contracted == orig
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=3),
+)
+def test_contract_graph_recursion_lemma(spark, raw_edges, n_comm, n_sup):
+    """The RECURSION lemma the multi-pass coarsen loop rests on:
+    contracting a contracted graph under a further community-level
+    relabeling R equals contracting the ORIGINAL graph under the
+    composed node assignment R∘P — weights, self-loops and all — for
+    any graph, partition, and relabeling.  (The invariance lemma makes
+    one contracted pass exact; THIS lemma makes pass t+1 on the
+    re-contracted super-graph equal to pass t+1 on the full graph.)"""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        contract_graph,
+    )
+
+    und = {(min(s, d), max(s, d)) for s, d in raw_edges if s != d}
+    if not und:
+        return
+    nodes = sorted({n for e in und for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    relab = {c: c % n_sup for c in set(comm.values())}
+
+    edf = spark.createDataFrame(
+        [(s, d) for s, d in raw_edges], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+    g1 = contract_graph(edf, cdf).persist()
+    rdf = spark.createDataFrame(
+        list(relab.items()), "node long, community long"
+    )
+    twice = {
+        (r.src, r.dst): r.weight
+        for r in contract_graph(g1, rdf, weight_col="weight").collect()
+    }
+    composed = spark.createDataFrame(
+        [(n, relab[c]) for n, c in comm.items()],
+        "node long, community long",
+    )
+    direct = {
+        (r.src, r.dst): r.weight
+        for r in contract_graph(edf, composed).collect()
+    }
+    assert twice == direct
+    g1.unpersist()
+
+
 def test_louvain_coarsen_operator_matches_iterated_merge(spark):
     """The user-facing louvain_coarsen operator (r16): with singleton
     seeding (communities=None) and N passes it returns exactly the
