@@ -2375,6 +2375,19 @@ def contract_graph(
     a, b = F.col(src), F.col(dst)
     own: list = [] if caches is None else caches
     if weight_col is not None:
+        if not assume_canonical:
+            # Same enforced convention as modularity_merge_step /
+            # modularity_score (ADVICE r16): the docstring's "REQUIRED
+            # canonical" was previously unchecked here, and a weighted
+            # edge appearing in BOTH orientations would silently
+            # double-count its weight (the output groupBy
+            # re-canonicalizes keys, not multiplicity).
+            raise ValueError(
+                "weight_col requires assume_canonical=True: weighted "
+                "edges must already be canonical (u <= v, one row per "
+                "pair, self-loops allowed) — the contract_graph output "
+                "contract; canonicalize there, not here"
+            )
         und = edges.select(
             a.alias("u"),
             b.alias("v"),
@@ -2787,12 +2800,24 @@ def louvain_coarsen(
             ).select("node", F.col("__c2").alias("community"))
         if t < passes - 1:
             g = contract_graph(
-                g, merged, weight_col="weight", caches=own
+                g,
+                merged,
+                weight_col="weight",
+                assume_canonical=True,  # g is contract_graph's own output
+                caches=own,
             ).localCheckpoint()
             own.append(checkpoint_handle(g))
     if mapping is None:
         # the very first pass was already a fixpoint
         return seed if caches is not None else scope_caches(seed, *own)
+    # LEFT join + coalesce (ADVICE r16): the composed mapping only
+    # covers communities that reached the contracted graph — i.e. have
+    # at least one edge among assignment members.  A caller-supplied
+    # seed community whose members are all edge-free never appears in
+    # g, so an inner join here would silently drop those rows,
+    # violating the "every seed member present" output contract (the
+    # same defect class modularity_refine_step fixed in r15/r16).
+    # Coalescing to the seed's own label passes them through unchanged.
     ret = seed.join(
         F.broadcast(
             mapping.select(
@@ -2801,5 +2826,8 @@ def louvain_coarsen(
             )
         ),
         seed["community"] == F.col("__from"),
-    ).select("node", F.col("__to").alias("community"))
+        "left",
+    ).select(
+        "node", F.coalesce("__to", "community").alias("community")
+    )
     return ret if caches is not None else scope_caches(ret, *own)

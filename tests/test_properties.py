@@ -3605,7 +3605,9 @@ def test_contract_graph_recursion_lemma(spark, raw_edges, n_comm, n_sup):
     )
     twice = {
         (r.src, r.dst): r.weight
-        for r in contract_graph(g1, rdf, weight_col="weight").collect()
+        for r in contract_graph(
+            g1, rdf, weight_col="weight", assume_canonical=True
+        ).collect()
     }
     composed = spark.createDataFrame(
         [(n, relab[c]) for n, c in comm.items()],
@@ -3758,6 +3760,11 @@ def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
     cdf = spark.createDataFrame([(1, 1), (2, 1)], "node long, community long")
     with _pytest.raises(ValueError, match="assume_canonical"):
         modularity_merge_step(wdf, cdf, weight_col="weight")
+    # contract_graph enforces the SAME convention (ADVICE r16: it used
+    # to accept the combination its own docstring forbade, drifting
+    # from its two weighted siblings)
+    with _pytest.raises(ValueError, match="assume_canonical"):
+        contract_graph(wdf, cdf, weight_col="weight")
 
 
 def test_modularity_merge_improves_purchase_graph_q(spark):
@@ -4007,3 +4014,42 @@ def test_refine_isolated_members_pass_through(spark):
     # edge-incident nodes keep a valid community from the input label
     # set (the sweep may move them, never invent labels)
     assert all(c in {10, 20} for c in got.values())
+
+
+def test_louvain_coarsen_isolated_community_pass_through(spark):
+    """ADVICE r16 closure on louvain_coarsen: the final relabel only
+    covers communities that reached the contracted graph (>= one edge
+    among assignment members), so a caller-supplied seed community
+    whose members are ALL edge-free must pass through unchanged via
+    the left-join + coalesce — not be silently dropped (the refine-step
+    defect class, mirrored at the loop's output).  The returned
+    assignment has the seed's exact node set; edge-incident nodes merge
+    as the weighted loop dictates."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        louvain_coarsen,
+    )
+
+    # two triangles bridged once — mergeable structure for the loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    # community 30's members (7, 8) have no incident edge at all, and
+    # node 9 is an isolated member of edge-incident community 10
+    seed = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (9, 10), (4, 20), (5, 20), (6, 20),
+         (7, 30), (8, 30)],
+        "node long, community long",
+    )
+    got = {
+        r.node: r.community
+        for r in louvain_coarsen(edges, seed, passes=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8, 9}
+    # the edge-free community passes through under its own label
+    assert got[7] == 30 and got[8] == 30
+    # isolated member of an edge-incident community follows wherever
+    # its community's relabeling goes — same label as its peers
+    assert got[9] == got[1] == got[2] == got[3]
+    # labels never invented: every output label is a seed community id
+    assert all(c in {10, 20, 30} for c in got.values())
