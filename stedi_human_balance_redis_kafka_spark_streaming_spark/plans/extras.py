@@ -4467,25 +4467,28 @@ _SUBSTR_MAX_OCC = 200   # corpus-wide occurrence cap per gram
 # by construction and no HAVING is needed; a registration passing
 # min_tokens > k must add `HAVING match_tokens >= {min_tokens}` to the
 # runs CTE or it silently diverges from its oracle.
-def _sql_substr_gram_ctes(src: str) -> str:
+def _sql_substr_gram_ctes(src: str, sfx: str = "") -> str:
     """The gram stage of the substring oracles (mirrors
     ``operators/dedup._capped_substring_grams``) over any source
     relation ``src`` with (doc_id, text) columns — ``documents`` for
     the cross-document miner/actuator, the planted self-contaminated
-    view for the intra-document miner."""
-    return f"""toks AS (
+    view for the intra-document miner.  ``sfx`` suffixes every CTE name
+    so the composed Lee-et-al. pipeline oracle (which grams TWICE: the
+    planted corpus, then the intra-cleaned corpus) can chain two
+    instances inside one WITH without name collisions."""
+    return f"""toks{sfx} AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM {src} WHERE text IS NOT NULL
-    ), grams AS (
+    ), grams{sfx} AS (
       SELECT doc_id, CAST(p AS BIGINT) AS pos,
              md5(array_to_string(t[p + 1 : p + {_SUBSTR_K}], ' ')) AS g
-      FROM toks, unnest(range(0, greatest(0, len(t) - {_SUBSTR_K} + 1)))
+      FROM toks{sfx}, unnest(range(0, greatest(0, len(t) - {_SUBSTR_K} + 1)))
            AS u(p)
-    ), keep AS (
-      SELECT g FROM grams GROUP BY g
+    ), keep{sfx} AS (
+      SELECT g FROM grams{sfx} GROUP BY g
       HAVING COUNT(*) >= 2 AND COUNT(*) <= {_SUBSTR_MAX_OCC}
-    ), g2 AS (
-      SELECT grams.* FROM grams JOIN keep USING (g)
+    ), g2{sfx} AS (
+      SELECT grams{sfx}.* FROM grams{sfx} JOIN keep{sfx} USING (g)
     )"""
 
 
@@ -5458,3 +5461,183 @@ def dedup_substring_self_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return scope_caches(cleaned, *caches)
+
+
+@register(
+    "dedup_substring_pipeline",
+    # The COMPOSED Lee-et-al. chain, both removal steps IN THE
+    # REFERENCE ORDER (VERDICT r16 next-round #1): planted view ->
+    # shared gram stage -> self-runs -> within-doc keep-first cuts ->
+    # intra-cleaned corpus (cleaned1, stage-1 apply projection) ->
+    # re-gram THE CLEANED TEXT (suffix _x names) -> cross-doc runs ->
+    # cross-doc keep-first cuts -> final apply, with cleaned1 joined
+    # back for the per-stage token accounting.
+    oracle=f"""
+    WITH {_SQL_SELF_PLANTED_CTE}, {_sql_substr_gram_ctes("planted")},
+    {_SQL_SELF_RUNS_CTES}, {_SQL_SUBSTR_CUTS_CTES},
+    csagg1 AS (
+      SELECT doc_id,
+             list({{'s': cut_start, 'e': cut_end}}) AS cs
+      FROM cuts GROUP BY doc_id
+    ), allt1 AS (
+      SELECT d.doc_id, d.text IS NOT NULL AS has_text,
+             CASE WHEN d.text IS NOT NULL
+                  THEN string_split_regex(trim(lower(d.text)), '\\s+')
+                  ELSE CAST([] AS VARCHAR[]) END AS t,
+             COALESCE(c.cs,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cs
+      FROM planted d LEFT JOIN csagg1 c USING (doc_id)
+    ), kept1 AS (
+      SELECT doc_id, has_text, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(cs, c -> i - 1 >= c.s AND i - 1 < c.e))
+                 = 0) AS kt
+      FROM allt1
+    ), cleaned1 AS (
+      SELECT doc_id,
+             CASE WHEN has_text
+                  THEN COALESCE(array_to_string(kt, ' '), '') END AS text,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(t) - len(kt) AS BIGINT) AS n_removed
+      FROM kept1
+    ),
+    {_sql_substr_gram_ctes("cleaned1", "_x")}, pair_x AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+             b.pos AS pb, a.pos - b.pos AS diag
+      FROM g2_x a JOIN g2_x b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), irun_x AS (
+      SELECT doc_a, doc_b, diag, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM pair_x
+    ), runs_x AS (
+      SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+             CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT)
+               AS match_tokens
+      FROM irun_x GROUP BY doc_a, doc_b, diag, grp
+    ), spans_x AS (
+      SELECT doc_b AS doc_id, b_start AS s,
+             b_start + match_tokens AS e
+      FROM runs_x
+    ), ord_x AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM spans_x
+    ), isl2_x AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS grp
+      FROM ord_x
+    ), cuts_x AS (
+      SELECT doc_id, CAST(MIN(s) AS BIGINT) AS cut_start,
+             CAST(MAX(e) AS BIGINT) AS cut_end
+      FROM isl2_x GROUP BY doc_id, grp
+    ), csagg_x AS (
+      SELECT doc_id,
+             list({{'s': cut_start, 'e': cut_end}}) AS cs
+      FROM cuts_x GROUP BY doc_id
+    ), allt_x AS (
+      SELECT d.doc_id, d.text IS NOT NULL AS has_text,
+             CASE WHEN d.text IS NOT NULL
+                  THEN string_split_regex(trim(lower(d.text)), '\\s+')
+                  ELSE CAST([] AS VARCHAR[]) END AS t,
+             COALESCE(c.cs,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cs
+      FROM cleaned1 d LEFT JOIN csagg_x c USING (doc_id)
+    ), kept_x AS (
+      SELECT doc_id, has_text, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(cs, c -> i - 1 >= c.s AND i - 1 < c.e))
+                 = 0) AS kt
+      FROM allt_x
+    )
+    SELECT k.doc_id,
+           CASE WHEN k.has_text
+                THEN COALESCE(array_to_string(k.kt, ' '), '') END AS text,
+           c.n_tokens AS n_tokens,
+           c.n_removed AS n_removed_intra,
+           CAST(len(k.t) - len(k.kt) AS BIGINT) AS n_removed_cross
+    FROM kept_x k JOIN cleaned1 c USING (doc_id)
+    """,
+)
+def dedup_substring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED Lee-et-al. substring-dedup pipeline in the
+    REFERENCE ORDER (Lee et al. 2022 §4: remove intra-document repeats
+    FIRST, then mine cross-document runs ON THE ALREADY-CLEANED text) —
+    the family's actual deliverable, previously registered only as two
+    independent halves that each cleaned the raw corpus (VERDICT r16
+    next-round #1): self-runs on the planted view -> within-document
+    keep-first cuts -> intra-cleaned corpus -> cross-document runs ON
+    THE CLEANED CORPUS -> cross-document keep-first cuts -> the final
+    corpus, with exact per-stage accounting.
+
+    Order matters observably: a document's self-repeated paragraph is
+    removed BEFORE cross mining, so the cross stage sees each planted
+    document's canonical single-copy text (its grams cannot collide
+    twice against a partner through the duplicated paragraph, and
+    cut offsets land in the intra-cleaned token space, not the
+    planted one).  Operators composed exactly as registered
+    separately: substring_self_run_pairs -> substring_cut_spans
+    (doc_col='doc_id', start_col='b_start') -> apply_substring_cuts ->
+    substring_run_pairs -> substring_cut_spans -> apply_substring_cuts
+    (operators/dedup.py).  The DOUBLE fixpoint is pytest-pinned on this
+    registered pipeline at sf0.001: the final corpus has ZERO
+    intra-document AND ZERO cross-document runs >= k.
+
+    Output: (doc_id, text, n_tokens, n_removed_intra, n_removed_cross)
+    — one row per document; text is the final cleaned normalized token
+    stream, n_tokens the PLANTED-view token count, and the two removal
+    counts tie out per stage (n_tokens − n_removed_intra −
+    n_removed_cross = the final token count).
+
+    Scale shape: stage 1 is dedup_substring_self_apply's plan verbatim;
+    stage 2 re-grams the INTRA-CLEANED corpus (strictly no more tokens
+    than the raw one) through the same capped gram stage and is
+    dedup_substring_apply's plan on that input; the accounting join is
+    one doc-keyed 1:1 equi-join against the persisted stage-1 output
+    (which also feeds both stage-2 consumers, so the intra clean is
+    computed once).  No new scan shapes, no cartesian, no row UDFs.
+    See SCALING.md.
+    """
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = _planted_self_view(docs)
+    caches: list[DataFrame] = []
+    self_runs = dedup.substring_self_run_pairs(
+        planted, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC, caches=caches
+    )
+    intra = dedup.apply_substring_cuts(
+        planted,
+        dedup.substring_cut_spans(
+            self_runs, doc_col="doc_id", start_col="b_start"
+        ),
+    ).persist()
+    caches.append(intra)
+    corpus = intra.select("doc_id", "text")
+    cross_runs = dedup.substring_run_pairs(
+        corpus, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC, caches=caches
+    )
+    final = dedup.apply_substring_cuts(
+        corpus, dedup.substring_cut_spans(cross_runs)
+    )
+    out = final.join(
+        intra.select(
+            "doc_id",
+            F.col("n_tokens").alias("__nt"),
+            F.col("n_removed").alias("n_removed_intra"),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "text",
+        F.col("__nt").alias("n_tokens"),
+        "n_removed_intra",
+        F.col("n_removed").alias("n_removed_cross"),
+    )
+    return scope_caches(out, *caches)

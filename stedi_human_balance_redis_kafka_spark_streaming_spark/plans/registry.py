@@ -5305,6 +5305,17 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # in-window via q21's double anti/semi stack and q18's scored
     # top-k join chain, and q8 carries no supplementary dual
     "q8_market_share",
+    # --- round-17 rotation (zero-sum): ---
+    # dedup: the cross-document cleaned-corpus emitter
+    # (dedup_substring_apply, birth r15, driver-hashed r15+r16) yields
+    # to the COMPOSED Lee-et-al. pipeline (dedup_substring_pipeline,
+    # birth r17) — intra-clean FIRST, then cross-dedup THE CLEANED
+    # corpus, whose stage 2 is dedup_substring_apply's exact plan run
+    # on the intra-cleaned input (a strictly stronger in-window claim);
+    # the substring family keeps runs/cuts/self_apply + both r17
+    # newcomers in-window, and dedup_substring_apply stays parity-green
+    # every round
+    "dedup_substring_apply",
     # graph: the LPA-backbone modularity scorer (graph_modularity,
     # birth r14, driver-hashed r14+r15) yields to the super-graph
     # scoring query (graph_louvain_scored, birth r16) — a strictly

@@ -3043,6 +3043,73 @@ def test_registered_self_apply_fixpoint_on_real_corpus(spark):
     cleaned.unpersist()
 
 
+def test_registered_pipeline_double_fixpoint_on_real_corpus(spark):
+    """The REGISTERED composed Lee-et-al. pipeline
+    (dedup_substring_pipeline, r17 — intra-clean FIRST, then cross-
+    dedup THE CLEANED corpus, the reference order) satisfies the DOUBLE
+    fixpoint on the real sf0.001 corpus: re-mining the FINAL output at
+    the registration's k finds ZERO intra-document AND ZERO cross-
+    document runs.  Accounting ties out stage-by-stage: n_tokens is the
+    planted-view count, n_removed_intra equals the registered
+    self-apply's per-doc removal (stage 1 IS that query's plan), both
+    planted and cross-contaminated docs are actually touched, and the
+    final token count is n_tokens − n_removed_intra − n_removed_cross
+    (disjoint-stage removal)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.functions.hashing import (
+        tokens,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_run_pairs,
+        substring_self_run_pairs,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        _SUBSTR_K,
+        _SUBSTR_MAX_OCC,
+        dedup_substring_pipeline,
+        dedup_substring_self_apply,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    final = dedup_substring_pipeline(spark, SF).persist()
+    assert final.filter(F.col("n_removed_intra") > 0).count() > 0
+    assert final.filter(F.col("n_removed_cross") > 0).count() > 0
+    # stage-1 accounting == the registered self-apply query's, per doc
+    intra = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in dedup_substring_self_apply(spark, SF)
+        .select("doc_id", "n_tokens", "n_removed")
+        .collect()
+    }
+    for r in final.collect():
+        assert intra[r.doc_id] == (r.n_tokens, r.n_removed_intra)
+    # final token count = planted count minus both stages' removals
+    # (FULLY-cut docs — whole-document duplicates of an earlier doc —
+    # emit text '' whose re-split is [''], so count them as 0 tokens)
+    n_final = F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(tokens(F.col("text")))
+    )
+    bad = final.filter(
+        F.col("text").isNotNull()
+        & (
+            n_final
+            != F.col("n_tokens")
+            - F.col("n_removed_intra")
+            - F.col("n_removed_cross")
+        )
+    )
+    assert bad.count() == 0
+    # the DOUBLE fixpoint (Lee et al.): nothing left to mine, in
+    # either direction, on the composed output
+    out = final.select("doc_id", "text")
+    assert substring_self_run_pairs(
+        out, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC
+    ).count() == 0
+    assert substring_run_pairs(
+        out, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC
+    ).count() == 0
+    final.unpersist()
+
+
 def test_substring_runs_rejects_bad_params(spark):
     import pytest as _pytest
 
