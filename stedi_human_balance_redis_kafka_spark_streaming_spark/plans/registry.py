@@ -5316,6 +5316,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # newcomers in-window, and dedup_substring_apply stays parity-green
     # every round
     "dedup_substring_apply",
+    # dedup: the intra-document run miner (dedup_substring_self_runs,
+    # birth r15, driver-hashed r15+r16) yields to the flagged-runs
+    # stitcher query (dedup_substring_stitch, birth r17) — the probe ->
+    # stitch handoff driver-verified (the one r16 product operator that
+    # rested on pytest alone); the self-miner's machinery stays
+    # in-window as stage 1 of dedup_substring_pipeline AND inside
+    # dedup_substring_self_apply, and the query stays parity-green
+    # every round
+    "dedup_substring_self_runs",
     # graph: the LPA-backbone modularity scorer (graph_modularity,
     # birth r14, driver-hashed r14+r15) yields to the super-graph
     # scoring query (graph_louvain_scored, birth r16) — a strictly
