@@ -4092,6 +4092,183 @@ def test_refine_guarded_adopts_and_rejects(spark):
     seed.unpersist()
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_modularity_refine_weighted_matches_pure_python(
+    spark, raw_edges, n_comm
+):
+    """The WEIGHTED sweep (r17 — the form louvain_coarsen's guarded
+    refine runs on the contracted super-graph) == the pure-python
+    integer replay with Blondel et al.'s phase-1 bookkeeping: m and
+    k_{i,c} are weight sums, degrees count self-loops TWICE, k_{i,c}
+    excludes the node's own self-loop (it moves with the node, so it
+    cancels from every candidate's gain).  Random canonical weighted
+    graphs WITH self-loops (exactly contract_graph's output shape)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_step,
+    )
+
+    wmap: dict = {}
+    for s, d, w in raw_edges:
+        key = (min(s, d), max(s, d))
+        wmap[key] = wmap.get(key, 0) + w
+    nodes = sorted({n for e in wmap for n in e})
+    comm = {n: n % n_comm for n in nodes}
+    m = sum(wmap.values())
+    deg = {n: 0 for n in nodes}
+    nbr: dict = {n: {} for n in nodes}
+    for (u, v), w in wmap.items():
+        if u == v:
+            deg[u] += 2 * w
+        else:
+            deg[u] += w
+            deg[v] += w
+            nbr[u][v] = nbr[u].get(v, 0) + w
+            nbr[v][u] = nbr[v].get(u, 0) + w
+    d_c: dict = {}
+    for n in nodes:
+        d_c[comm[n]] = d_c.get(comm[n], 0) + deg[n]
+    exp = {}
+    for i in nodes:
+        k_ic: dict = {}
+        for j, w in nbr[i].items():
+            k_ic[comm[j]] = k_ic.get(comm[j], 0) + w
+        cand = set(k_ic) | {comm[i]}
+        scores = {
+            c: 2 * m * k_ic.get(c, 0)
+            - deg[i] * (d_c[c] - (deg[i] if c == comm[i] else 0))
+            for c in cand
+        }
+        best = min(cand, key=lambda c: (-scores[c], c))
+        exp[i] = best if scores[best] > scores[comm[i]] else comm[i]
+
+    edf = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in sorted(wmap.items())],
+        "src long, dst long, weight long",
+    )
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node long, community long"
+    )
+    got = {
+        r.node: r.community
+        for r in modularity_refine_step(
+            edf, cdf, weight_col="weight", assume_canonical=True
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_refine_guarded_weighted_adopts_and_rejects(spark):
+    """The guarded WEIGHTED sweep both ways, deterministic cases:
+
+    * ADOPT — weighted triangle (1-2 w5, 2-3 w5, 1-3 w1) under
+      {1}{2,3}: only node 1 moves (node 2's tie keeps it put under the
+      strict gate), giving one community with Q = 0 > Q(input) < 0, so
+      the sweep is adopted — proof the weighted guard path can accept.
+    * REJECT — path (1-2 w10, 2-3 w1) under {1}{2,3}: the synchronous
+      sweep swaps 1 and 2 (each scored against old sizes — the
+      overshoot), leaving NO in-community weight; Q decreases, the
+      guard keeps the input bit-for-bit.
+    """
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_guarded,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 1)],
+        "src long, dst long, weight long",
+    )
+    comm = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 200)], "node long, community long"
+    )
+    adopted = {
+        r.node: r.community
+        for r in modularity_refine_guarded(
+            tri, comm, weight_col="weight", assume_canonical=True
+        ).collect()
+    }
+    assert adopted == {1: 200, 2: 200, 3: 200}
+
+    path = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    rejected = {
+        r.node: r.community
+        for r in modularity_refine_guarded(
+            path, comm, weight_col="weight", assume_canonical=True
+        ).collect()
+    }
+    assert rejected == {1: 100, 2: 200, 3: 200}
+
+
+def test_coarsen_guarded_refine_q_on_purchase_graph(spark):
+    """VERDICT r16 next-round #4, the data pin: on the real sf0.001
+    purchase graph, Q of louvain_coarsen(refine='guarded') >= Q of the
+    plain merge loop (guaranteed per pass by score-and-keep-better; the
+    end-to-end >= is the claim the registered query's configuration
+    rests on).  MEASURED result, recorded in SCALING.md: the guard
+    REJECTS every sweep on this hub-heavy graph (the r15 overshoot,
+    now safely probed), so ΔQ = 0 at sf0.001 AND sf0.1 while costing
+    one sweep + two scorings per pass — the registered queries
+    therefore keep refine=None (measured rejection, not an oversight)."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        louvain_coarsen,
+        modularity_score,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    seed = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 16).alias("community"))
+        .persist()
+    )
+    qs = {}
+    for mode in (None, "guarded"):
+        comm = louvain_coarsen(
+            edges, seed, passes=3, refine=mode, assume_canonical=True
+        ).persist()
+        qs[mode] = (
+            modularity_score(edges, comm, assume_canonical=True)
+            .agg(F.max("q_e6"))
+            .first()[0]
+        )
+        comm.unpersist()
+    assert qs["guarded"] >= qs[None]
+    edges.unpersist()
+    seed.unpersist()
+
+
 def test_refine_isolated_members_pass_through(spark):
     """ADVICE r15 closure on modularity_refine_step: assignment members
     with NO incident edge must pass through unchanged (T = 0 for their
