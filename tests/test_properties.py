@@ -3834,13 +3834,20 @@ def test_contracted_coarsen_equals_uncontracted_on_purchase_graph(spark):
         contract_graph(wdf, cdf, weight_col="weight")
 
 
-def test_coarsen_mapping_cache_reconstructs_exactly(spark):
+def test_coarsen_mapping_cache_reconstructs_exactly(
+    spark, tmp_path, monkeypatch
+):
     """The r17 coarsen build-cache entry (VERDICT r16 next-round #2):
     what is cached is the <= 16-row composed shard->community relabel,
     not the O(|V|) node partition, and the cache-HIT path (seed
     broadcast-join + coalesce) reconstructs the node-level partition
     EXACTLY — merge passes relabel whole communities and never split
-    them, so the final label is a pure function of the seed shard."""
+    them, so the final label is a pure function of the seed shard.
+
+    The disk tier is pointed at a scratch dir and only the louvain
+    keys are dropped from the memory tier — a bare invalidate() here
+    would wipe the REAL warehouse (ANN/SQ8/pair-graph artifacts) on
+    every suite run and silently un-warm the official bench."""
     from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
         buildcache,
     )
@@ -3849,7 +3856,12 @@ def test_coarsen_mapping_cache_reconstructs_exactly(spark):
     )
 
     SF = "/root/testdata/sf0.001"
-    buildcache.invalidate()
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", str(tmp_path))
+    for k in [
+        k for k in buildcache.INDEX_BUILD_CACHE
+        if k[0] == "louvain_coarsen_map"
+    ]:
+        del buildcache.INDEX_BUILD_CACHE[k]
     q = queries()["graph_louvain_coarsen"]
     cold = {
         (r.node_type, r.entity_id, r.community)
