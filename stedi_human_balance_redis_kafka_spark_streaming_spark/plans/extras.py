@@ -4819,6 +4819,138 @@ def _sql_merge() -> str:
     """
 
 
+_REFINE_SEED_MOD = 3  # deliberately mixed super-node seed for the sweep
+
+
+def _sql_refine_weighted() -> str:
+    """Oracle for graph_refine_weighted: ONE weighted synchronous
+    local-move sweep over the shard-contracted purchase super-graph
+    (16 super-nodes, weighted edges + self-loops) from the mixed
+    ``n % 3`` seed, plus the EXACT weighted modularity of BOTH
+    partitions and the guard decision — the full evidence row set, so
+    the driver hash verifies the sweep, the two scorings, and the
+    adopt/reject verdict all at once.  Conventions mirror
+    operators/graph exactly: m = total weight (self-loops once),
+    degrees count self-loops TWICE, k_{i,c} excludes the node's own
+    self-loop, T = 2m·k_ic − k_i·(d_c − k_i·[c = own]) in HUGEINT,
+    argmax tie-break (T DESC, c ASC), move iff STRICTLY better;
+    Q: in_c counts intra-community weight (self-loops once),
+    contrib = 4m·in_c − d_c², q_e6 sign-safe truncating division."""
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+             CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sg AS MATERIALIZED (
+      SELECT least(u % {_MERGE_SHARDS}, v % {_MERGE_SHARDS}) AS a,
+             greatest(u % {_MERGE_SHARDS}, v % {_MERGE_SHARDS}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM und GROUP BY 1, 2
+    ),
+    sn AS (SELECT a AS n FROM sg UNION SELECT b FROM sg),
+    seed AS (SELECT n, n % {_REFINE_SEED_MOD} AS c FROM sn),
+    mm AS (SELECT CAST(SUM(w) AS HUGEINT) AS m FROM sg),
+    sym AS (
+      SELECT a AS i, b AS j, w FROM sg
+      UNION ALL
+      SELECT b AS i, a AS j, w FROM sg
+    ),
+    deg AS (
+      SELECT i AS n, CAST(SUM(w) AS BIGINT) AS k FROM sym GROUP BY i
+    ),
+    dc AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS d
+      FROM deg JOIN seed USING (n) GROUP BY c
+    ),
+    kic AS (
+      SELECT sym.i AS n, seed.c, CAST(SUM(sym.w) AS BIGINT) AS kc
+      FROM sym JOIN seed ON seed.n = sym.j
+      WHERE sym.i <> sym.j
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT n, c, MAX(kc) AS kc FROM (
+        SELECT n, c, kc FROM kic
+        UNION ALL
+        SELECT n, c, CAST(0 AS BIGINT) AS kc FROM seed
+      ) GROUP BY n, c
+    ),
+    scored AS (
+      SELECT cand.n, cand.c, seed.c AS own,
+             2 * mm.m * CAST(cand.kc AS HUGEINT)
+               - CAST(COALESCE(deg.k, 0) AS HUGEINT)
+                 * CAST(COALESCE(dc.d, 0)
+                        - CASE WHEN cand.c = seed.c
+                               THEN COALESCE(deg.k, 0)
+                               ELSE 0 END AS HUGEINT) AS t
+      FROM cand
+      JOIN seed ON seed.n = cand.n
+      LEFT JOIN deg ON deg.n = cand.n
+      LEFT JOIN dc ON dc.c = cand.c
+      CROSS JOIN mm
+    ),
+    pick AS (
+      SELECT n, c, t FROM (
+        SELECT n, c, t,
+               row_number() OVER (PARTITION BY n
+                                  ORDER BY t DESC, c ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    ownt AS (SELECT n, t AS t_own FROM scored WHERE c = own),
+    swept AS (
+      SELECT pick.n,
+             CASE WHEN pick.t > ownt.t_own THEN pick.c
+                  ELSE seed.c END AS c
+      FROM pick JOIN ownt USING (n) JOIN seed USING (n)
+    ),
+    in0 AS (
+      SELECT pa.c, CAST(SUM(sg.w) AS BIGINT) AS iw
+      FROM sg JOIN seed pa ON pa.n = sg.a JOIN seed pb ON pb.n = sg.b
+      WHERE pa.c = pb.c GROUP BY pa.c
+    ),
+    q0 AS (
+      SELECT CAST(CASE WHEN t >= 0 THEN (t * 1000000) // (4 * m2 * m2)
+                  ELSE -(((-t) * 1000000) // (4 * m2 * m2))
+                  END AS BIGINT) AS q
+      FROM (
+        SELECT SUM(4 * mm.m * CAST(COALESCE(in0.iw, 0) AS HUGEINT)
+                   - CAST(dc.d AS HUGEINT) * CAST(dc.d AS HUGEINT)) AS t,
+               MAX(mm.m) AS m2
+        FROM dc LEFT JOIN in0 USING (c) CROSS JOIN mm
+      )
+    ),
+    dc1 AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS d
+      FROM deg JOIN swept USING (n) GROUP BY c
+    ),
+    in1 AS (
+      SELECT pa.c, CAST(SUM(sg.w) AS BIGINT) AS iw
+      FROM sg JOIN swept pa ON pa.n = sg.a JOIN swept pb ON pb.n = sg.b
+      WHERE pa.c = pb.c GROUP BY pa.c
+    ),
+    q1 AS (
+      SELECT CAST(CASE WHEN t >= 0 THEN (t * 1000000) // (4 * m2 * m2)
+                  ELSE -(((-t) * 1000000) // (4 * m2 * m2))
+                  END AS BIGINT) AS q
+      FROM (
+        SELECT SUM(4 * mm.m * CAST(COALESCE(in1.iw, 0) AS HUGEINT)
+                   - CAST(dc1.d AS HUGEINT) * CAST(dc1.d AS HUGEINT)) AS t,
+               MAX(mm.m) AS m2
+        FROM dc1 LEFT JOIN in1 USING (c) CROSS JOIN mm
+      )
+    )
+    SELECT CAST(seed.n AS BIGINT) AS shard,
+           CAST(seed.c AS BIGINT) AS seed_community,
+           CAST(swept.c AS BIGINT) AS swept_community,
+           q0.q AS q_seed_e6,
+           q1.q AS q_swept_e6,
+           (q1.q > q0.q) AS adopted
+    FROM seed JOIN swept USING (n) CROSS JOIN q0 CROSS JOIN q1
+    """
+
+
 _COARSEN_PASSES = 3  # 16 hash shards halve per matching pass at best
 
 
@@ -5179,6 +5311,131 @@ def graph_louvain_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scored.select(
         "community", "in_edges", "deg_sum", "contrib_num", "q_e6"
+    )
+    return scope_caches(out, *held)
+
+
+@register("graph_refine_weighted", oracle=_sql_refine_weighted())
+def graph_refine_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED local-move sweep driver-verified AS EVIDENCE (birth
+    r17 — the round's new weighted refine operator would otherwise rest
+    on hypothesis tests alone): contract the purchase graph under the
+    16-shard hash partition into its weighted super-graph
+    (operators/graph.contract_graph — 16 super-nodes, inter-shard
+    weights + self-loops), seed the super-nodes with the deliberately
+    mixed ``n % 3`` partition, run ONE weighted synchronous sweep
+    (operators/graph.modularity_refine_step(weight_col=...) — Blondel
+    phase-1-on-super-graph bookkeeping), score BOTH partitions with the
+    exact weighted scorer, and emit the full evidence per super-node:
+    (shard, seed_community, swept_community, q_seed_e6, q_swept_e6,
+    adopted).  The DuckDB oracle replays the contraction, the weighted
+    T-gain sweep (HUGEINT, tie-break, strict-improvement gate), both
+    exact scorings, and the guard decision independently — so the
+    driver hash verifies the sweep ROW-BY-ROW and the decision
+    boundary, not just the final partition.
+
+    On this hub-coupled graph the verdict is REJECT at every scale
+    (every synchronous sweep overshoots — the r15/r16 measured
+    phenomenon, here driver-verified as data: q_swept_e6 < q_seed_e6
+    in both engines), which is exactly why
+    modularity_refine_guarded / louvain_coarsen(refine='guarded')
+    score-and-keep-better instead of trusting the sweep; the adopt
+    branch is pinned by the weighted-triangle pytest.
+
+    Scale shape: ONE |E|-sized contraction (the graph_modularity shape,
+    paid once), then every sweep/scoring stage is bounded by the 16-
+    super-node graph (≤ 16·17/2 weighted rows, 1-row Q fan-ins) — the
+    loop-re-scoring story of graph_louvain_scored applied to phase 1.
+    The super-graph is localCheckpoint'd (it feeds the sweep + two
+    scorings + the seed derivation; an un-truncated lineage replays the
+    |E| contraction per consumer and measured as a driver OOM) and
+    released via session.checkpoint_handle.  See SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import checkpoint_handle, scope_caches
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    held: list = [edges]
+    shard = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            (F.col("node") % _MERGE_SHARDS).alias("community"),
+        )
+    )
+    g = graph.contract_graph(
+        edges, shard, assume_canonical=True, caches=held
+    ).localCheckpoint()
+    held.append(checkpoint_handle(g))
+    seed = (
+        g.select(F.col("src").alias("node"))
+        .unionByName(g.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            (F.col("node") % _REFINE_SEED_MOD).cast("long").alias(
+                "community"
+            ),
+        )
+        .persist()
+    )
+    held.append(seed)
+    swept = graph.modularity_refine_step(
+        g, seed, weight_col="weight", assume_canonical=True, caches=held
+    ).persist()
+    held.append(swept)
+    q0 = (
+        graph.modularity_score(
+            g, seed, weight_col="weight", assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_seed_e6"))
+    )
+    q1 = (
+        graph.modularity_score(
+            g, swept, weight_col="weight", assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_swept_e6"))
+    )
+    out = (
+        seed.select(
+            F.col("node").alias("shard"),
+            F.col("community").alias("seed_community"),
+        )
+        .join(
+            swept.select(
+                F.col("node").alias("shard"),
+                F.col("community").cast("long").alias("swept_community"),
+            ),
+            "shard",
+        )
+        .crossJoin(F.broadcast(q0))
+        .crossJoin(F.broadcast(q1))
+        .select(
+            "shard",
+            "seed_community",
+            "swept_community",
+            "q_seed_e6",
+            "q_swept_e6",
+            (F.col("q_swept_e6") > F.col("q_seed_e6")).alias("adopted"),
+        )
     )
     return scope_caches(out, *held)
 

@@ -5325,6 +5325,15 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # dedup_substring_self_apply, and the query stays parity-green
     # every round
     "dedup_substring_self_runs",
+    # graph: the single mutual-best merge pass (graph_modularity_merge,
+    # birth r15, driver-hashed r15+r16) yields to the weighted-sweep
+    # evidence query (graph_refine_weighted, birth r17) — the r17
+    # weighted refine operator driver-verified row-by-row (sweep + both
+    # exact scorings + the guard decision in one hashed row set); the
+    # merge machinery stays in-window INSIDE graph_louvain_coarsen and
+    # graph_louvain_scored (whose oracles unroll the identical merge
+    # chain), and graph_modularity_merge stays parity-green every round
+    "graph_modularity_merge",
     # graph: the LPA-backbone modularity scorer (graph_modularity,
     # birth r14, driver-hashed r14+r15) yields to the super-graph
     # scoring query (graph_louvain_scored, birth r16) — a strictly

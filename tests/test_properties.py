@@ -4281,6 +4281,92 @@ def test_coarsen_guarded_refine_q_on_purchase_graph(spark):
     seed.unpersist()
 
 
+def test_refine_weighted_query_matches_guarded_operator(spark):
+    """The registered evidence query (graph_refine_weighted, birth r17)
+    and the guarded operator must agree on the decision: on the
+    shard-contracted purchase super-graph from the n % 3 seed, the
+    query's `adopted` column is the guard's verdict, so
+    modularity_refine_guarded must return exactly the seed when the
+    query says adopted == false (and the swept partition when true).
+    Also pins that the sweep actually MOVES nodes here (the overshoot
+    is real evidence, not a no-op sweep) and that Q values are
+    consistent with the verdict."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        contract_graph,
+        modularity_refine_guarded,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        _MERGE_SHARDS,
+        _REFINE_SEED_MOD,
+        graph_refine_weighted,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = graph_refine_weighted(spark, SF).collect()
+    assert len(rows) == _MERGE_SHARDS
+    adopted = {r.adopted for r in rows}
+    assert len(adopted) == 1  # one partition-level verdict
+    adopted = adopted.pop()
+    q_seed = {r.q_seed_e6 for r in rows}.pop()
+    q_swept = {r.q_swept_e6 for r in rows}.pop()
+    assert adopted == (q_swept > q_seed)
+    # the sweep moves nodes (evidence, not a no-op)
+    assert any(r.seed_community != r.swept_community for r in rows)
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    shard = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node", (F.col("node") % _MERGE_SHARDS).alias("community")
+        )
+    )
+    g = contract_graph(
+        edges, shard, assume_canonical=True
+    ).localCheckpoint()
+    seed = (
+        g.select(F.col("src").alias("node"))
+        .unionByName(g.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            (F.col("node") % _REFINE_SEED_MOD).cast("long").alias(
+                "community"
+            ),
+        )
+    )
+    guarded = {
+        (r.node, r.community)
+        for r in modularity_refine_guarded(
+            g, seed, weight_col="weight", assume_canonical=True
+        ).collect()
+    }
+    expect = {
+        (r.shard, r.swept_community if adopted else r.seed_community)
+        for r in rows
+    }
+    assert guarded == expect
+    edges.unpersist()
+
+
 def test_refine_isolated_members_pass_through(spark):
     """ADVICE r15 closure on modularity_refine_step: assignment members
     with NO incident edge must pass through unchanged (T = 0 for their
