@@ -1923,6 +1923,37 @@ def stress_centrality(
     return scope_caches(stress, *handles)
 
 
+def _integral_weight(edges: DataFrame, weight_col: str):
+    """The weighted-path weight expression, with the INTEGER-WEIGHT
+    contract enforced loudly (ADVICE r17): the modularity family's
+    exact decimal(38,0) arithmetic is defined over integer weights
+    (contract_graph emits long counts), and the previous bare
+    ``cast('long')`` would silently TRUNCATE a caller's fractional
+    double weights — quietly wrong Q, contrary to the module's
+    loud-ANSI-overflow policy.  Asserts the column's dataType is
+    integral (byte/short/int/long) and returns it widened to long
+    (a lossless cast); fractional or decimal weights raise TypeError —
+    scale them to integers (e.g. millis) at the edge-list boundary,
+    where the semantics of the scaling are the caller's to choose.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = edges.schema[weight_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"weight_col {weight_col!r} must be an integral column "
+            f"(byte/short/int/long), got {dt.simpleString()}: the exact "
+            "integer modularity arithmetic would silently truncate "
+            "fractional weights — scale them to integers upstream"
+        )
+    return F.col(weight_col).cast("long")
+
+
 def modularity_score(
     edges: DataFrame,
     communities: DataFrame,
@@ -2015,7 +2046,7 @@ def modularity_score(
         und = edges.select(
             a.alias("u"),
             b.alias("v"),
-            F.col(weight_col).cast("long").alias("__w"),
+            _integral_weight(edges, weight_col).alias("__w"),
         )
     elif assume_canonical:
         # caller-guaranteed simple undirected canonical form; callers
@@ -2205,7 +2236,7 @@ def modularity_merge_step(
         und = edges.select(
             a.alias("u"),
             b.alias("v"),
-            F.col(weight_col).cast("long").alias("__w"),
+            _integral_weight(edges, weight_col).alias("__w"),
         )
     elif assume_canonical:
         und = edges.select(
@@ -2355,7 +2386,11 @@ def contract_graph(
     multi-edges collapsed, the simple-graph convention every scorer in
     this module uses), or an already-contracted weighted graph
     (``weight_col`` — REQUIRED canonical, this function's own output
-    contract, so recursion composes).  Every assignment member must
+    contract, so recursion composes).  Weights must be INTEGRAL
+    (byte/short/int/long — enforced, ADVICE r17: the family's exact
+    decimal arithmetic would silently truncate fractional weights;
+    scale doubles to integers upstream), a contract shared by every
+    ``weight_col`` consumer in this module.  Every assignment member must
     appear in ``communities``; edge endpoints absent from the
     assignment are dropped by the inner joins (callers seed
     assignments FROM the edge list, so this is vacuous in practice).
@@ -2391,7 +2426,7 @@ def contract_graph(
         und = edges.select(
             a.alias("u"),
             b.alias("v"),
-            F.col(weight_col).cast("long").alias("__w"),
+            _integral_weight(edges, weight_col).alias("__w"),
         )
     elif assume_canonical:
         und = edges.select(
@@ -2516,7 +2551,7 @@ def modularity_refine_step(
         und = edges.select(
             a.alias("u"),
             b.alias("v"),
-            F.col(weight_col).cast("long").alias("__w"),
+            _integral_weight(edges, weight_col).alias("__w"),
         )
     elif assume_canonical:
         und = edges.select(

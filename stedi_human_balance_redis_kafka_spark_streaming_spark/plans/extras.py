@@ -5126,8 +5126,13 @@ def _coarsened_purchase_partition(
             (F.col("node") % _MERGE_SHARDS).alias("community"),
         )
     )
+    # the algorithm-version token (ADVICE r17): the disk tier persists
+    # across processes, so a future semantic change to louvain_coarsen
+    # must bump _v1 or it would silently serve a mapping computed by
+    # the OLD algorithm — the fingerprint only protects against data
+    # changes, not code changes
     ckey = (
-        "louvain_coarsen_map",
+        "louvain_coarsen_map_v1",
         table_fingerprint(sf_dir, "orders"),
         table_fingerprint(sf_dir, "lineitem"),
         _MERGE_SHARDS,
@@ -5162,11 +5167,20 @@ def _coarsened_purchase_partition(
         .distinct()
         .collect()
     )
-    # the relabel is a FUNCTION of the shard by construction; guard it
-    # anyway before caching (a non-functional mapping would silently
-    # corrupt every later reconstruction)
-    if len({f for f, _ in rows}) == len(rows):
-        buildcache.store(ckey, rows)
+    # the relabel is a FUNCTION of the shard by construction (merge
+    # passes relabel whole communities, never split them) — a
+    # non-functional mapping here is NOT a benign cache miss but a
+    # louvain_coarsen invariant violation, so fail LOUD instead of
+    # silently skipping the store (ADVICE r17: the claimed cross-query
+    # speedup would otherwise vanish with no signal)
+    if len({f for f, _ in rows}) != len(rows):
+        raise AssertionError(
+            "louvain_coarsen invariant violation: the coarsened "
+            f"community is not a function of the seed shard ({rows!r}) "
+            "— a merge pass split a community, which the matching-merge "
+            "construction forbids"
+        )
+    buildcache.store(ckey, rows)
     return comm
 
 

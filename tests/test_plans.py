@@ -48,6 +48,12 @@ SCALE_PATH_QUERIES = [
     "graph_modularity_merge",
     "graph_louvain_coarsen",
     "graph_louvain_scored",
+    # r17 newcomers (VERDICT r17 next-round #3): the composed pipeline's
+    # stages are individually pinned above and the refine evidence is
+    # super-graph-bounded, but the convention is one pin per newcomer
+    "dedup_substring_pipeline",
+    "dedup_substring_stitch",
+    "graph_refine_weighted",
 ]
 
 

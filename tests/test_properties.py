@@ -3859,7 +3859,7 @@ def test_coarsen_mapping_cache_reconstructs_exactly(
     monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", str(tmp_path))
     for k in [
         k for k in buildcache.INDEX_BUILD_CACHE
-        if k[0] == "louvain_coarsen_map"
+        if k[0] == "louvain_coarsen_map_v1"
     ]:
         del buildcache.INDEX_BUILD_CACHE[k]
     q = queries()["graph_louvain_coarsen"]
@@ -3869,7 +3869,7 @@ def test_coarsen_mapping_cache_reconstructs_exactly(
     }
     stored = [
         k for k in buildcache.INDEX_BUILD_CACHE
-        if k[0] == "louvain_coarsen_map"
+        if k[0] == "louvain_coarsen_map_v1"
     ]
     assert len(stored) == 1
     rows = buildcache.INDEX_BUILD_CACHE[stored[0]]
