@@ -3277,12 +3277,11 @@ def _sql_lpa(iters: int) -> str:
     """
 
 
-def _lpa_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strongest-partner nation backbone: each supplier nation keeps
-    its single highest-volume customer-nation tie (top-1 window,
-    (cnt DESC, n2 ASC) total order), canonicalized undirected — the
-    shared input of graph_label_propagation and graph_modularity
-    (mirrors ``_LPA_BACKBONE_SQL`` line for line)."""
+def _strongest_partner_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier nation's single highest-volume customer-nation tie
+    (top-1 window, (cnt DESC, n2 ASC) total order) — the DIRECTED
+    strongest-partner picks (n1, n2, cnt) shared by the unweighted LPA
+    backbone and the weighted refine backbone."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -3309,14 +3308,43 @@ def _lpa_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     top_w = Window.partitionBy("n1").orderBy(F.desc("cnt"), F.asc("n2"))
+    return pair_cnt.withColumn(
+        "rk", F.row_number().over(top_w)
+    ).filter(F.col("rk") <= 1)
+
+
+def _lpa_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest-partner nation backbone: each supplier nation keeps
+    its single highest-volume customer-nation tie, canonicalized
+    undirected — the shared input of graph_label_propagation and
+    graph_modularity (mirrors ``_LPA_BACKBONE_SQL`` line for line)."""
     return (
-        pair_cnt.withColumn("rk", F.row_number().over(top_w))
-        .filter(F.col("rk") <= 1)
+        _strongest_partner_ties(spark, sf_dir)
         .select(
             F.least("n1", "n2").cast("long").alias("src"),
             F.greatest("n1", "n2").cast("long").alias("dst"),
         )
         .distinct()
+    )
+
+
+def _weighted_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED strongest-partner nation backbone: the same top-1
+    ties as :func:`_lpa_backbone` but carrying their trade volume —
+    canonicalized undirected with the two directed picks of a mutual
+    pair SUMMED into one weight (A picks B with cnt x and B picks A
+    with cnt y ⇒ one u<v row of weight x+y).  Canonical weighted form
+    by construction (u < v, one row per pair, no self-loops — the
+    s_nationkey <> c_nationkey filter), so it feeds the weight_col
+    operators directly; weights are long counts, honoring the
+    integral-weight contract."""
+    return (
+        _strongest_partner_ties(spark, sf_dir)
+        .groupBy(
+            F.least("n1", "n2").cast("long").alias("src"),
+            F.greatest("n1", "n2").cast("long").alias("dst"),
+        )
+        .agg(F.sum("cnt").cast("long").alias("weight"))
     )
 
 
@@ -4822,34 +4850,43 @@ def _sql_merge() -> str:
 _REFINE_SEED_MOD = 3  # deliberately mixed super-node seed for the sweep
 
 
-def _sql_refine_weighted() -> str:
-    """Oracle for graph_refine_weighted: ONE weighted synchronous
-    local-move sweep over the shard-contracted purchase super-graph
-    (16 super-nodes, weighted edges + self-loops) from the mixed
-    ``n % 3`` seed, plus the EXACT weighted modularity of BOTH
-    partitions and the guard decision — the full evidence row set, so
-    the driver hash verifies the sweep, the two scorings, and the
-    adopt/reject verdict all at once.  Conventions mirror
-    operators/graph exactly: m = total weight (self-loops once),
-    degrees count self-loops TWICE, k_{i,c} excludes the node's own
-    self-loop, T = 2m·k_ic − k_i·(d_c − k_i·[c = own]) in HUGEINT,
+def _sql_refine_evidence(
+    pre_ctes: str,
+    sg_sql: str,
+    seed_expr: str,
+    node_name: str,
+    guarded: bool = False,
+) -> str:
+    """Shared oracle builder for the weighted-sweep EVIDENCE queries
+    (graph_refine_weighted on the contracted purchase super-graph,
+    graph_refine_adopt on the weighted trade backbone): ONE weighted
+    synchronous local-move sweep over the canonical weighted graph
+    ``sg_sql`` (columns a, b, w; a <= b; self-loops allowed) from the
+    deterministic ``seed_expr`` partition, plus the EXACT weighted
+    modularity of BOTH partitions and the guard decision — the full
+    evidence row set, so the driver hash verifies the sweep, the two
+    scorings, and the adopt/reject verdict all at once.  Conventions
+    mirror operators/graph exactly: m = total weight (self-loops
+    once), degrees count self-loops TWICE, k_{i,c} excludes the node's
+    own self-loop, T = 2m·k_ic − k_i·(d_c − k_i·[c = own]) in HUGEINT,
     argmax tie-break (T DESC, c ASC), move iff STRICTLY better;
     Q: in_c counts intra-community weight (self-loops once),
-    contrib = 4m·in_c − d_c², q_e6 sign-safe truncating division."""
+    contrib = 4m·in_c − d_c², q_e6 sign-safe truncating division.
+    ``guarded=True`` adds the guarded_community column — the partition
+    modularity_refine_guarded returns (swept iff strictly better,
+    else the seed), replayed as the same CASE the operator decides."""
+    guard_col = (
+        """
+           CAST(CASE WHEN q1.q > q0.q THEN swept.c ELSE seed.c END
+                AS BIGINT) AS guarded_community,"""
+        if guarded
+        else ""
+    )
     return f"""
-    WITH und AS MATERIALIZED (
-      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
-             CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
-    sg AS MATERIALIZED (
-      SELECT least(u % {_MERGE_SHARDS}, v % {_MERGE_SHARDS}) AS a,
-             greatest(u % {_MERGE_SHARDS}, v % {_MERGE_SHARDS}) AS b,
-             CAST(COUNT(*) AS BIGINT) AS w
-      FROM und GROUP BY 1, 2
-    ),
+    WITH {pre_ctes}
+    sg AS MATERIALIZED ({sg_sql}),
     sn AS (SELECT a AS n FROM sg UNION SELECT b FROM sg),
-    seed AS (SELECT n, n % {_REFINE_SEED_MOD} AS c FROM sn),
+    seed AS (SELECT n, {seed_expr} AS c FROM sn),
     mm AS (SELECT CAST(SUM(w) AS HUGEINT) AS m FROM sg),
     sym AS (
       SELECT a AS i, b AS j, w FROM sg
@@ -4941,14 +4978,36 @@ def _sql_refine_weighted() -> str:
         FROM dc1 LEFT JOIN in1 USING (c) CROSS JOIN mm
       )
     )
-    SELECT CAST(seed.n AS BIGINT) AS shard,
+    SELECT CAST(seed.n AS BIGINT) AS {node_name},
            CAST(seed.c AS BIGINT) AS seed_community,
-           CAST(swept.c AS BIGINT) AS swept_community,
+           CAST(swept.c AS BIGINT) AS swept_community,{guard_col}
            q0.q AS q_seed_e6,
            q1.q AS q_swept_e6,
            (q1.q > q0.q) AS adopted
     FROM seed JOIN swept USING (n) CROSS JOIN q0 CROSS JOIN q1
     """
+
+
+def _sql_refine_weighted() -> str:
+    """Oracle for graph_refine_weighted (see :func:`_sql_refine_evidence`
+    for the sweep/scoring conventions): the shard-contracted purchase
+    super-graph (16 super-nodes, weighted edges + self-loops) from the
+    mixed ``n % 3`` seed."""
+    return _sql_refine_evidence(
+        f"""und AS MATERIALIZED (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+             CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),""",
+        f"""
+      SELECT least(u % {_MERGE_SHARDS}, v % {_MERGE_SHARDS}) AS a,
+             greatest(u % {_MERGE_SHARDS}, v % {_MERGE_SHARDS}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM und GROUP BY 1, 2
+    """,
+        f"n % {_REFINE_SEED_MOD}",
+        "shard",
+    )
 
 
 _COARSEN_PASSES = 3  # 16 hash shards halve per matching pass at best
@@ -5446,6 +5505,165 @@ def graph_refine_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard",
             "seed_community",
             "swept_community",
+            "q_seed_e6",
+            "q_swept_e6",
+            (F.col("q_swept_e6") > F.col("q_seed_e6")).alias("adopted"),
+        )
+    )
+    return scope_caches(out, *held)
+
+
+# graph_refine_adopt seed: ((8n + 7) % 25) % 3 over nation keys (0-24).
+# Probed exhaustively (r17/r18, SCALING.md): on the hub-coupled purchase
+# super-graph EVERY deterministic seed's sweep is guard-REJECTED, so the
+# adopt branch needed a different backbone — on the strongest-partner
+# trade backbone this affine seed's single weighted sweep STRICTLY
+# improves Q at all three scales (e6: 187,768 → 285,524 at sf0.001;
+# 88,069 → 282,712 at sf0.01; −12,920 → 438,141 at sf0.1), the largest
+# margins of every affine candidate probed.
+_ADOPT_SEED_SQL = "((8 * n + 7) % 25) % 3"
+
+
+def _sql_refine_adopt() -> str:
+    """Oracle for graph_refine_adopt (see :func:`_sql_refine_evidence`
+    for the sweep/scoring conventions): the WEIGHTED strongest-partner
+    trade backbone (``_weighted_backbone`` mirrored line for line —
+    top-1 tie per supplier nation, mutual picks summed into one u<v
+    weight) from the affine ``((8n+7)%25)%3`` seed, WITH the
+    guarded_community column so the driver hash verifies
+    modularity_refine_guarded's ADOPT branch end-to-end."""
+    return _sql_refine_evidence(
+        "",
+        """
+      SELECT least(n1, n2) AS a, greatest(n1, n2) AS b,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (
+        SELECT n1, n2, cnt FROM (
+          SELECT n1, n2, cnt,
+                 row_number() OVER (PARTITION BY n1
+                                    ORDER BY cnt DESC, n2 ASC) AS rk
+          FROM (
+            SELECT s.s_nationkey AS n1, c.c_nationkey AS n2,
+                   count(*) AS cnt
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2)
+        ) WHERE rk <= 1)
+      GROUP BY 1, 2
+    """,
+        _ADOPT_SEED_SQL,
+        "node",
+        guarded=True,
+    )
+
+
+@register("graph_refine_adopt", oracle=_sql_refine_adopt())
+def graph_refine_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guarded weighted sweep's ADOPT branch driver-verified (birth
+    r18 — VERDICT r17 next-round #2: graph_refine_weighted's hashed
+    verdict is REJECT at every scale on the hub-coupled purchase
+    super-graph, so modularity_refine_guarded's adopt path rested on
+    the weighted-triangle pytest alone): on the WEIGHTED
+    strongest-partner trade backbone (each supplier nation's single
+    highest-volume customer-nation tie with its trade volume as the
+    weight — the k=1-NN sparsification LPA uses, hub-free by
+    construction) the affine ``((8n+7)%25)%3`` seed's single weighted
+    synchronous sweep (operators/graph.modularity_refine_step)
+    STRICTLY improves exact weighted modularity at every scale, so the
+    guard (operators/graph.modularity_refine_guarded) ADOPTS the swept
+    partition.  The emitted evidence per nation: (node, seed_community,
+    swept_community, guarded_community, q_seed_e6, q_swept_e6,
+    adopted) — guarded_community is the partition the guarded operator
+    actually RETURNED, so the driver hash verifies the sweep
+    row-by-row, both exact scorings, the decision boundary, AND that
+    the guard's returned partition is the swept one when it wins
+    (the adopt branch as data, complementing graph_refine_weighted's
+    measured-rejection branch).
+
+    Scale shape: the backbone build is the one |E|-sized stage (the
+    4-table LPA-backbone join, paid once and localCheckpoint'd — the
+    graph_refine_weighted lineage lesson: the seed derives from the
+    edge frame and re-joins it through nested scorings); everything
+    after is bounded by the ≤ 25-nation graph (sweep + two scorings +
+    the guarded re-run, each degree-bounded joins over ≤ 25 weighted
+    rows with 1-row Q fan-ins).  See SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import checkpoint_handle, scope_caches
+
+    edges = _weighted_backbone(spark, sf_dir).localCheckpoint()
+    held: list = [checkpoint_handle(edges)]
+    seed = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            (((F.col("node") * 8 + 7) % 25) % 3)
+            .cast("long")
+            .alias("community"),
+        )
+        .persist()
+    )
+    held.append(seed)
+    swept = graph.modularity_refine_step(
+        edges, seed, weight_col="weight", assume_canonical=True,
+        caches=held,
+    ).persist()
+    held.append(swept)
+    # the REAL guarded operator (eager: sweep + two scorings + the
+    # driver-side decision), not a re-derivation — its returned
+    # partition is the hashed claim
+    guarded = graph.modularity_refine_guarded(
+        edges, seed, weight_col="weight", assume_canonical=True,
+        caches=held,
+    ).persist()
+    held.append(guarded)
+    q0 = (
+        graph.modularity_score(
+            edges, seed, weight_col="weight", assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_seed_e6"))
+    )
+    q1 = (
+        graph.modularity_score(
+            edges, swept, weight_col="weight", assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_swept_e6"))
+    )
+    out = (
+        seed.select(
+            "node",
+            F.col("community").alias("seed_community"),
+        )
+        .join(
+            swept.select(
+                "node",
+                F.col("community").cast("long").alias("swept_community"),
+            ),
+            "node",
+        )
+        .join(
+            guarded.select(
+                "node",
+                F.col("community").cast("long").alias(
+                    "guarded_community"
+                ),
+            ),
+            "node",
+        )
+        .crossJoin(F.broadcast(q0))
+        .crossJoin(F.broadcast(q1))
+        .select(
+            "node",
+            "seed_community",
+            "swept_community",
+            "guarded_community",
             "q_seed_e6",
             "q_swept_e6",
             (F.col("q_swept_e6") > F.col("q_seed_e6")).alias("adopted"),

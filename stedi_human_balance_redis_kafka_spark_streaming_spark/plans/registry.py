@@ -5345,6 +5345,18 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # inside the new oracle, and the graph family keeps
     # merge/coarsen/scored + scc/lpa/stress in-window
     "graph_modularity",
+    # --- round-18 rotation (zero-sum): ---
+    # graph: the super-graph scoring query (graph_louvain_scored,
+    # birth r16, driver-hashed r16+r17) yields to the guarded-sweep
+    # ADOPT evidence (graph_refine_adopt, birth r18) — the one
+    # refine-family branch with no driver-verified instance (VERDICT
+    # r17 next-round #2: every deterministic seed on the purchase
+    # super-graph is guard-rejected, so graph_refine_weighted's hashed
+    # verdict is always REJECT); the scored machinery stays in-window
+    # INSIDE graph_louvain_coarsen (same loop, same cache) and its
+    # weighted scorer inside both refine evidence queries, and
+    # graph_louvain_scored stays parity-green every round
+    "graph_louvain_scored",
 )
 
 

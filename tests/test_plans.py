@@ -54,6 +54,9 @@ SCALE_PATH_QUERIES = [
     "dedup_substring_pipeline",
     "dedup_substring_stitch",
     "graph_refine_weighted",
+    # r18 newcomer: the backbone build is the one |E|-sized stage;
+    # everything after is bounded by the <= 25-nation graph
+    "graph_refine_adopt",
 ]
 
 

@@ -4367,6 +4367,37 @@ def test_refine_weighted_query_matches_guarded_operator(spark):
     edges.unpersist()
 
 
+def test_refine_adopt_query_fires_on_trade_backbone(spark):
+    """The registered ADOPT evidence (graph_refine_adopt, birth r18 —
+    VERDICT r17 next-round #2): on the WEIGHTED strongest-partner
+    trade backbone the affine ((8n+7)%25)%3 seed's single weighted
+    sweep STRICTLY improves exact weighted Q, the verdict column is
+    ADOPT, and the guarded operator's returned partition — hashed as
+    guarded_community — IS the swept one.  Complements
+    test_refine_weighted_query_matches_guarded_operator, which pins
+    the REJECT branch on the purchase super-graph; together the two
+    registered queries drive both sides of the guard's decision
+    boundary through real data."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        graph_refine_adopt,
+    )
+
+    rows = graph_refine_adopt(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.adopted for r in rows)
+    q_seed = {r.q_seed_e6 for r in rows}.pop()
+    q_swept = {r.q_swept_e6 for r in rows}.pop()
+    assert q_swept > q_seed
+    # the guard ADOPTED: its returned partition is the swept one,
+    # which actually moved nodes (a no-op sweep cannot strictly
+    # improve Q, but pin it explicitly)
+    assert all(r.guarded_community == r.swept_community for r in rows)
+    assert any(r.seed_community != r.swept_community for r in rows)
+    # the seed is genuinely mixed (>= 2 communities), so the adoption
+    # is a real local-move result, not a degenerate all-one seed
+    assert len({r.seed_community for r in rows}) >= 2
+
+
 def test_refine_isolated_members_pass_through(spark):
     """ADVICE r15 closure on modularity_refine_step: assignment members
     with NO incident edge must pass through unchanged (T = 0 for their
