@@ -1348,6 +1348,42 @@ def _validate_substring_params(
         raise ValueError(f"max_gram_occ must be >= 2, got {max_gram_occ}")
 
 
+def _raw_substring_grams(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    own: list[DataFrame],
+) -> DataFrame:
+    """The UNCAPPED gram stage shared by :func:`_capped_substring_grams`
+    and :func:`substring_incremental_runs` (whose occurrence floor/cap
+    must be applied to COMBINED drop+index counts, not to the drop
+    alone): every length-``k`` token gram of every document with its
+    0-based position, md5-keyed — posexplode + (k−1)-lead window, the
+    codegen'd form (see the capped wrapper's docstring for the
+    measured HOF comparison).  Persisted into ``own``."""
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", tokens(F.col(text_col)).alias("t")
+    )
+    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(wdoc) for j in range(1, k)
+    ]
+    grams = (
+        pe.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", *parts).cast("binary")).alias("g"),
+            parts[-1].alias("__full"),
+        )
+        .filter(F.col("__full").isNotNull())
+        .select("doc_id", "pos", "g")
+        .persist()
+    )
+    own.append(grams)
+    return grams
+
+
 def _capped_substring_grams(
     docs: DataFrame,
     k: int,
@@ -1379,26 +1415,7 @@ def _capped_substring_grams(
     ``own`` (the caches out-param convention) instead of re-running
     the k-lead window four times.
     """
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
-        "doc_id", tokens(F.col(text_col)).alias("t")
-    )
-    pe = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", j).over(wdoc) for j in range(1, k)
-    ]
-    grams = (
-        pe.select(
-            "doc_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.md5(F.concat_ws(" ", *parts).cast("binary")).alias("g"),
-            parts[-1].alias("__full"),
-        )
-        .filter(F.col("__full").isNotNull())
-        .select("doc_id", "pos", "g")
-        .persist()
-    )
-    own.append(grams)
+    grams = _raw_substring_grams(docs, k, text_col, own)
     keep = (
         grams.groupBy("g")
         .agg(F.count("*").alias("__occ"))
@@ -1699,6 +1716,159 @@ def substring_gram_index(
         "g",
     )
     return scope_caches(ret, *own)
+
+
+def substring_incremental_runs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    k: int = 20,
+    min_tokens: int | None = None,
+    max_gram_occ: int = 200,
+    text_col: str = "text",
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """INCREMENTAL exact-substring mining — a NEW document drop mined
+    against an EXISTING indexed corpus (the per-drop ingest shape the
+    MinHash family has in :func:`minhash_lsh_incremental_pairs`,
+    VERDICT r17 next-round #5): maximal runs on the drop×index and
+    drop×drop legs ONLY, never re-mining index×index.  At 100 TB the
+    corpus is mined once at ingest and every daily drop pays only its
+    own legs — re-running :func:`substring_run_pairs` over the union
+    re-pays the whole corpus's gram build AND its quadratic self-join
+    every drop.
+
+    ``index`` is :func:`substring_gram_index`'s output (index_doc_id,
+    index_pos, g) — built once with the SAME k/tokenizer/cap, the
+    versioned-swap artifact the streaming probe consumes; this is its
+    batch consumer.  The drop's doc ids must be DISJOINT from the
+    index's (arrivals are new by definition); a violation would emit
+    self-pairs on the cross leg, so equal-id cross rows are dropped
+    defensively.
+
+    Occurrence bookkeeping — chosen so the result EQUALS the full
+    rebuild restricted to pairs touching the drop: the floor/cap
+    applies to the COMBINED count, drop-side count + index-side count
+    (the index frame's own per-gram count — exact, because the index
+    stores every surviving gram occurrence).  A gram pushed over the
+    cap only by the drop is therefore dropped from BOTH legs exactly
+    as the full rebuild would drop it, and the miners' >= 2 floor
+    falls out for free (a combined count of 1 cannot pair).  The one
+    honest boundary (pytest-pinned): a gram whose INDEX-side count
+    already exceeded the cap was dropped at index build time and is
+    invisible here — boilerplate stays boilerplate permanently, the
+    versioned-index contract (the same cap-scope note as
+    :func:`stitch_flag_runs`).  Under that convention,
+    incremental(drop, index(corpus)) == substring_run_pairs(corpus ∪
+    drop) restricted to runs with >= 1 drop endpoint, bit for bit.
+
+    Output: (doc_a, doc_b, a_start, b_start, match_tokens, a_is_new,
+    b_is_new) — the cross-miner's schema oriented ``doc_a < doc_b`` by
+    id on BOTH legs (so rows are comparable to the full rebuild's),
+    plus the leg booleans a keep-first actuator needs: an arrival
+    yields to the established corpus regardless of id order (the
+    index is immutable), while drop-internal runs keep the smaller id
+    (the cross-miner's convention).
+
+    Scale shape: the drop's gram build is one doc-keyed window over
+    the DROP alone; the index side is a pre-built scan, never
+    re-grammed; the combined-count stage is two partial-agg counts +
+    one broadcastable gram-key join; both pair legs are gram-key
+    equi-joins bounded by the combined cap (fan-out <= Σ nc·ic + Σ nc²
+    over surviving grams); island detection is one (doc_a, doc_b,
+    diag)-keyed window.  Nothing scales with the index corpus except
+    the index scan itself.
+    """
+    _validate_substring_params(k, min_tokens, max_gram_occ)
+    if min_tokens is None:
+        min_tokens = k
+    own: list[DataFrame] = [] if caches is None else caches
+    new_g = _raw_substring_grams(new_docs, k, text_col, own)
+    idx = index.select(
+        F.col("index_doc_id").alias("doc_id"),
+        F.col("index_pos").cast("long").alias("pos"),
+        "g",
+    )
+    new_cnt = new_g.groupBy("g").agg(F.count("*").alias("__nc"))
+    idx_cnt = idx.groupBy("g").agg(F.count("*").alias("__ic"))
+    keep = (
+        new_cnt.join(idx_cnt, "g", "left")
+        .select(
+            "g",
+            (
+                F.col("__nc") + F.coalesce(F.col("__ic"), F.lit(0))
+            ).alias("__occ"),
+        )
+        .filter(
+            (F.col("__occ") >= 2) & (F.col("__occ") <= max_gram_occ)
+        )
+        .select("g")
+    )
+    ng = new_g.join(keep, "g", "left_semi").persist()
+    own.append(ng)
+    ig = idx.join(keep, "g", "left_semi")
+    n_, i_ = ng.alias("n"), ig.alias("i")
+    cross = (
+        n_.join(i_, F.col("n.g") == F.col("i.g"))
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+            F.when(
+                F.col("n.doc_id") < F.col("i.doc_id"), F.col("n.pos")
+            )
+            .otherwise(F.col("i.pos"))
+            .alias("pa"),
+            F.when(
+                F.col("n.doc_id") < F.col("i.doc_id"), F.col("i.pos")
+            )
+            .otherwise(F.col("n.pos"))
+            .alias("pb"),
+            (F.col("n.doc_id") < F.col("i.doc_id")).alias("a_is_new"),
+            (F.col("i.doc_id") < F.col("n.doc_id")).alias("b_is_new"),
+        )
+    )
+    a, b = ng.alias("a"), ng.alias("b")
+    intra = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        F.lit(True).alias("a_is_new"),
+        F.lit(True).alias("b_is_new"),
+    )
+    pairs = cross.unionByName(intra).withColumn(
+        "diag", F.col("pa") - F.col("pb")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    # a (doc_a, doc_b) pair belongs to exactly ONE leg (the id sets are
+    # disjoint), so the booleans are constant per group key
+    ret = (
+        isl.groupBy(
+            "doc_a", "doc_b", "a_is_new", "b_is_new", "diag", "grp"
+        )
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_tokens)
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            "b_start",
+            "match_tokens",
+            "a_is_new",
+            "b_is_new",
+        )
+    )
+    return ret if caches is not None else scope_caches(ret, *own)
 
 
 def substring_cut_spans(

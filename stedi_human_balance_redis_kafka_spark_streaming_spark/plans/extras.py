@@ -4495,7 +4495,9 @@ _SUBSTR_MAX_OCC = 200   # corpus-wide occurrence cap per gram
 # by construction and no HAVING is needed; a registration passing
 # min_tokens > k must add `HAVING match_tokens >= {min_tokens}` to the
 # runs CTE or it silently diverges from its oracle.
-def _sql_substr_gram_ctes(src: str, sfx: str = "") -> str:
+def _sql_substr_gram_ctes(
+    src: str, sfx: str = "", having: str | None = None
+) -> str:
     """The gram stage of the substring oracles (mirrors
     ``operators/dedup._capped_substring_grams``) over any source
     relation ``src`` with (doc_id, text) columns — ``documents`` for
@@ -4503,7 +4505,13 @@ def _sql_substr_gram_ctes(src: str, sfx: str = "") -> str:
     view for the intra-document miner.  ``sfx`` suffixes every CTE name
     so the composed Lee-et-al. pipeline oracle (which grams TWICE: the
     planted corpus, then the intra-cleaned corpus) can chain two
-    instances inside one WITH without name collisions."""
+    instances inside one WITH without name collisions.  ``having``
+    overrides the occurrence-filter HAVING clause (default: the batch
+    miners' ``[2, cap]`` floor+cap); the incremental oracle passes the
+    index build's cap-only form and a no-op form for the raw drop
+    grams (whose floor/cap applies to COMBINED counts downstream)."""
+    if having is None:
+        having = f"COUNT(*) >= 2 AND COUNT(*) <= {_SUBSTR_MAX_OCC}"
     return f"""toks{sfx} AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM {src} WHERE text IS NOT NULL
@@ -4514,7 +4522,7 @@ def _sql_substr_gram_ctes(src: str, sfx: str = "") -> str:
            AS u(p)
     ), keep{sfx} AS (
       SELECT g FROM grams{sfx} GROUP BY g
-      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_SUBSTR_MAX_OCC}
+      HAVING {having}
     ), g2{sfx} AS (
       SELECT grams{sfx}.* FROM grams{sfx} JOIN keep{sfx} USING (g)
     )"""
@@ -6288,3 +6296,216 @@ def dedup_substring_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_docs, index=idx, k=_SUBSTR_K
     )
     return dedup.stitch_flag_runs(flags, k=_SUBSTR_K)
+
+
+_SUBSTR_DROP_MOD = 7  # arrivals = doc_id % 10 == 7 — the one residue
+# whose drop-internal leg is non-empty at the sf0.01 driver gate
+# (probed r18: 6 cross-leg + 1 drop-leg runs there; 42 + 5 at sf0.1)
+
+
+def _sql_substr_incremental() -> str:
+    """Oracle for dedup_substring_incremental: replays the per-drop
+    ingest chain independently and RESTRICTED to the two incremental
+    legs — index grams capped over the established corpus alone
+    (min_occ=1, the substring_gram_index build), raw drop grams, the
+    COMBINED floor+cap on the drop's gram keys, the drop×index leg
+    (oriented doc_a < doc_b by id) plus the drop×drop leg, diagonal
+    islands, the arrival-yields cut-side selection (an arrival is cut
+    against the immutable corpus regardless of id order;
+    drop-internal runs keep the smaller id), the gaps-and-islands
+    interval merge, and the indexed-list_filter apply projection over
+    the arrivals with per-leg run accounting."""
+    return f"""
+    WITH arrivals AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = {_SUBSTR_DROP_MOD}
+    ),
+    icorp AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 <> {_SUBSTR_DROP_MOD}
+    ),
+    {_sql_substr_gram_ctes("icorp", "_i",
+                           having=f"COUNT(*) <= {_SUBSTR_MAX_OCC}")},
+    {_sql_substr_gram_ctes("arrivals", "_n", having="COUNT(*) >= 1")},
+    cnt_n AS (SELECT g, COUNT(*) AS nc FROM g2_n GROUP BY g),
+    cnt_i AS (SELECT g, COUNT(*) AS ic FROM g2_i GROUP BY g),
+    keep_c AS (
+      SELECT g FROM cnt_n LEFT JOIN cnt_i USING (g)
+      WHERE nc + COALESCE(ic, 0) BETWEEN 2 AND {_SUBSTR_MAX_OCC}
+    ),
+    gn AS (SELECT g2_n.* FROM g2_n JOIN keep_c USING (g)),
+    gi AS (SELECT g2_i.* FROM g2_i JOIN keep_c USING (g)),
+    pair AS (
+      SELECT least(n.doc_id, i.doc_id) AS doc_a,
+             greatest(n.doc_id, i.doc_id) AS doc_b,
+             CASE WHEN n.doc_id < i.doc_id THEN n.pos ELSE i.pos END
+               AS pa,
+             CASE WHEN n.doc_id < i.doc_id THEN i.pos ELSE n.pos END
+               AS pb,
+             (n.doc_id < i.doc_id) AS a_new,
+             (i.doc_id < n.doc_id) AS b_new
+      FROM gn n JOIN gi i ON n.g = i.g AND n.doc_id <> i.doc_id
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.pos, b.pos, TRUE, TRUE
+      FROM gn a JOIN gn b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    isl0 AS (
+      SELECT doc_a, doc_b, a_new, b_new, pa, pb, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM pair
+    ),
+    runs0 AS (
+      SELECT doc_a, doc_b, a_new, b_new,
+             MIN(pa) AS a_start, MIN(pb) AS b_start,
+             CAST(MAX(pa) - MIN(pa) + {_SUBSTR_K} AS BIGINT)
+               AS match_tokens
+      FROM isl0 GROUP BY doc_a, doc_b, a_new, b_new, diag, grp
+    ),
+    runs AS (
+      SELECT CASE WHEN a_new AND b_new THEN doc_b
+                  WHEN a_new THEN doc_a ELSE doc_b END AS doc_b,
+             CASE WHEN a_new AND b_new THEN b_start
+                  WHEN a_new THEN a_start ELSE b_start END AS b_start,
+             match_tokens,
+             (a_new AND b_new) AS in_drop
+      FROM runs0
+    ),
+    {_SQL_SUBSTR_CUTS_CTES},
+    legs AS (
+      SELECT doc_b AS doc_id,
+             SUM(CASE WHEN in_drop THEN 0 ELSE 1 END)
+               AS n_runs_vs_index,
+             SUM(CASE WHEN in_drop THEN 1 ELSE 0 END)
+               AS n_runs_in_drop
+      FROM runs GROUP BY doc_b
+    ),
+    csagg AS (
+      SELECT doc_id,
+             list({{'s': cut_start, 'e': cut_end}}) AS cs
+      FROM cuts GROUP BY doc_id
+    ), allt AS (
+      SELECT d.doc_id, d.text IS NOT NULL AS has_text,
+             CASE WHEN d.text IS NOT NULL
+                  THEN string_split_regex(trim(lower(d.text)), '\\s+')
+                  ELSE CAST([] AS VARCHAR[]) END AS t,
+             COALESCE(c.cs,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cs
+      FROM arrivals d LEFT JOIN csagg c USING (doc_id)
+    ), kept AS (
+      SELECT doc_id, has_text, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(cs, c -> i - 1 >= c.s AND i - 1 < c.e))
+                 = 0) AS kt
+      FROM allt
+    )
+    SELECT kp.doc_id,
+           CASE WHEN kp.has_text
+                THEN COALESCE(array_to_string(kp.kt, ' '), '') END
+             AS text,
+           CAST(len(kp.t) AS BIGINT) AS n_tokens,
+           CAST(len(kp.t) - len(kp.kt) AS BIGINT) AS n_removed,
+           CAST(COALESCE(l.n_runs_vs_index, 0) AS BIGINT)
+             AS n_runs_vs_index,
+           CAST(COALESCE(l.n_runs_in_drop, 0) AS BIGINT)
+             AS n_runs_in_drop
+    FROM kept kp LEFT JOIN legs l USING (doc_id)
+    """
+
+
+@register("dedup_substring_incremental", oracle=_sql_substr_incremental())
+def dedup_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL exact-substring dedup — the per-drop ingest shape
+    for the substring family (birth r18, VERDICT r17 next-round #5:
+    the MinHash family has had dedup_incremental_lsh since r8; the
+    substring family's per-drop shape existed only as the streaming
+    probe + stitcher): treat doc_id % 10 == 7 as today's arrival
+    drop and the rest as the established corpus, build the corpus's
+    materialized gram index exactly as the versioned-swap deployment
+    does (operators/dedup.substring_gram_index — the artifact the
+    streaming probe consumes, here its batch consumer), mine ONLY the
+    drop×index and drop×drop legs
+    (operators/dedup.substring_incremental_runs — never re-mining
+    index×index; the combined floor/cap makes the legs bit-identical
+    to the full rebuild restricted to pairs touching the drop,
+    pytest-pinned), charge every cut to the ARRIVAL (the established
+    corpus is immutable, so an arrival yields regardless of id order;
+    drop-internal runs keep the smaller id), merge the cut intervals
+    (substring_cut_spans) and emit the cleaned arrivals
+    (apply_substring_cuts) with exact token + per-leg run accounting.
+
+    Output: (doc_id, text, n_tokens, n_removed, n_runs_vs_index,
+    n_runs_in_drop) — one row per ARRIVAL (untouched arrivals pass
+    through with 0s), text the cleaned normalized token stream.
+
+    Scale shape: the index is a pre-built scan (at 100 TB: built once
+    at corpus ingest, versioned-swapped — this query rebuilds it
+    in-session only because the sandbox has no persistent ingest); the
+    drop's gram build is one doc-keyed window over the DROP alone; the
+    combined-count stage is two partial-agg counts + a gram-key
+    semi-join; both pair legs are cap-bounded gram-key equi-joins;
+    cuts/apply are doc-keyed windows + one 1:1 join over arrivals.
+    Nothing re-grams or self-joins the established corpus.  See
+    SCALING.md.
+    """
+    from ..operators import dedup
+    from ..session import scope_caches
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrivals = docs.filter(
+        F.col("doc_id") % 10 == _SUBSTR_DROP_MOD
+    ).select("doc_id", "text")
+    corpus = docs.filter(
+        F.col("doc_id") % 10 != _SUBSTR_DROP_MOD
+    ).select("doc_id", "text")
+    held: list[DataFrame] = []
+    index = dedup.substring_gram_index(
+        corpus, k=_SUBSTR_K, max_gram_occ=_SUBSTR_MAX_OCC
+    )
+    runs = dedup.substring_incremental_runs(
+        arrivals,
+        index,
+        k=_SUBSTR_K,
+        max_gram_occ=_SUBSTR_MAX_OCC,
+        caches=held,
+    ).persist()  # feeds the cut chain AND the per-leg accounting
+    held.append(runs)
+    cutruns = runs.select(
+        F.when(F.col("a_is_new") & F.col("b_is_new"), F.col("doc_b"))
+        .when(F.col("a_is_new"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id"),
+        F.when(F.col("a_is_new") & F.col("b_is_new"), F.col("b_start"))
+        .when(F.col("a_is_new"), F.col("a_start"))
+        .otherwise(F.col("b_start"))
+        .alias("s"),
+        "match_tokens",
+        (F.col("a_is_new") & F.col("b_is_new")).alias("in_drop"),
+    )
+    cuts = dedup.substring_cut_spans(
+        cutruns, doc_col="doc_id", start_col="s"
+    )
+    cleaned = dedup.apply_substring_cuts(arrivals, cuts)
+    legs = cutruns.groupBy("doc_id").agg(
+        F.sum(
+            F.when(~F.col("in_drop"), 1).otherwise(0)
+        ).cast("long").alias("n_runs_vs_index"),
+        F.sum(
+            F.when(F.col("in_drop"), 1).otherwise(0)
+        ).cast("long").alias("n_runs_in_drop"),
+    )
+    out = cleaned.join(legs, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        "n_removed",
+        F.coalesce("n_runs_vs_index", F.lit(0))
+        .cast("long")
+        .alias("n_runs_vs_index"),
+        F.coalesce("n_runs_in_drop", F.lit(0))
+        .cast("long")
+        .alias("n_runs_in_drop"),
+    )
+    return scope_caches(out, *held)

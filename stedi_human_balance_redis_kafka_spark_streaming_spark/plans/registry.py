@@ -5357,6 +5357,17 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # weighted scorer inside both refine evidence queries, and
     # graph_louvain_scored stays parity-green every round
     "graph_louvain_scored",
+    # dedup: the intra-document cleaned corpus
+    # (dedup_substring_self_apply, birth r16, driver-hashed r16+r17)
+    # yields to the incremental per-drop shape
+    # (dedup_substring_incremental, birth r18) — the substring
+    # family's batch×corpus ingest counterpart of
+    # dedup_incremental_lsh (VERDICT r17 next-round #5); the
+    # self-apply machinery stays in-window VERBATIM as stage 1 of
+    # dedup_substring_pipeline (same miner, same cuts, same apply
+    # projection), and dedup_substring_self_apply stays parity-green
+    # every round
+    "dedup_substring_self_apply",
 )
 
 

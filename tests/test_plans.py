@@ -54,9 +54,11 @@ SCALE_PATH_QUERIES = [
     "dedup_substring_pipeline",
     "dedup_substring_stitch",
     "graph_refine_weighted",
-    # r18 newcomer: the backbone build is the one |E|-sized stage;
-    # everything after is bounded by the <= 25-nation graph
+    # r18 newcomers: the backbone build is the one |E|-sized stage of
+    # the refine evidence; the incremental miner's legs are cap-bounded
+    # gram-key equi-joins that never touch index×index
     "graph_refine_adopt",
+    "dedup_substring_incremental",
 ]
 
 
