@@ -34,7 +34,15 @@ Two tiers:
   Writes are atomic (tmp + rename) and best-effort: an unwritable
   warehouse degrades to memory-only, never to an error.
 
-``invalidate()`` clears both tiers (tests, corpus rewrites within one
+* **Frames** (r18) — CORPUS-SHAPED artifacts (e.g. the substring
+  family's intra-cleaned corpus) are parquet directories written BY
+  SPARK under ``<dir>/frames/`` (:func:`store_frame` /
+  :func:`lookup_frame`): executor-side materialization, never a driver
+  collect — the row tiers stay reserved for kilobyte model artifacts.
+  Same key contract (fingerprint + params + version token, verified
+  via a ``_KEY`` sidecar on read), same best-effort degradation.
+
+``invalidate()`` clears every tier (tests, corpus rewrites within one
 process when a fingerprint is not practical).
 """
 
@@ -178,6 +186,86 @@ def rehydrate(spark, rows: list[tuple], schema):
     return spark.createDataFrame(rows, schema=st)
 
 
+def _frame_dir(d: str, key: tuple) -> str:
+    h = hashlib.sha256(repr(key).encode()).hexdigest()[:40]
+    return os.path.join(d, "frames", h)
+
+
+def store_frame(key: tuple, df):
+    """FRAME tier (r18): persist a CORPUS-SHAPED build artifact as a
+    parquet directory written BY SPARK — executor-side, no driver
+    collect, so the tier is honest at 100 TB (materializing an
+    ingest-time derived corpus once is exactly what a production
+    pipeline does; the row tiers above are for kilobyte model
+    artifacts and would need an unbounded ``collect`` here).  The key
+    contract is the row tiers': an explicit caller key embedding a
+    data fingerprint plus every build parameter AND an algorithm
+    version token; the exact key repr is stored in a ``_KEY`` sidecar
+    inside the directory (underscore-prefixed, so Spark's scan
+    ignores it) and verified on read.  Writes go to a tmp directory
+    and are renamed into place (atomic on one filesystem); any
+    failure degrades to returning None — the caller keeps its live
+    frame, never an error.
+
+    Returns the RE-READ DataFrame on success (so the storing query
+    itself serves from the materialized artifact and is plan-identical
+    to every warm consumer), or None when the tier is disabled or the
+    write failed."""
+    import json as _json
+    import shutil
+
+    d = _disk_dir()
+    if d is None:
+        return None
+    target = _frame_dir(d, key)
+    tmp = target + f".tmp.{os.getpid()}"
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_KEY"), "w") as f:
+            _json.dump(
+                {
+                    "key": repr(key),
+                    "corpus": repr(key[1]) if len(key) > 1 else "",
+                },
+                f,
+            )
+        if os.path.isdir(target):
+            shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+    return _read_frame(df.sparkSession, target, df.schema)
+
+
+def _read_frame(spark, target: str, schema):
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    return spark.read.schema(st).parquet(target)
+
+
+def lookup_frame(spark, key: tuple, schema):
+    """Return the frame-tier DataFrame for ``key`` (schema enforced —
+    the caller states the exact build schema, so a cached read is
+    column-for-column what the live build would produce), or None on a
+    miss, a key mismatch, or an unreadable entry."""
+    import json as _json
+
+    d = _disk_dir()
+    if d is None:
+        return None
+    target = _frame_dir(d, key)
+    try:
+        with open(os.path.join(target, "_KEY")) as f:
+            meta = _json.load(f)
+        if meta.get("key") != repr(key):
+            return None  # collision / corruption guard — a miss
+        return _read_frame(spark, target, schema)
+    except Exception:
+        return None
+
+
 def invalidate(prefix: str | None = None) -> int:
     """Drop every entry (or only those whose corpus key — element [1] of
     the key tuple — equals ``prefix``) from BOTH tiers.  Returns the
@@ -212,4 +300,20 @@ def invalidate(prefix: str | None = None) -> int:
             except OSError:
                 continue
             evicted.add(meta.get(_KEY_META, fn.encode()))
+    frames = None if d is None else os.path.join(d, "frames")
+    if frames is not None and os.path.isdir(frames):
+        import json as _json
+        import shutil
+
+        for fn in os.listdir(frames):
+            path = os.path.join(frames, fn)
+            try:
+                with open(os.path.join(path, "_KEY")) as f:
+                    meta = _json.load(f)
+            except Exception:
+                continue
+            if prefix is not None and meta.get("corpus") != repr(prefix):
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            evicted.add(meta.get("key", fn).encode())
     return len(evicted)

@@ -3940,6 +3940,73 @@ def test_coarsen_mapping_cache_reconstructs_exactly(
     assert scored.count() == len({c for _, _, c in cold})
 
 
+def test_intra_clean_frame_cache_roundtrips_exactly(
+    spark, tmp_path, monkeypatch
+):
+    """The r18 buildcache FRAME tier on the substring stage-1 artifact
+    (VERDICT r17 next-round #4): the intra-cleaned planted corpus is
+    materialized by a SPARK parquet write (no driver collect — it is
+    corpus-shaped), the storing query itself serves from the re-read
+    artifact, a warm run returns row-identical results, and the
+    composed pipeline consumes the SAME entry (one frame dir for both
+    queries).  The tier is pointed at a scratch dir — a bare
+    invalidate() would wipe the real warehouse."""
+    import os
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.registry import (
+        queries,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", str(tmp_path))
+    q = queries()["dedup_substring_self_apply"]
+    cold = {tuple(r) for r in q(spark, SF).collect()}
+    frames = os.path.join(str(tmp_path), "frames")
+    assert os.path.isdir(frames) and len(os.listdir(frames)) == 1
+    warm = {tuple(r) for r in q(spark, SF).collect()}
+    assert warm == cold
+    # the composed pipeline's stage 1 reads the SAME artifact: no new
+    # frame dir appears, and its intra accounting matches the cached
+    # stage-1 rows
+    pipe = queries()["dedup_substring_pipeline"](spark, SF).collect()
+    assert len(os.listdir(frames)) == 1
+    intra_removed = {r[0]: r[3] for r in cold}
+    assert {r.doc_id: r.n_removed_intra for r in pipe} == intra_removed
+
+
+def test_frame_tier_key_mismatch_is_a_miss(spark, tmp_path, monkeypatch):
+    """lookup_frame verifies the stored key repr: a hash-colliding or
+    corrupted entry is treated as a miss, never served; a disabled
+    tier (empty env) makes store/lookup no-ops returning None."""
+    import json
+    import os
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators import (
+        buildcache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    key = ("frame_test_v1", "corpus", 7)
+    stored = buildcache.store_frame(key, df)
+    assert stored is not None and stored.collect() == df.collect()
+    hit = buildcache.lookup_frame(spark, key, "id long, s string")
+    assert hit is not None and hit.collect() == df.collect()
+    # corrupt the sidecar -> miss
+    d = buildcache._frame_dir(str(tmp_path), key)
+    with open(os.path.join(d, "_KEY"), "w") as f:
+        json.dump({"key": "something_else", "corpus": "x"}, f)
+    assert buildcache.lookup_frame(spark, key, "id long, s string") is None
+    # prefix-scoped invalidate removes the frame dir
+    with open(os.path.join(d, "_KEY"), "w") as f:
+        json.dump({"key": repr(key), "corpus": repr(key[1])}, f)
+    assert buildcache.invalidate("corpus") >= 1
+    assert buildcache.lookup_frame(spark, key, "id long, s string") is None
+    monkeypatch.setenv("SPARK_GRAFT_BUILDCACHE_DIR", "")
+    assert buildcache.store_frame(key, df) is None
+    assert buildcache.lookup_frame(spark, key, "id long, s string") is None
+
+
 def test_modularity_merge_improves_purchase_graph_q(spark):
     """The registered merge pipeline's value, pinned as data: one
     mutual-best merge pass over the hash-sharded purchase graph at
