@@ -5680,6 +5680,207 @@ def graph_refine_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, *held)
 
 
+def _sql_refine_pass() -> str:
+    """Oracle for graph_refine_pass (see :func:`_sql_refine_evidence`
+    for the sweep/scoring conventions): the weighted trade backbone
+    (``_weighted_backbone`` mirrored line for line), ONE weighted
+    mutual-best merge pass from SINGLETONS replayed independently
+    (community pairs from singletons are exactly the canonical edges,
+    so gains are 2m·w_ab − d_a·d_b per edge in HUGEINT; best partner
+    by (gain DESC, partner ASC), merge iff mutual and strictly
+    positive, merged pairs adopt min — modularity_merge_step's exact
+    contract), and the guarded weighted sweep SEEDED WITH THAT MERGE
+    OUTPUT via a correlated-subquery seed over the shared evidence
+    chain.  The outer projection renames seed_* to merged_* — the
+    sweep's seed IS the merge result, the claim under test."""
+    inner = _sql_refine_evidence(
+        """bb AS MATERIALIZED (
+      SELECT least(n1, n2) AS a, greatest(n1, n2) AS b,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (
+        SELECT n1, n2, cnt FROM (
+          SELECT n1, n2, cnt,
+                 row_number() OVER (PARTITION BY n1
+                                    ORDER BY cnt DESC, n2 ASC) AS rk
+          FROM (
+            SELECT s.s_nationkey AS n1, c.c_nationkey AS n2,
+                   count(*) AS cnt
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2)
+        ) WHERE rk <= 1)
+      GROUP BY 1, 2
+    ),
+    bn AS (SELECT a AS n FROM bb UNION SELECT b FROM bb),
+    bsym AS (
+      SELECT a AS i, b AS j, w FROM bb
+      UNION ALL
+      SELECT b AS i, a AS j, w FROM bb
+    ),
+    bdeg AS (
+      SELECT i AS n, CAST(SUM(w) AS BIGINT) AS k FROM bsym GROUP BY i
+    ),
+    bm AS (SELECT CAST(SUM(w) AS HUGEINT) AS m FROM bb),
+    bgain AS (
+      SELECT a, b,
+             2 * bm.m * CAST(w AS HUGEINT)
+               - CAST(da.k AS HUGEINT) * CAST(db.k AS HUGEINT) AS g
+      FROM bb
+      JOIN bdeg da ON da.n = bb.a
+      JOIN bdeg db ON db.n = bb.b
+      CROSS JOIN bm
+      WHERE a <> b
+    ),
+    bsymg AS (
+      SELECT a AS c, b AS p, g FROM bgain WHERE g > 0
+      UNION ALL
+      SELECT b AS c, a AS p, g FROM bgain WHERE g > 0
+    ),
+    bbest AS (
+      SELECT c, p FROM (
+        SELECT c, p,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY g DESC, p ASC) AS rn
+        FROM bsymg
+      ) WHERE rn = 1
+    ),
+    bmap AS (
+      SELECT x.c AS old_c, x.p AS new_c
+      FROM bbest x JOIN bbest y ON x.c = y.p AND x.p = y.c
+      WHERE x.c > x.p
+    ),
+    mergedp AS MATERIALIZED (
+      SELECT bn.n, CAST(COALESCE(bmap.new_c, bn.n) AS BIGINT) AS c
+      FROM bn LEFT JOIN bmap ON bn.n = bmap.old_c
+    ),""",
+        "SELECT a, b, w FROM bb",
+        "(SELECT mp.c FROM mergedp mp WHERE mp.n = sn.n)",
+        "node",
+        guarded=True,
+    )
+    return f"""
+    SELECT node,
+           seed_community AS merged_community,
+           swept_community,
+           guarded_community,
+           q_seed_e6 AS q_merged_e6,
+           q_swept_e6,
+           adopted
+    FROM ({inner})
+    """
+
+
+@register("graph_refine_pass", oracle=_sql_refine_pass())
+def graph_refine_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarsen loop's COMPOSED PASS BODY driver-verified (birth
+    r18): exactly what ``louvain_coarsen(refine='guarded')`` runs per
+    pass — one weighted mutual-best merge
+    (operators/graph.modularity_merge_step) from the identity
+    partition, then the guarded weighted local-move sweep
+    (operators/graph.modularity_refine_guarded) SEEDED WITH THE MERGE
+    OUTPUT — on the weighted strongest-partner trade backbone.  This
+    is the in-loop composition the refine thread exists for, as data:
+    graph_refine_adopt verified the sweep adopts from an affine seed;
+    here the sweep's seed is the MATCHING'S OWN OUTPUT, and it still
+    strictly improves exact weighted Q at every scale (probed q_e6:
+    merge 215,754 → sweep 515,750 at sf0.001; 226,197 → 522,435 at
+    sf0.01; 160,093 → 415,346 at sf0.1 — the mutual-best matching
+    genuinely stalls at a coarser optimum than move-then-contract
+    Louvain reaches, the textbook justification for threading phase 1
+    into phase 2; SCALING.md).  The evidence row set per nation: (node,
+    merged_community, swept_community, guarded_community,
+    q_merged_e6, q_swept_e6, adopted) — the driver hash verifies the
+    merge pass, the sweep, both exact scorings, the decision boundary,
+    AND that the guard returned the swept partition.
+
+    Scale shape: the backbone build is the one |E|-sized stage
+    (localCheckpoint'd, the refine-family lineage lesson — the merge
+    output re-joins the edge frame through nested scorings, so it is
+    checkpointed too); merge + sweep + two scorings + the guarded
+    re-run are all bounded by the ≤ 25-nation graph with 1-row Q
+    fan-ins.  See SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import checkpoint_handle, scope_caches
+
+    edges = _weighted_backbone(spark, sf_dir).localCheckpoint()
+    held: list = [checkpoint_handle(edges)]
+    ident = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    merged = graph.modularity_merge_step(
+        edges, ident, weight_col="weight", assume_canonical=True,
+        caches=held,
+    ).localCheckpoint()
+    held.append(checkpoint_handle(merged))
+    swept = graph.modularity_refine_step(
+        edges, merged, weight_col="weight", assume_canonical=True,
+        caches=held,
+    ).persist()
+    held.append(swept)
+    guarded = graph.modularity_refine_guarded(
+        edges, merged, weight_col="weight", assume_canonical=True,
+        caches=held,
+    ).persist()
+    held.append(guarded)
+    q0 = (
+        graph.modularity_score(
+            edges, merged, weight_col="weight", assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_merged_e6"))
+    )
+    q1 = (
+        graph.modularity_score(
+            edges, swept, weight_col="weight", assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_swept_e6"))
+    )
+    out = (
+        merged.select(
+            "node",
+            F.col("community").cast("long").alias("merged_community"),
+        )
+        .join(
+            swept.select(
+                "node",
+                F.col("community").cast("long").alias("swept_community"),
+            ),
+            "node",
+        )
+        .join(
+            guarded.select(
+                "node",
+                F.col("community").cast("long").alias(
+                    "guarded_community"
+                ),
+            ),
+            "node",
+        )
+        .crossJoin(F.broadcast(q0))
+        .crossJoin(F.broadcast(q1))
+        .select(
+            "node",
+            "merged_community",
+            "swept_community",
+            "guarded_community",
+            "q_merged_e6",
+            "q_swept_e6",
+            (F.col("q_swept_e6") > F.col("q_merged_e6")).alias(
+                "adopted"
+            ),
+        )
+    )
+    return scope_caches(out, *held)
+
+
 @register("graph_modularity_merge", oracle=_sql_merge())
 def graph_modularity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One GUARANTEED-improvement community merge pass

@@ -5368,6 +5368,16 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # projection), and dedup_substring_self_apply stays parity-green
     # every round
     "dedup_substring_self_apply",
+    # graph: the brute-force betweenness-style centrality
+    # (graph_stress_centrality, birth r13, driver-hashed r16+r17)
+    # yields to the coarsen loop's composed pass body
+    # (graph_refine_pass, birth r18) — the merge-then-guarded-sweep
+    # composition louvain_coarsen(refine='guarded') runs per pass,
+    # driver-verified on the trade backbone where the sweep strictly
+    # improves the matching's own output; the graph family keeps
+    # scc/lpa/coarsen/refine_weighted/refine_adopt in-window, and
+    # graph_stress_centrality stays parity-green every round
+    "graph_stress_centrality",
 )
 
 

@@ -59,6 +59,7 @@ SCALE_PATH_QUERIES = [
     # gram-key equi-joins that never touch index×index
     "graph_refine_adopt",
     "dedup_substring_incremental",
+    "graph_refine_pass",
 ]
 
 

@@ -4518,6 +4518,35 @@ def test_refine_adopt_query_fires_on_trade_backbone(spark):
     assert len({r.seed_community for r in rows}) >= 2
 
 
+def test_refine_pass_sweep_escapes_the_matchings_stall(spark):
+    """The registered pass-body evidence (graph_refine_pass, birth
+    r18): on the weighted trade backbone, ONE mutual-best merge pass
+    from singletons genuinely coarsens (>= 1 merged pair), and the
+    guarded weighted sweep seeded with THAT MERGE OUTPUT still
+    strictly improves exact weighted Q — the in-loop composition
+    louvain_coarsen(refine='guarded') runs per pass, with the sweep
+    escaping the stall point of the matching itself rather than of an
+    artificial affine seed (graph_refine_adopt's shape).  The guard
+    ADOPTS: its returned partition is the swept one."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        graph_refine_pass,
+    )
+
+    rows = graph_refine_pass(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    # the merge pass did real work: fewer communities than nodes
+    assert len({r.merged_community for r in rows}) < len(rows)
+    # ... and still left Q strictly improvable by one local-move sweep
+    q_merged = {r.q_merged_e6 for r in rows}.pop()
+    q_swept = {r.q_swept_e6 for r in rows}.pop()
+    assert q_swept > q_merged
+    assert all(r.adopted for r in rows)
+    assert all(r.guarded_community == r.swept_community for r in rows)
+    assert any(r.merged_community != r.swept_community for r in rows)
+    # the probed q_e6 pair cited in the docstring stays pinned
+    assert (q_merged, q_swept) == (215754, 515750)
+
+
 def test_refine_isolated_members_pass_through(spark):
     """ADVICE r15 closure on modularity_refine_step: assignment members
     with NO incident edge must pass through unchanged (T = 0 for their
