@@ -4996,6 +4996,278 @@ def _sql_refine_evidence(
     """
 
 
+def _sql_merge_pass_ctes(p: str, sg: str) -> str:
+    """One weighted mutual-best merge pass from SINGLETONS over the
+    canonical weighted graph CTE ``sg`` (a, b, w; self-loops allowed)
+    as a name-prefixed CTE block — the composable form of
+    :func:`_sql_merge`'s pass for the refine-loop oracle: community
+    pairs from singletons are exactly the non-self edges, so gains are
+    2m·w_ab − d_a·d_b per edge in HUGEINT (modularity_merge_step's
+    weighted contract: m = total weight with self-loops once, degrees
+    count self-loops TWICE via the both-orientations union); best
+    partner by (gain DESC, partner ASC), merge iff mutual and strictly
+    positive, merged pairs adopt min.  Emits ``{p}n`` (nodes),
+    ``{p}deg`` (weighted degrees) and ``{p}comm`` (n, c — the merged
+    partition).  ``m`` comes from the surrounding query's global
+    ``mm`` CTE: total weight is contraction-invariant, so one m serves
+    every pass."""
+    return f"""{p}n AS (SELECT a AS n FROM {sg} UNION SELECT b FROM {sg}),
+    {p}sym AS (
+      SELECT a AS i, b AS j, w FROM {sg}
+      UNION ALL
+      SELECT b AS i, a AS j, w FROM {sg}
+    ),
+    {p}deg AS (
+      SELECT i AS n, CAST(SUM(w) AS BIGINT) AS k FROM {p}sym GROUP BY i
+    ),
+    {p}gain AS (
+      SELECT a, b,
+             2 * mm.m * CAST(w AS HUGEINT)
+               - CAST(da.k AS HUGEINT) * CAST(db.k AS HUGEINT) AS g
+      FROM {sg}
+      JOIN {p}deg da ON da.n = {sg}.a
+      JOIN {p}deg db ON db.n = {sg}.b
+      CROSS JOIN mm
+      WHERE a <> b
+    ),
+    {p}symg AS (
+      SELECT a AS c, b AS p, g FROM {p}gain WHERE g > 0
+      UNION ALL
+      SELECT b AS c, a AS p, g FROM {p}gain WHERE g > 0
+    ),
+    {p}best AS (
+      SELECT c, p FROM (
+        SELECT c, p,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY g DESC, p ASC) AS rn
+        FROM {p}symg
+      ) WHERE rn = 1
+    ),
+    {p}map AS (
+      SELECT x.c AS old_c, x.p AS new_c
+      FROM {p}best x JOIN {p}best y ON x.c = y.p AND x.p = y.c
+      WHERE x.c > x.p
+    ),
+    {p}comm AS MATERIALIZED (
+      SELECT {p}n.n, CAST(COALESCE({p}map.new_c, {p}n.n) AS BIGINT) AS c
+      FROM {p}n LEFT JOIN {p}map ON {p}n.n = {p}map.old_c
+    )"""
+
+
+def _sql_sweep_guard_ctes(p: str, sg: str, seed: str, deg: str) -> str:
+    """The guarded weighted synchronous local-move sweep over ``sg``
+    seeded with partition CTE ``seed`` (n, c) as a name-prefixed CTE
+    block — :func:`_sql_refine_evidence`'s sweep/scoring chain in the
+    composable form the refine-loop oracle chains twice.  Conventions
+    are operators/graph's exactly (see the evidence builder's
+    docstring): T = 2m·k_ic − k_i·(d_c − k_i·[c = own]) in HUGEINT,
+    argmax (T DESC, c ASC), move iff STRICTLY better; Q contrib =
+    4m·in_c − d_c², q_e6 sign-safe truncating division.  Emits
+    ``{p}q0`` (Q of the seed), ``{p}q1`` (Q of the swept partition)
+    and ``{p}guard`` (n, c — the partition
+    modularity_refine_guarded returns: swept iff strictly better).
+    ``deg`` is the degree CTE shared with the pass's merge block."""
+    return f"""{p}ssym AS (
+      SELECT a AS i, b AS j, w FROM {sg}
+      UNION ALL
+      SELECT b AS i, a AS j, w FROM {sg}
+    ),
+    {p}dc AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS d
+      FROM {deg} JOIN {seed} USING (n) GROUP BY c
+    ),
+    {p}kic AS (
+      SELECT {p}ssym.i AS n, {seed}.c,
+             CAST(SUM({p}ssym.w) AS BIGINT) AS kc
+      FROM {p}ssym JOIN {seed} ON {seed}.n = {p}ssym.j
+      WHERE {p}ssym.i <> {p}ssym.j
+      GROUP BY 1, 2
+    ),
+    {p}cand AS (
+      SELECT n, c, MAX(kc) AS kc FROM (
+        SELECT n, c, kc FROM {p}kic
+        UNION ALL
+        SELECT n, c, CAST(0 AS BIGINT) AS kc FROM {seed}
+      ) GROUP BY n, c
+    ),
+    {p}scored AS (
+      SELECT {p}cand.n, {p}cand.c, {seed}.c AS own,
+             2 * mm.m * CAST({p}cand.kc AS HUGEINT)
+               - CAST(COALESCE({deg}.k, 0) AS HUGEINT)
+                 * CAST(COALESCE({p}dc.d, 0)
+                        - CASE WHEN {p}cand.c = {seed}.c
+                               THEN COALESCE({deg}.k, 0)
+                               ELSE 0 END AS HUGEINT) AS t
+      FROM {p}cand
+      JOIN {seed} ON {seed}.n = {p}cand.n
+      LEFT JOIN {deg} ON {deg}.n = {p}cand.n
+      LEFT JOIN {p}dc ON {p}dc.c = {p}cand.c
+      CROSS JOIN mm
+    ),
+    {p}pick AS (
+      SELECT n, c, t FROM (
+        SELECT n, c, t,
+               row_number() OVER (PARTITION BY n
+                                  ORDER BY t DESC, c ASC) AS rn
+        FROM {p}scored
+      ) WHERE rn = 1
+    ),
+    {p}ownt AS (SELECT n, t AS t_own FROM {p}scored WHERE c = own),
+    {p}swept AS (
+      SELECT {p}pick.n,
+             CASE WHEN {p}pick.t > {p}ownt.t_own THEN {p}pick.c
+                  ELSE {seed}.c END AS c
+      FROM {p}pick JOIN {p}ownt USING (n) JOIN {seed} USING (n)
+    ),
+    {p}in0 AS (
+      SELECT pa.c, CAST(SUM({sg}.w) AS BIGINT) AS iw
+      FROM {sg}
+      JOIN {seed} pa ON pa.n = {sg}.a
+      JOIN {seed} pb ON pb.n = {sg}.b
+      WHERE pa.c = pb.c GROUP BY pa.c
+    ),
+    {p}q0 AS (
+      SELECT CAST(CASE WHEN t >= 0 THEN (t * 1000000) // (4 * m2 * m2)
+                  ELSE -(((-t) * 1000000) // (4 * m2 * m2))
+                  END AS BIGINT) AS q
+      FROM (
+        SELECT SUM(4 * mm.m * CAST(COALESCE({p}in0.iw, 0) AS HUGEINT)
+                   - CAST({p}dc.d AS HUGEINT)
+                     * CAST({p}dc.d AS HUGEINT)) AS t,
+               MAX(mm.m) AS m2
+        FROM {p}dc LEFT JOIN {p}in0 USING (c) CROSS JOIN mm
+      )
+    ),
+    {p}dc1 AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS d
+      FROM {deg} JOIN {p}swept USING (n) GROUP BY c
+    ),
+    {p}in1 AS (
+      SELECT pa.c, CAST(SUM({sg}.w) AS BIGINT) AS iw
+      FROM {sg}
+      JOIN {p}swept pa ON pa.n = {sg}.a
+      JOIN {p}swept pb ON pb.n = {sg}.b
+      WHERE pa.c = pb.c GROUP BY pa.c
+    ),
+    {p}q1 AS (
+      SELECT CAST(CASE WHEN t >= 0 THEN (t * 1000000) // (4 * m2 * m2)
+                  ELSE -(((-t) * 1000000) // (4 * m2 * m2))
+                  END AS BIGINT) AS q
+      FROM (
+        SELECT SUM(4 * mm.m * CAST(COALESCE({p}in1.iw, 0) AS HUGEINT)
+                   - CAST({p}dc1.d AS HUGEINT)
+                     * CAST({p}dc1.d AS HUGEINT)) AS t,
+               MAX(mm.m) AS m2
+        FROM {p}dc1 LEFT JOIN {p}in1 USING (c) CROSS JOIN mm
+      )
+    ),
+    {p}guard AS MATERIALIZED (
+      SELECT {seed}.n,
+             CAST(CASE WHEN {p}q1.q > {p}q0.q THEN {p}swept.c
+                       ELSE {seed}.c END AS BIGINT) AS c
+      FROM {seed} JOIN {p}swept USING (n)
+      CROSS JOIN {p}q0 CROSS JOIN {p}q1
+    )"""
+
+
+# the weighted strongest-partner trade backbone (columns a, b, w) —
+# _weighted_backbone mirrored line for line, shared by the refine-loop
+# oracle (refine_adopt/refine_pass embed the same text inline)
+_SQL_TRADE_BACKBONE = """
+      SELECT least(n1, n2) AS a, greatest(n1, n2) AS b,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (
+        SELECT n1, n2, cnt FROM (
+          SELECT n1, n2, cnt,
+                 row_number() OVER (PARTITION BY n1
+                                    ORDER BY cnt DESC, n2 ASC) AS rk
+          FROM (
+            SELECT s.s_nationkey AS n1, c.c_nationkey AS n2,
+                   count(*) AS cnt
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2)
+        ) WHERE rk <= 1)
+      GROUP BY 1, 2
+"""
+
+
+def _sql_refine_loop() -> str:
+    """Oracle for graph_refine_loop: the full TWO-PASS refined
+    coarsening trace replayed independently — pass-1 weighted merge
+    from singletons (:func:`_sql_merge_pass_ctes`), the guarded sweep
+    on the merge output (:func:`_sql_sweep_guard_ctes`), the weighted
+    CONTRACTION of the guard's partition (intra-community weight
+    becomes self-loops — contract_graph's output contract), then the
+    same merge + guarded-sweep pair on the super-graph, the composed
+    final relabel, and the final partition RE-SCORED ON THE ORIGINAL
+    GRAPH (q_final_e6 — equal to q_p2_guarded_e6 by the
+    contraction-invariance lemma, which the driver hash therefore
+    verifies cross-engine)."""
+    return f"""
+    WITH bb AS MATERIALIZED ({_SQL_TRADE_BACKBONE}),
+    mm AS (SELECT CAST(SUM(w) AS HUGEINT) AS m FROM bb),
+    {_sql_merge_pass_ctes("m1", "bb")},
+    {_sql_sweep_guard_ctes("s1", "bb", "m1comm", "m1deg")},
+    g2 AS MATERIALIZED (
+      SELECT least(ga.c, gb.c) AS a, greatest(ga.c, gb.c) AS b,
+             CAST(SUM(bb.w) AS BIGINT) AS w
+      FROM bb
+      JOIN s1guard ga ON ga.n = bb.a
+      JOIN s1guard gb ON gb.n = bb.b
+      GROUP BY 1, 2
+    ),
+    {_sql_merge_pass_ctes("m2", "g2")},
+    {_sql_sweep_guard_ctes("s2", "g2", "m2comm", "m2deg")},
+    fin AS MATERIALIZED (
+      SELECT g1.n, s2g.c
+      FROM s1guard g1 JOIN s2guard s2g ON s2g.n = g1.c
+    ),
+    findc AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS d
+      FROM m1deg JOIN fin USING (n) GROUP BY c
+    ),
+    finin AS (
+      SELECT pa.c, CAST(SUM(bb.w) AS BIGINT) AS iw
+      FROM bb JOIN fin pa ON pa.n = bb.a JOIN fin pb ON pb.n = bb.b
+      WHERE pa.c = pb.c GROUP BY pa.c
+    ),
+    finq AS (
+      SELECT CAST(CASE WHEN t >= 0 THEN (t * 1000000) // (4 * m2 * m2)
+                  ELSE -(((-t) * 1000000) // (4 * m2 * m2))
+                  END AS BIGINT) AS q
+      FROM (
+        SELECT SUM(4 * mm.m * CAST(COALESCE(finin.iw, 0) AS HUGEINT)
+                   - CAST(findc.d AS HUGEINT)
+                     * CAST(findc.d AS HUGEINT)) AS t,
+               MAX(mm.m) AS m2
+        FROM findc LEFT JOIN finin USING (c) CROSS JOIN mm
+      )
+    )
+    SELECT CAST(m1comm.n AS BIGINT) AS node,
+           m1comm.c AS p1_merged_community,
+           s1guard.c AS p1_guarded_community,
+           fin.c AS final_community,
+           s1q0.q AS q_p1_merged_e6,
+           CAST(CASE WHEN s1q1.q > s1q0.q THEN s1q1.q ELSE s1q0.q END
+                AS BIGINT) AS q_p1_guarded_e6,
+           s2q0.q AS q_p2_merged_e6,
+           CAST(CASE WHEN s2q1.q > s2q0.q THEN s2q1.q ELSE s2q0.q END
+                AS BIGINT) AS q_p2_guarded_e6,
+           finq.q AS q_final_e6,
+           (s1q1.q > s1q0.q) AS p1_adopted,
+           (s2q1.q > s2q0.q) AS p2_adopted
+    FROM m1comm
+    JOIN s1guard USING (n)
+    JOIN fin USING (n)
+    CROSS JOIN s1q0 CROSS JOIN s1q1 CROSS JOIN s2q0 CROSS JOIN s2q1
+    CROSS JOIN finq
+    """
+
+
 def _sql_refine_weighted() -> str:
     """Oracle for graph_refine_weighted (see :func:`_sql_refine_evidence`
     for the sweep/scoring conventions): the shard-contracted purchase
@@ -5875,6 +6147,177 @@ def graph_refine_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_swept_e6",
             (F.col("q_swept_e6") > F.col("q_merged_e6")).alias(
                 "adopted"
+            ),
+        )
+    )
+    return scope_caches(out, *held)
+
+
+@register("graph_refine_loop", oracle=_sql_refine_loop())
+def graph_refine_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TWO-PASS REFINED COARSENING LOOP as one hashed trace
+    (birth r18, completing the refine arc): exactly the iteration
+    ``louvain_coarsen(refine='guarded')`` runs, composed from the real
+    operators on the weighted trade backbone — pass 1: weighted
+    mutual-best merge from singletons
+    (operators/graph.modularity_merge_step), guarded weighted sweep on
+    the merge output (modularity_refine_guarded); CONTRACT the guard's
+    partition (contract_graph — intra-community weight becomes
+    self-loops); pass 2: the same merge + guarded sweep on the
+    super-graph; compose the relabels; re-score the FINAL partition on
+    the ORIGINAL graph.  Probed in pure python against the exact
+    operator semantics and pinned: at sf0.01 pass 1's sweep ADOPTS
+    (q_e6 226,197 → 522,435), pass 2's merge still improves
+    (→ 563,344) and pass 2's sweep is guard-REJECTED — and at sf0.1
+    the rejected sweep would have REGRESSED Q (579,034 → 570,517), the
+    guard doing the exact job it exists for, mid-loop.  Both guard
+    branches therefore fire inside ONE registered run.  q_final_e6 is
+    the final partition scored on the ORIGINAL backbone and equals
+    q_p2_guarded_e6 (scored on the super-graph) — the driver hash
+    verifies the CONTRACTION-INVARIANCE lemma itself cross-engine,
+    per row.
+
+    Output per nation: (node, p1_merged_community,
+    p1_guarded_community, final_community, q_p1_merged_e6,
+    q_p1_guarded_e6, q_p2_merged_e6, q_p2_guarded_e6, q_final_e6,
+    p1_adopted, p2_adopted).
+
+    Scale shape: the backbone build is the one |E|-sized stage
+    (localCheckpoint'd, the refine-family lineage lesson — every
+    derived partition is checkpointed before re-joining the edge
+    frame); both passes' merge/sweep/scoring chains and the
+    contraction are bounded by the ≤ 25-nation graph with 1-row Q
+    fan-ins.  See SCALING.md.
+    """
+    from ..operators import graph
+    from ..session import checkpoint_handle, scope_caches
+
+    edges = _weighted_backbone(spark, sf_dir).localCheckpoint()
+    held: list = [checkpoint_handle(edges)]
+
+    def _singletons(g: DataFrame) -> DataFrame:
+        return (
+            g.select(F.col("src").alias("node"))
+            .unionByName(g.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
+
+    def _pass(g: DataFrame):
+        """One loop pass on canonical weighted graph ``g``: merge from
+        singletons, guarded sweep on the merge output, plus the swept
+        partition and both scorings (the guard verdict's inputs)."""
+        merged = graph.modularity_merge_step(
+            g, _singletons(g), weight_col="weight",
+            assume_canonical=True, caches=held,
+        ).localCheckpoint()
+        held.append(checkpoint_handle(merged))
+        swept = graph.modularity_refine_step(
+            g, merged, weight_col="weight", assume_canonical=True,
+            caches=held,
+        ).localCheckpoint()
+        held.append(checkpoint_handle(swept))
+        guarded = graph.modularity_refine_guarded(
+            g, merged, weight_col="weight", assume_canonical=True,
+            caches=held,
+        ).localCheckpoint()
+        held.append(checkpoint_handle(guarded))
+        q_m = (
+            graph.modularity_score(
+                g, merged, weight_col="weight", assume_canonical=True,
+                caches=held,
+            )
+            .agg(F.max("q_e6").alias("qm"))
+        )
+        q_s = (
+            graph.modularity_score(
+                g, swept, weight_col="weight", assume_canonical=True,
+                caches=held,
+            )
+            .agg(F.max("q_e6").alias("qs"))
+        )
+        return merged, guarded, q_m, q_s
+
+    merged1, guarded1, q_m1, q_s1 = _pass(edges)
+    g2 = graph.contract_graph(
+        edges, guarded1, weight_col="weight", assume_canonical=True,
+        caches=held,
+    ).localCheckpoint()
+    held.append(checkpoint_handle(g2))
+    merged2, guarded2, q_m2, q_s2 = _pass(g2)
+    fin = (
+        guarded1.select(
+            "node", F.col("community").alias("__mid")
+        )
+        .join(
+            guarded2.select(
+                F.col("node").alias("__mid"),
+                F.col("community").alias("final_community"),
+            ),
+            "__mid",
+        )
+        .select(
+            "node",
+            F.col("final_community").cast("long").alias(
+                "final_community"
+            ),
+        )
+        .localCheckpoint()
+    )
+    held.append(checkpoint_handle(fin))
+    q_fin = (
+        graph.modularity_score(
+            edges,
+            fin.select("node", F.col("final_community").alias("community")),
+            weight_col="weight",
+            assume_canonical=True,
+            caches=held,
+        )
+        .agg(F.max("q_e6").alias("q_final_e6"))
+    )
+    out = (
+        merged1.select(
+            "node",
+            F.col("community").cast("long").alias("p1_merged_community"),
+        )
+        .join(
+            guarded1.select(
+                "node",
+                F.col("community").cast("long").alias(
+                    "p1_guarded_community"
+                ),
+            ),
+            "node",
+        )
+        .join(fin, "node")
+        .crossJoin(F.broadcast(q_m1.select(F.col("qm").alias("q_p1_merged_e6"))))
+        .crossJoin(F.broadcast(q_s1.select(F.col("qs").alias("__qs1"))))
+        .crossJoin(F.broadcast(q_m2.select(F.col("qm").alias("q_p2_merged_e6"))))
+        .crossJoin(F.broadcast(q_s2.select(F.col("qs").alias("__qs2"))))
+        .crossJoin(F.broadcast(q_fin))
+        .select(
+            "node",
+            "p1_merged_community",
+            "p1_guarded_community",
+            "final_community",
+            "q_p1_merged_e6",
+            F.when(
+                F.col("__qs1") > F.col("q_p1_merged_e6"), F.col("__qs1")
+            )
+            .otherwise(F.col("q_p1_merged_e6"))
+            .alias("q_p1_guarded_e6"),
+            "q_p2_merged_e6",
+            F.when(
+                F.col("__qs2") > F.col("q_p2_merged_e6"), F.col("__qs2")
+            )
+            .otherwise(F.col("q_p2_merged_e6"))
+            .alias("q_p2_guarded_e6"),
+            "q_final_e6",
+            (F.col("__qs1") > F.col("q_p1_merged_e6")).alias(
+                "p1_adopted"
+            ),
+            (F.col("__qs2") > F.col("q_p2_merged_e6")).alias(
+                "p2_adopted"
             ),
         )
     )

@@ -5378,6 +5378,17 @@ EXTENDED_QUERIES: tuple[str, ...] = (
     # scc/lpa/coarsen/refine_weighted/refine_adopt in-window, and
     # graph_stress_centrality stays parity-green every round
     "graph_stress_centrality",
+    # tpc-h: the scored top-k join chain (q18_large_volume_customers,
+    # birth r3, driver-hashed r16+r17) yields to the two-pass refined
+    # coarsening trace (graph_refine_loop, birth r18) — the full
+    # louvain_coarsen(refine='guarded') iteration as one hashed row
+    # set, both guard branches firing in a single run and the
+    # contraction-invariance lemma verified per row via q_final_e6;
+    # the q-shape family keeps q21's double anti/semi stack in-window
+    # and q18 stays parity-green every round (its scored-top-k
+    # machinery also lives on in-window via the WindowGroupLimit
+    # curation family)
+    "q18_large_volume_customers",
 )
 
 

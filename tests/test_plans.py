@@ -60,6 +60,7 @@ SCALE_PATH_QUERIES = [
     "graph_refine_adopt",
     "dedup_substring_incremental",
     "graph_refine_pass",
+    "graph_refine_loop",
 ]
 
 

@@ -4547,6 +4547,50 @@ def test_refine_pass_sweep_escapes_the_matchings_stall(spark):
     assert (q_merged, q_swept) == (215754, 515750)
 
 
+def test_refine_loop_trace_is_monotone_and_invariant(spark):
+    """The registered two-pass refined-loop trace (graph_refine_loop,
+    birth r18): the Q chain is MONOTONE non-decreasing across the
+    whole trace (merge pass 1 <= guarded pass 1 <= merge pass 2 <=
+    guarded pass 2 — merges never decrease Q by the matching theorem,
+    the guard never adopts a regression by construction), pass 1's
+    sweep ADOPTS on the trade backbone (the refine thread doing real
+    work in-loop), and q_final_e6 — the final partition re-scored on
+    the ORIGINAL graph — equals q_p2_guarded_e6, scored on the
+    super-graph: the contraction-invariance lemma as row data.  At
+    sf0.001 pass 2 is the loop's fixpoint (merge a no-op, sweep
+    rejected), pinning the early-stop boundary too."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.plans.extras import (
+        graph_refine_loop,
+    )
+
+    rows = graph_refine_loop(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert (
+        r.q_p1_merged_e6
+        <= r.q_p1_guarded_e6
+        <= r.q_p2_merged_e6
+        <= r.q_p2_guarded_e6
+    )
+    assert all(x.p1_adopted for x in rows)
+    assert any(
+        x.p1_merged_community != x.p1_guarded_community for x in rows
+    )
+    # contraction invariance, hash-grade: super-graph score == original
+    assert all(x.q_final_e6 == x.q_p2_guarded_e6 for x in rows)
+    # sf0.001's pass 2 is the fixpoint: nothing merged, sweep rejected
+    assert not r.p2_adopted
+    assert all(
+        x.final_community == x.p1_guarded_community for x in rows
+    )
+    # the probed q_e6 chain cited in the docstring stays pinned
+    assert (r.q_p1_merged_e6, r.q_p1_guarded_e6, r.q_p2_guarded_e6) == (
+        215754,
+        515750,
+        515750,
+    )
+
+
 def test_refine_isolated_members_pass_through(spark):
     """ADVICE r15 closure on modularity_refine_step: assignment members
     with NO incident edge must pass through unchanged (T = 0 for their
