@@ -28,6 +28,21 @@ from stedi_human_balance_redis_kafka_spark_streaming_spark.session import get_sp
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Hermetic buildcache (r18): every bench invocation must compute from the
+# parquet inputs alone — a warm cross-process disk tier (a previous bench
+# or test run left artifacts under spark-warehouse/buildcache keyed on the
+# same corpus fingerprints) would let the FIRST run of a cache-backed
+# query skip its build and understate the build cost the methodology
+# means to amortize (min-of-N already reports the within-invocation warm
+# steady state, which is the documented contract).  Point the tier at a
+# fresh per-invocation directory unless the caller explicitly pinned one.
+if "SPARK_GRAFT_BUILDCACHE_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["SPARK_GRAFT_BUILDCACHE_DIR"] = tempfile.mkdtemp(
+        prefix="stedi-bench-buildcache-"
+    )
+
 
 RUNS_PER_QUERY = 2
 
