@@ -2666,6 +2666,7 @@ def modularity_refine_guarded(
     weight_col: str | None = None,
     assume_canonical: bool = False,
     caches: list | None = None,
+    evidence: dict | None = None,
 ) -> DataFrame:
     """SCORE-AND-KEEP-BETTER wrapper around
     :func:`modularity_refine_step` — the safe form of the local-move
@@ -2704,6 +2705,21 @@ def modularity_refine_guarded(
     frontier-free scorings (each: two broadcastable assignment joins +
     partial aggs + a 1-row fan-in); the returned frame is persisted so
     the winner is not recomputed downstream.
+
+    ``evidence`` (r18, optimization): this operator is EAGER — the
+    sweep and both exact scorings have already run by the time it
+    returns — so callers that also want the verdict's INPUTS (the
+    registered evidence queries emit per-node swept labels and both Q
+    values) would otherwise recompute the identical sweep and scorings
+    a second time at the query level.  Pass a dict and the operator
+    records what it already computed: ``evidence["swept"]`` = the
+    persisted swept assignment frame (the refine step's output,
+    regardless of verdict), ``evidence["q_in_e6"]`` /
+    ``evidence["q_swept_e6"]`` = the two exact integer Q values as
+    Python ints (or None when the scorer returned no rows, exactly the
+    NULL an ``agg(max(q_e6))`` over an empty scoring would yield).
+    Nothing is computed beyond what the guard already needs; the dict
+    is an out-param, never a cache across calls.
     """
     from ..session import scope_caches
 
@@ -2769,6 +2785,10 @@ def modularity_refine_guarded(
     )
     q0 = q0_row[0] if q0_row is not None else None
     q1 = q1_row[0] if q1_row is not None else None
+    if evidence is not None:
+        evidence["swept"] = refined
+        evidence["q_in_e6"] = q0
+        evidence["q_swept_e6"] = q1
     ret = refined if (q0 is not None and q1 is not None and q1 > q0) else comm
     return ret if caches is not None else scope_caches(ret, *own)
 

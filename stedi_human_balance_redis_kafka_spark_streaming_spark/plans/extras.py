@@ -5793,6 +5793,24 @@ def graph_refine_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_caches(out, *held)
 
 
+def _q_lit(spark: SparkSession, name: str, val) -> DataFrame:
+    """One-row frame carrying an exact Q value the guarded sweep
+    ALREADY computed eagerly (guide §1.2: don't compute things you
+    throw away — modularity_refine_guarded runs the sweep and both
+    scorings before it returns, so re-deriving the same aggregates in
+    the output plan executed the identical join/agg jobs a second
+    time; r18 measured the duplication as ~2× on every refine-evidence
+    query).  Schema matches the replaced ``agg(max(q_e6))`` form
+    exactly: one row, nullable long, NULL when the scorer saw no rows.
+    """
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(None if val is None else int(val),)],
+        T.StructType([T.StructField(name, T.LongType(), True)]),
+    )
+
+
 # graph_refine_adopt seed: ((8n + 7) % 25) % 3 over nation keys (0-24).
 # Probed exhaustively (r17/r18, SCALING.md): on the hub-coupled purchase
 # super-graph EVERY deterministic seed's sweep is guard-REJECTED, so the
@@ -5889,33 +5907,22 @@ def graph_refine_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     held.append(seed)
-    swept = graph.modularity_refine_step(
-        edges, seed, weight_col="weight", assume_canonical=True,
-        caches=held,
-    ).persist()
-    held.append(swept)
     # the REAL guarded operator (eager: sweep + two scorings + the
     # driver-side decision), not a re-derivation — its returned
-    # partition is the hashed claim
+    # partition is the hashed claim.  The sweep output and both exact
+    # Q values are taken from the guard's evidence out-param instead
+    # of recomputing them at the query level (r18: the standalone
+    # refine_step + two query-level scorings duplicated every job the
+    # eager guard had already run — guide §1.2).
+    ev: dict = {}
     guarded = graph.modularity_refine_guarded(
         edges, seed, weight_col="weight", assume_canonical=True,
-        caches=held,
+        caches=held, evidence=ev,
     ).persist()
     held.append(guarded)
-    q0 = (
-        graph.modularity_score(
-            edges, seed, weight_col="weight", assume_canonical=True,
-            caches=held,
-        )
-        .agg(F.max("q_e6").alias("q_seed_e6"))
-    )
-    q1 = (
-        graph.modularity_score(
-            edges, swept, weight_col="weight", assume_canonical=True,
-            caches=held,
-        )
-        .agg(F.max("q_e6").alias("q_swept_e6"))
-    )
+    swept = ev["swept"]  # persisted by the guard, tracked in `held`
+    q0 = _q_lit(spark, "q_seed_e6", ev["q_in_e6"])
+    q1 = _q_lit(spark, "q_swept_e6", ev["q_swept_e6"])
     out = (
         seed.select(
             "node",
@@ -6091,30 +6098,19 @@ def graph_refine_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         caches=held,
     ).localCheckpoint()
     held.append(checkpoint_handle(merged))
-    swept = graph.modularity_refine_step(
-        edges, merged, weight_col="weight", assume_canonical=True,
-        caches=held,
-    ).persist()
-    held.append(swept)
+    # sweep output + both exact Q values come from the eager guard's
+    # evidence out-param — the standalone refine_step and the two
+    # query-level scorings duplicated every job the guard had already
+    # run (r18, guide §1.2)
+    ev: dict = {}
     guarded = graph.modularity_refine_guarded(
         edges, merged, weight_col="weight", assume_canonical=True,
-        caches=held,
+        caches=held, evidence=ev,
     ).persist()
     held.append(guarded)
-    q0 = (
-        graph.modularity_score(
-            edges, merged, weight_col="weight", assume_canonical=True,
-            caches=held,
-        )
-        .agg(F.max("q_e6").alias("q_merged_e6"))
-    )
-    q1 = (
-        graph.modularity_score(
-            edges, swept, weight_col="weight", assume_canonical=True,
-            caches=held,
-        )
-        .agg(F.max("q_e6").alias("q_swept_e6"))
-    )
+    swept = ev["swept"]  # persisted by the guard, tracked in `held`
+    q0 = _q_lit(spark, "q_merged_e6", ev["q_in_e6"])
+    q1 = _q_lit(spark, "q_swept_e6", ev["q_swept_e6"])
     out = (
         merged.select(
             "node",
@@ -6212,30 +6208,17 @@ def graph_refine_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             assume_canonical=True, caches=held,
         ).localCheckpoint()
         held.append(checkpoint_handle(merged))
-        swept = graph.modularity_refine_step(
-            g, merged, weight_col="weight", assume_canonical=True,
-            caches=held,
-        ).localCheckpoint()
-        held.append(checkpoint_handle(swept))
+        # the eager guard already ran the sweep and both scorings —
+        # its evidence out-param replaces the standalone refine_step
+        # and the two per-pass query-level scorings (r18, guide §1.2)
+        ev: dict = {}
         guarded = graph.modularity_refine_guarded(
             g, merged, weight_col="weight", assume_canonical=True,
-            caches=held,
+            caches=held, evidence=ev,
         ).localCheckpoint()
         held.append(checkpoint_handle(guarded))
-        q_m = (
-            graph.modularity_score(
-                g, merged, weight_col="weight", assume_canonical=True,
-                caches=held,
-            )
-            .agg(F.max("q_e6").alias("qm"))
-        )
-        q_s = (
-            graph.modularity_score(
-                g, swept, weight_col="weight", assume_canonical=True,
-                caches=held,
-            )
-            .agg(F.max("q_e6").alias("qs"))
-        )
+        q_m = _q_lit(spark, "qm", ev["q_in_e6"])
+        q_s = _q_lit(spark, "qs", ev["q_swept_e6"])
         return merged, guarded, q_m, q_s
 
     merged1, guarded1, q_m1, q_s1 = _pass(edges)

@@ -4344,6 +4344,66 @@ def test_refine_guarded_weighted_adopts_and_rejects(spark):
     assert rejected == {1: 100, 2: 200, 3: 200}
 
 
+def test_refine_guarded_evidence_out_param(spark):
+    """r18 optimization: ``modularity_refine_guarded(evidence=ev)``
+    must hand back EXACTLY what it already computed eagerly — the
+    swept assignment and both exact Q values — so the registered
+    evidence queries (graph_refine_adopt/pass/loop) can emit them
+    without re-running the sweep and scorings.  Checked on both guard
+    branches against independent recomputation via the public
+    operators."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        modularity_refine_guarded,
+        modularity_refine_step,
+        modularity_score,
+    )
+
+    comm = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 200)], "node long, community long"
+    )
+    for rows, expect_adopt in (
+        ([(1, 2, 5), (2, 3, 5), (1, 3, 1)], True),   # triangle: ADOPT
+        ([(1, 2, 10), (2, 3, 1)], False),            # path: REJECT
+    ):
+        edges = spark.createDataFrame(
+            rows, "src long, dst long, weight long"
+        )
+        ev: dict = {}
+        guarded = {
+            r.node: r.community
+            for r in modularity_refine_guarded(
+                edges, comm, weight_col="weight", assume_canonical=True,
+                evidence=ev,
+            ).collect()
+        }
+        swept_direct = {
+            r.node: r.community
+            for r in modularity_refine_step(
+                edges, comm, weight_col="weight", assume_canonical=True
+            ).collect()
+        }
+        swept_ev = {r.node: r.community for r in ev["swept"].collect()}
+        assert swept_ev == swept_direct
+        q_in = (
+            modularity_score(
+                edges, comm, weight_col="weight", assume_canonical=True
+            ).agg(F.max("q_e6")).first()[0]
+        )
+        q_swept = (
+            modularity_score(
+                edges,
+                ev["swept"],
+                weight_col="weight",
+                assume_canonical=True,
+            ).agg(F.max("q_e6")).first()[0]
+        )
+        assert ev["q_in_e6"] == q_in
+        assert ev["q_swept_e6"] == q_swept
+        adopted = ev["q_swept_e6"] > ev["q_in_e6"]
+        assert adopted == expect_adopt
+        assert guarded == (swept_ev if adopted else {1: 100, 2: 200, 3: 200})
+
+
 def test_coarsen_guarded_refine_q_on_purchase_graph(spark):
     """VERDICT r16 next-round #4, the data pin: on the real sf0.001
     purchase graph, Q of louvain_coarsen(refine='guarded') >= Q of the
