@@ -233,6 +233,14 @@ def pagerank(
         )
     from ..session import checkpoint_handle
 
+    # Loop-invariant hoist (r18, guide §1.2): e ⨝ deg never changes
+    # across rounds, yet the loop re-joined (and re-broadcast/
+    # re-shuffled) it every iteration.  Join once, persist the
+    # (src, dst[, w], deg) frame, and each round pays only the ranks
+    # join + the inbox aggregation.  Costs one extra cached copy of the
+    # edge list (one int column wider); at scale it removes one |V|-
+    # sized join build per round.
+    ed = e.join(deg, "src").persist()
     ranks = nodes.select(
         "node", F.lit(RANK_QUANT).cast("long").alias("rank_e12")
     )
@@ -240,8 +248,7 @@ def pagerank(
     zero_dec = "cast(0 as decimal(38,0))"
     for _ in range(iters):
         inbox = (
-            e.join(deg, "src")
-            .join(ranks, F.col("src") == F.col("node"))
+            ed.join(ranks, F.col("src") == F.col("node"))
             .select(
                 F.col("dst").alias("node"),
                 F.expr(msg_expr).alias("msg"),
@@ -293,6 +300,7 @@ def pagerank(
     ranks.count()
     for h in handles[:-1]:
         h.unpersist(False)
+    ed.unpersist()
     e.unpersist()
     deg.unpersist()
     if seeded:
