@@ -1718,6 +1718,31 @@ def substring_gram_index(
     return scope_caches(ret, *own)
 
 
+def substring_gram_counts(index: DataFrame) -> DataFrame:
+    """The per-gram occurrence-count SIDECAR of a materialized gram
+    index — the second half of the versioned-swap artifact
+    (:func:`substring_gram_index` builds the rows; this derives the
+    counts to store NEXT TO them at ingest).  The index keeps every
+    occurrence of every surviving gram (the cap drops grams whole,
+    never individual positions), so ``groupBy(g).count()`` over the
+    index IS the build-time corpus-wide count of each surviving gram —
+    exact, not an estimate.
+
+    Why it exists: :func:`substring_incremental_runs`'s combined
+    floor/cap needs the index side's per-gram counts, and without a
+    sidecar every daily drop re-aggregates the FULL index (a
+    corpus-sized shuffle per drop at 100 TB).  Build the counts once
+    here, persist them beside the index, and pass them back via that
+    function's ``index_counts=``; the result is bit-identical by the
+    argument above.
+
+    Output: (g, n_occ) — one row per surviving gram.
+    """
+    return index.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+
+
 def substring_incremental_runs(
     new_docs: DataFrame,
     index: DataFrame,
@@ -1727,6 +1752,7 @@ def substring_incremental_runs(
     max_gram_occ: int = 200,
     text_col: str = "text",
     caches: list[DataFrame] | None = None,
+    index_counts: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL exact-substring mining — a NEW document drop mined
     against an EXISTING indexed corpus (the per-drop ingest shape the
@@ -1762,6 +1788,17 @@ def substring_incremental_runs(
     incremental(drop, index(corpus)) == substring_run_pairs(corpus ∪
     drop) restricted to runs with >= 1 drop endpoint, bit for bit.
 
+    ``index_counts`` (optional) is the index's per-gram count SIDECAR,
+    :func:`substring_gram_counts`'s (g, n_occ) — the counts computed
+    once at index build time and persisted beside the index rows.
+    When given, the combined-cap stage reads it INSTEAD of
+    re-aggregating the full index (a corpus-sized shuffle otherwise
+    paid on every drop); results are bit-identical because the index
+    stores every surviving occurrence, so the sidecar equals the
+    re-aggregation row for row (pytest-pinned).  The caller owns the
+    pairing contract: the sidecar must describe THIS index version —
+    the versioned-swap path that swaps one must swap both.
+
     Output: (doc_a, doc_b, a_start, b_start, match_tokens, a_is_new,
     b_is_new) — the cross-miner's schema oriented ``doc_a < doc_b`` by
     id on BOTH legs (so rows are comparable to the full rebuild's),
@@ -1773,7 +1810,8 @@ def substring_incremental_runs(
     Scale shape: the drop's gram build is one doc-keyed window over
     the DROP alone; the index side is a pre-built scan, never
     re-grammed; the combined-count stage is two partial-agg counts +
-    one broadcastable gram-key join; both pair legs are gram-key
+    one broadcastable gram-key join (with ``index_counts`` supplied,
+    the index-side count is a sidecar scan — no full-index shuffle); both pair legs are gram-key
     equi-joins bounded by the combined cap (fan-out <= Σ nc·ic + Σ nc²
     over surviving grams); island detection is one (doc_a, doc_b,
     diag)-keyed window.  Nothing scales with the index corpus except
@@ -1790,7 +1828,12 @@ def substring_incremental_runs(
         "g",
     )
     new_cnt = new_g.groupBy("g").agg(F.count("*").alias("__nc"))
-    idx_cnt = idx.groupBy("g").agg(F.count("*").alias("__ic"))
+    if index_counts is not None:
+        idx_cnt = index_counts.select(
+            "g", F.col("n_occ").cast("long").alias("__ic")
+        )
+    else:
+        idx_cnt = idx.groupBy("g").agg(F.count("*").alias("__ic"))
     keep = (
         new_cnt.join(idx_cnt, "g", "left")
         .select(

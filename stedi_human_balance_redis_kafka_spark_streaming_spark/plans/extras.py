@@ -6992,6 +6992,40 @@ def _cached_gram_index(
     return stored if stored is not None else idx
 
 
+def _cached_gram_counts(
+    spark: SparkSession, sf_dir: str, tag: str, index: DataFrame
+) -> DataFrame:
+    """The per-gram count SIDECAR of the cached gram index (r18,
+    OPTIMIZATION_r18.md "per-gram occurrence count in the gram-index
+    artifact"): substring_incremental_runs' combined floor/cap needs
+    the index side's counts, and recomputing them is a FULL-index
+    aggregation per drop — at 100 TB a corpus-sized shuffle paid on
+    every daily drop for numbers the index build already had in hand
+    (its cap filter counts every gram).  The deployment contract is
+    one versioned artifact with two parts, rows + counts, swapped
+    together; here both parts live in the frame tier under sibling
+    keys derived from the SAME (fingerprint, tag, k, cap), and the
+    counts are derived from the CACHED index frame, so cold and warm
+    passes read identical rows (operators/dedup.substring_gram_counts
+    — exact, because the cap drops grams whole, never positions)."""
+    from ..operators import buildcache, dedup
+
+    schema = "g string, n_occ long"
+    ckey = (
+        "substring_gram_counts_v1",
+        table_fingerprint(sf_dir, "documents"),
+        tag,
+        _SUBSTR_K,
+        _SUBSTR_MAX_OCC,
+    )
+    hit = buildcache.lookup_frame(spark, ckey, schema)
+    if hit is not None:
+        return hit
+    cnts = dedup.substring_gram_counts(index)
+    stored = buildcache.store_frame(ckey, cnts)
+    return stored if stored is not None else cnts
+
+
 _SUBSTR_DROP_MOD = 7  # arrivals = doc_id % 10 == 7 — the one residue
 # whose drop-internal leg is non-empty at the sf0.01 driver gate
 # (probed r18: 6 cross-leg + 1 drop-leg runs there; 42 + 5 at sf0.1)
@@ -7159,12 +7193,16 @@ def dedup_substring_incremental(
     # frame tier materializes it once per corpus fingerprint, so every
     # later drop pays only its own legs — the documented 100 TB shape
     index = _cached_gram_index(spark, sf_dir, "corpus_mod10_7", corpus)
+    # its count sidecar (r18): the combined floor/cap reads build-time
+    # counts instead of re-aggregating the full index per drop
+    counts = _cached_gram_counts(spark, sf_dir, "corpus_mod10_7", index)
     runs = dedup.substring_incremental_runs(
         arrivals,
         index,
         k=_SUBSTR_K,
         max_gram_occ=_SUBSTR_MAX_OCC,
         caches=held,
+        index_counts=counts,
     ).persist()  # feeds the cut chain AND the per-leg accounting
     held.append(runs)
     cutruns = runs.select(

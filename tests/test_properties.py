@@ -2945,6 +2945,60 @@ def test_substring_incremental_equals_restricted_rebuild(spark):
     assert drop_leg_seen > 0  # the new×new leg exercised for real
 
 
+def test_substring_gram_counts_sidecar_equivalence(spark):
+    """The count-sidecar fast path (r18 optimization): the sidecar
+    substring_gram_counts(index) equals re-aggregating the index row
+    for row (the index stores every surviving occurrence, so groupBy
+    counts ARE the build-time corpus-wide counts), and the incremental
+    miner fed the sidecar via index_counts= returns bit-identical runs
+    to the re-aggregating default — on the real sf0.001 corpus, both
+    legs present in the run set."""
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.dedup import (
+        substring_gram_counts,
+        substring_gram_index,
+        substring_incremental_runs,
+    )
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.sources.files import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    arrivals = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", "text"
+    )
+    index = substring_gram_index(corpus, k=20, max_gram_occ=200)
+    sidecar = substring_gram_counts(index)
+    # (a) sidecar == independent re-aggregation of the index
+    reagg = {
+        r.g: r.n
+        for r in index.groupBy("g")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    side = {r.g: r.n_occ for r in sidecar.collect()}
+    assert side == reagg and len(side) > 0
+    # (b) miner(index_counts=sidecar) == miner() bit for bit
+    key = lambda r: (  # noqa: E731
+        r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_tokens,
+        r.a_is_new, r.b_is_new,
+    )
+    base = sorted(
+        map(key, substring_incremental_runs(
+            arrivals, index, k=20, max_gram_occ=200
+        ).collect())
+    )
+    fast = sorted(
+        map(key, substring_incremental_runs(
+            arrivals, index, k=20, max_gram_occ=200,
+            index_counts=sidecar,
+        ).collect())
+    )
+    assert fast == base and len(base) > 0
+
+
 def test_substring_self_cut_apply_composition(spark):
     """The INTRA-document removal pipeline composes from the same
     parts: substring_cut_spans is doc/start-column parameterized, so
