@@ -37,11 +37,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # steady state, which is the documented contract).  Point the tier at a
 # fresh per-invocation directory unless the caller explicitly pinned one.
 if "SPARK_GRAFT_BUILDCACHE_DIR" not in os.environ:
+    import atexit
+    import shutil
     import tempfile
 
-    os.environ["SPARK_GRAFT_BUILDCACHE_DIR"] = tempfile.mkdtemp(
-        prefix="stedi-bench-buildcache-"
-    )
+    _bench_cache_dir = tempfile.mkdtemp(prefix="stedi-bench-buildcache-")
+    os.environ["SPARK_GRAFT_BUILDCACHE_DIR"] = _bench_cache_dir
+    # The dir is ours (freshly created above, never a caller-pinned
+    # path): remove it on exit so repeated bench runs don't leak /tmp
+    # directories holding sf-sized parquet artifacts (ADVICE r18).
+    atexit.register(shutil.rmtree, _bench_cache_dir, ignore_errors=True)
 
 
 RUNS_PER_QUERY = 2

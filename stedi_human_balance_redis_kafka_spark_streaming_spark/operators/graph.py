@@ -1962,6 +1962,90 @@ def _integral_weight(edges: DataFrame, weight_col: str):
     return F.col(weight_col).cast("long")
 
 
+def _m_lit(spark, val) -> DataFrame:
+    """1-row ``(__m decimal(38,0))`` frame carrying an ALREADY-COMPUTED
+    exact total edge weight — the shape every modularity operator's
+    in-plan ``und.agg(sum(__w))`` produces, as a literal (r19, VERDICT
+    r18 next-round #3): a caller that computed m once (eagerly, e.g.
+    :func:`modularity_stats`) re-enters it into each consumer's plan
+    instead of re-running the aggregation subtree per consumer.
+    ``val=None`` reproduces the NULL an aggregation over an empty edge
+    list yields, bit-for-bit.
+
+    Built over ``OneRowRelation`` (a SQL literal select), NOT
+    ``createDataFrame``: the latter plans as a ``LogicalRDD`` — a real
+    distributed 1-task scan stage per consuming broadcast — while the
+    literal constant-folds into the plan with no stage at all
+    (measured r19: the LogicalRDD form made the shared-m rewrite a net
+    LOSS on the refine queries; the folded form is what wins)."""
+    if val is None:
+        return spark.sql("SELECT CAST(NULL AS DECIMAL(38,0)) AS __m")
+    return spark.sql(f"SELECT CAST('{int(val)}' AS DECIMAL(38,0)) AS __m")
+
+
+def modularity_stats(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    caches: list | None = None,
+    collect_m: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The two loop-invariant statistics EVERY modularity operator
+    derives from the same canonical edge list — computed ONCE for
+    callers that run several of them on one graph (r19, VERDICT r18
+    next-round #3: the guarded sweep ran the identical degree rollup
+    and m aggregation three times per call; a refined coarsening pass
+    runs them up to four times):
+
+    * ``deg`` — (n, k): each node's weighted degree with self-loops
+      counted TWICE (the shared convention of :func:`modularity_score`
+      / :func:`modularity_refine_step` / :func:`modularity_merge_step`
+      — a self-loop row lands in both union arms), persisted (rides
+      ``caches=`` or the caller's own scoping);
+    * ``m`` — the 1-row ``(__m decimal(38,0))`` total-weight literal
+      (:func:`_m_lit`), collected EAGERLY here (one bounded
+      partial-aggregable job; NULL on an empty edge list, exactly as
+      the in-plan aggregation would report).  ``collect_m=False``
+      skips the collect and returns ``(deg, None)`` — the registered
+      paths share deg only, because the eager m job measured SLOWER
+      locally than the in-plan 1-row aggs it replaces
+      (OPTIMIZATION_r19.md), while deg's recompute is a real shuffle.
+
+    Input MUST be canonical (``u <= v``, one row per pair, self-loops
+    only under ``weight_col`` — the ``assume_canonical=True`` contract
+    of the consumers): the ``deg=`` / ``m=`` parameters of the sibling
+    operators are only honored with ``assume_canonical=True``, so stats
+    over a non-canonical list could never be handed to them anyway.
+    Integer-weight validation (:func:`_integral_weight`) applies
+    unchanged.
+    """
+    from ..session import scope_caches  # noqa: F401  (module pattern)
+
+    a, b = F.col(src), F.col(dst)
+    w_expr = (
+        _integral_weight(edges, weight_col)
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    und = edges.select(a.alias("u"), b.alias("v"), w_expr.alias("__w"))
+    deg = (
+        und.select(F.col("u").alias("n"), "__w")
+        .unionByName(und.select(F.col("v").alias("n"), "__w"))
+        .groupBy("n")
+        .agg(F.sum("__w").cast("long").alias("k"))
+        .persist()
+    )
+    if caches is not None:
+        caches.append(deg)
+    if not collect_m:
+        return deg, None
+    dec = "decimal(38,0)"
+    m_val = und.agg(F.sum("__w").cast(dec).alias("__m")).first()[0]
+    return deg, _m_lit(edges.sparkSession, m_val)
+
+
 def modularity_score(
     edges: DataFrame,
     communities: DataFrame,
@@ -1973,6 +2057,8 @@ def modularity_score(
     weight_col: str | None = None,
     assume_canonical: bool = False,
     caches: list | None = None,
+    deg: DataFrame | None = None,
+    m: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT integer Newman-Girvan modularity of a community
     assignment — the quality score for the partitions the graph family
@@ -2038,11 +2124,29 @@ def modularity_score(
     frame + a partial-agg count; the m / Σ fan-ins are 1-row
     crossJoins (the eval-summary pattern).  No iteration, no window,
     no all-pairs anywhere.
+
+    ``deg`` / ``m`` (r19): precomputed loop-invariant stats —
+    :func:`modularity_stats`'s (n, k) degree frame and 1-row
+    ``(__m decimal(38,0))`` total-weight frame — substituted for the
+    in-plan degree rollup and m aggregation when a caller scores the
+    SAME canonical graph more than once (the guarded sweep scores it
+    twice and sweeps it once).  Honored only with
+    ``assume_canonical=True`` (enforced): the stats describe the edge
+    list AS PASSED, so canonicalizing here would silently diverge
+    from them.  Values are bit-identical by construction — the
+    caller's frames are the same expressions over the same rows.
     """
     from ..session import scope_caches
 
     a, b = F.col(src), F.col(dst)
     own: list = [] if caches is None else caches
+    if (deg is not None or m is not None) and not assume_canonical:
+        raise ValueError(
+            "deg/m require assume_canonical=True: precomputed stats "
+            "describe the edge list as passed — canonicalization here "
+            "would silently diverge from them; canonicalize upstream "
+            "and compute the stats there (modularity_stats)"
+        )
     if weight_col is not None:
         if not assume_canonical:
             raise ValueError(
@@ -2076,14 +2180,18 @@ def modularity_score(
         )
         own.append(und)
     dec = "decimal(38,0)"
-    m1 = und.agg(F.sum("__w").cast(dec).alias("__m"))
+    m1 = m if m is not None else und.agg(F.sum("__w").cast(dec).alias("__m"))
     # self-loops land in both branches → 2w, the weighted-degree
     # convention the contraction-invariance lemma needs
-    deg = (
-        und.select(F.col("u").alias("n"), "__w")
-        .unionByName(und.select(F.col("v").alias("n"), "__w"))
-        .groupBy("n")
-        .agg(F.sum("__w").cast("long").alias("__deg"))
+    degf = (
+        deg.select("n", F.col("k").cast("long").alias("__deg"))
+        if deg is not None
+        else (
+            und.select(F.col("u").alias("n"), "__w")
+            .unionByName(und.select(F.col("v").alias("n"), "__w"))
+            .groupBy("n")
+            .agg(F.sum("__w").cast("long").alias("__deg"))
+        )
     )
     comm = communities.select(
         F.col(node_col).alias("n"),
@@ -2093,7 +2201,7 @@ def modularity_score(
     # incident edge keep their community's row — n_nodes counts ALL
     # members, deg_sum coalesces their missing degree to 0.
     d_c = (
-        comm.join(deg, "n", "left")
+        comm.join(degf, "n", "left")
         .groupBy("community")
         .agg(
             F.count("*").cast("long").alias("n_nodes"),
@@ -2166,6 +2274,8 @@ def modularity_merge_step(
     weight_col: str | None = None,
     assume_canonical: bool = False,
     caches: list | None = None,
+    deg: DataFrame | None = None,
+    m: DataFrame | None = None,
 ) -> DataFrame:
     """ONE mutual-best-partner community MERGE pass with a
     MONOTONICITY GUARANTEE — the synchronous-safe agglomerative step
@@ -2228,11 +2338,26 @@ def modularity_merge_step(
     is a self-join of the (1-row-per-community) best frame; the final
     relabel is one broadcastable mapping join.  The m fan-in is one
     row.
+
+    ``deg`` / ``m`` (r19): precomputed loop-invariant stats
+    (:func:`modularity_stats`) substituted for the in-plan degree
+    rollup and m aggregation — same contract as
+    :func:`modularity_score`'s parameters (canonical-only, enforced;
+    bit-identical by construction).  Worth passing only when a caller
+    ALSO runs sibling operators on the same graph (a refined
+    coarsening pass); a lone merge computes each exactly once anyway.
     """
     from ..session import scope_caches
 
     a, b = F.col(src), F.col(dst)
     own: list = [] if caches is None else caches
+    if (deg is not None or m is not None) and not assume_canonical:
+        raise ValueError(
+            "deg/m require assume_canonical=True: precomputed stats "
+            "describe the edge list as passed — canonicalization here "
+            "would silently diverge from them; canonicalize upstream "
+            "and compute the stats there (modularity_stats)"
+        )
     if weight_col is not None:
         if not assume_canonical:
             raise ValueError(
@@ -2268,18 +2393,22 @@ def modularity_merge_step(
         F.col(community_col).alias("c"),
     ).persist()
     own.append(comm)
-    m1 = und.agg(F.sum("__w").cast(dec).alias("__m"))
+    m1 = m if m is not None else und.agg(F.sum("__w").cast(dec).alias("__m"))
     # a self-loop lands in BOTH union branches as the same node, so it
     # contributes 2w to its endpoint's degree — the weighted-graph
     # degree convention the contraction-invariance lemma needs
-    deg = (
-        und.select(F.col("u").alias("n"), "__w")
-        .unionByName(und.select(F.col("v").alias("n"), "__w"))
-        .groupBy("n")
-        .agg(F.sum("__w").cast("long").alias("k"))
+    degf = (
+        deg.select("n", F.col("k").cast("long").alias("k"))
+        if deg is not None
+        else (
+            und.select(F.col("u").alias("n"), "__w")
+            .unionByName(und.select(F.col("v").alias("n"), "__w"))
+            .groupBy("n")
+            .agg(F.sum("__w").cast("long").alias("k"))
+        )
     )
     d_c = (
-        deg.join(comm, "n")
+        degf.join(comm, "n")
         .groupBy("c")
         .agg(F.sum("k").cast("long").alias("d"))
     )
@@ -2486,6 +2615,8 @@ def modularity_refine_step(
     weight_col: str | None = None,
     assume_canonical: bool = False,
     caches: list | None = None,
+    deg: DataFrame | None = None,
+    m: DataFrame | None = None,
 ) -> DataFrame:
     """ONE synchronous greedy node-move sweep — the distributed-Louvain
     phase-1 local move: every node evaluates, against the CURRENT
@@ -2543,11 +2674,24 @@ def modularity_refine_step(
     a 1-row m fan-in, and one (node)-keyed top-1 window over
     degree-bounded candidate rows.  Exactly the frontier-free shape of
     :func:`modularity_score`, applied once.
+
+    ``deg`` / ``m`` (r19): precomputed loop-invariant stats
+    (:func:`modularity_stats`) substituted for the in-plan degree
+    rollup and m aggregation — same contract as
+    :func:`modularity_score`'s parameters (canonical-only, enforced;
+    bit-identical by construction).
     """
     from ..session import scope_caches
 
     a, b = F.col(src), F.col(dst)
     own: list = [] if caches is None else caches
+    if (deg is not None or m is not None) and not assume_canonical:
+        raise ValueError(
+            "deg/m require assume_canonical=True: precomputed stats "
+            "describe the edge list as passed — canonicalization here "
+            "would silently diverge from them; canonicalize upstream "
+            "and compute the stats there (modularity_stats)"
+        )
     if weight_col is not None:
         if not assume_canonical:
             raise ValueError(
@@ -2591,13 +2735,16 @@ def modularity_refine_step(
     # degrees count a self-loop TWICE (it appears in both union arms);
     # k_{i,c} excludes it (i != j below) — it moves with the node and
     # cancels from every candidate's gain
-    deg = sym.groupBy(F.col("i").alias("n")).agg(
-        F.sum("__w").cast("long").alias("k")
-    ).persist()
-    own.append(deg)
-    m1 = und.agg(F.sum("__w").cast(dec).alias("__m"))
+    if deg is not None:
+        degf = deg.select("n", F.col("k").cast("long").alias("k"))
+    else:
+        degf = sym.groupBy(F.col("i").alias("n")).agg(
+            F.sum("__w").cast("long").alias("k")
+        ).persist()
+        own.append(degf)
+    m1 = m if m is not None else und.agg(F.sum("__w").cast(dec).alias("__m"))
     d_c = (
-        deg.join(comm, "n")
+        degf.join(comm, "n")
         .groupBy("c")
         .agg(F.sum("k").cast("long").alias("d"))
     )
@@ -2624,7 +2771,7 @@ def modularity_refine_step(
     # cand union), so they stay put and pass through unchanged.
     scored = (
         cand.join(comm.select("n", F.col("c").alias("__own")), "n")
-        .join(deg, "n", "left")
+        .join(degf, "n", "left")
         .join(d_c, "c", "left")
         .crossJoin(F.broadcast(m1))
         .select(
@@ -2675,6 +2822,8 @@ def modularity_refine_guarded(
     assume_canonical: bool = False,
     caches: list | None = None,
     evidence: dict | None = None,
+    deg: DataFrame | None = None,
+    m: DataFrame | None = None,
 ) -> DataFrame:
     """SCORE-AND-KEEP-BETTER wrapper around
     :func:`modularity_refine_step` — the safe form of the local-move
@@ -2728,6 +2877,26 @@ def modularity_refine_guarded(
     NULL an ``agg(max(q_e6))`` over an empty scoring would yield).
     Nothing is computed beyond what the guard already needs; the dict
     is an out-param, never a cache across calls.
+
+    Lifetime caveat (ADVICE r18): with ``caches=None`` the swept
+    frame's persist is tied to the RETURNED frame via
+    ``scope_caches`` — a caller that keeps ``evidence["swept"]`` but
+    drops the result recomputes the sweep on first use (results stay
+    correct; the reuse win silently evaporates).  Callers that want
+    the evidence to stay cached independently of the result must pass
+    ``caches=`` and manage the unpersist themselves, as the
+    registered evidence queries do.
+
+    ``deg`` / ``m`` (r19): the sweep and both scorings each derive the
+    SAME degree rollup and m aggregation from the shared canonical
+    edge list — three identical computations per guard call.  The
+    guard now computes them ONCE (:func:`modularity_stats` — m is a
+    bounded eager aggregate, in line with this operator's existing
+    eagerness) and threads them through all three sub-operators;
+    callers that already hold the stats (a coarsening pass that also
+    ran the merge on this graph) pass them in and the guard computes
+    nothing.  Same canonical-only contract as the sub-operators
+    (precomputed stats with ``assume_canonical=False`` raise there).
     """
     from ..session import scope_caches
 
@@ -2739,6 +2908,13 @@ def modularity_refine_guarded(
             "edges must already be canonical (u <= v, one row per "
             "pair, self-loops allowed) — the contract_graph output "
             "contract; canonicalize there, not here"
+        )
+    if (deg is not None or m is not None) and not assume_canonical:
+        raise ValueError(
+            "deg/m require assume_canonical=True: precomputed stats "
+            "describe the edge list as passed — canonicalization here "
+            "would silently diverge from them; canonicalize upstream "
+            "and compute the stats there (modularity_stats)"
         )
     if assume_canonical:
         cols = [a.alias("src"), b.alias("dst")]
@@ -2756,6 +2932,18 @@ def modularity_refine_guarded(
         )
     und = und.persist()
     own.append(und)
+    if deg is None:
+        # deg ONLY — the sweep and both scorings reuse one persisted
+        # degree rollup instead of re-shuffling it three times.  m is
+        # deliberately NOT shared here: both literal forms were
+        # measured SLOWER locally (r19, OPTIMIZATION_r19.md — the
+        # eager collect job costs more than the three in-plan 1-row
+        # aggs it replaces at the AQE tiny-stage floor), and at scale
+        # the in-plan m is a shuffle-free scan of the cached edge
+        # list, unlike deg's per-recompute shuffle.
+        deg, _ = modularity_stats(
+            und, weight_col=weight_col, caches=own, collect_m=False
+        )
     comm = communities.select(
         F.col(node_col).alias("node"),
         F.col(community_col).alias("community"),
@@ -2767,6 +2955,8 @@ def modularity_refine_guarded(
         weight_col=weight_col,
         assume_canonical=True,
         caches=own,
+        deg=deg,
+        m=m,
     ).persist()
     own.append(refined)
     q0_row = (
@@ -2776,6 +2966,8 @@ def modularity_refine_guarded(
             weight_col=weight_col,
             assume_canonical=True,
             caches=own,
+            deg=deg,
+            m=m,
         )
         .select("q_e6")
         .first()
@@ -2787,6 +2979,8 @@ def modularity_refine_guarded(
             weight_col=weight_col,
             assume_canonical=True,
             caches=own,
+            deg=deg,
+            m=m,
         )
         .select("q_e6")
         .first()
@@ -2920,12 +3114,26 @@ def louvain_coarsen(
             .distinct()
             .select("node", F.col("node").alias("community"))
         )
+        # with the guarded sweep in the pass, the merge AND the guard's
+        # sweep + two scorings all derive the same degree rollup from
+        # this pass's super-graph — compute it once and thread it
+        # through (r19, VERDICT r18 next-round #3); the plain-merge
+        # path computes it exactly once in-plan already, so a shared
+        # frame would buy it nothing.  m stays in-plan everywhere (the
+        # eager-collect form measured slower, OPTIMIZATION_r19.md).
+        pass_stats: dict = {}
+        if refine == "guarded":
+            sdeg, _ = modularity_stats(
+                g, weight_col="weight", caches=own, collect_m=False
+            )
+            pass_stats = {"deg": sdeg}
         merged = modularity_merge_step(
             g,
             ident,
             weight_col="weight",
             assume_canonical=True,
             caches=own,
+            **pass_stats,
         ).localCheckpoint()
         own.append(checkpoint_handle(merged))
         if refine == "guarded":
@@ -2939,6 +3147,7 @@ def louvain_coarsen(
                 weight_col="weight",
                 assume_canonical=True,
                 caches=own,
+                **pass_stats,
             ).localCheckpoint()
             own.append(checkpoint_handle(merged))
         # fixpoint check: a pass that merges nothing relabels identity

@@ -5749,21 +5749,30 @@ def graph_refine_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     held.append(seed)
+    # the sweep and both scorings derive the identical degree rollup
+    # from the checkpointed super-graph — computed once and threaded
+    # through (r19, guide §1.2; the duplication was three degree
+    # shuffles per run; m stays in-plan — the eager-collect form
+    # measured slower, OPTIMIZATION_r19.md)
+    sdeg, _ = graph.modularity_stats(
+        g, weight_col="weight", caches=held, collect_m=False
+    )
     swept = graph.modularity_refine_step(
-        g, seed, weight_col="weight", assume_canonical=True, caches=held
+        g, seed, weight_col="weight", assume_canonical=True, caches=held,
+        deg=sdeg,
     ).persist()
     held.append(swept)
     q0 = (
         graph.modularity_score(
             g, seed, weight_col="weight", assume_canonical=True,
-            caches=held,
+            caches=held, deg=sdeg,
         )
         .agg(F.max("q_e6").alias("q_seed_e6"))
     )
     q1 = (
         graph.modularity_score(
             g, swept, weight_col="weight", assume_canonical=True,
-            caches=held,
+            caches=held, deg=sdeg,
         )
         .agg(F.max("q_e6").alias("q_swept_e6"))
     )
@@ -6093,9 +6102,15 @@ def graph_refine_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("community"))
     )
+    # merge + the guard's sweep/scorings share the backbone's degree
+    # rollup — computed once and threaded through (r19, guide §1.2; m
+    # stays in-plan, the eager form measured slower)
+    sdeg, _ = graph.modularity_stats(
+        edges, weight_col="weight", caches=held, collect_m=False
+    )
     merged = graph.modularity_merge_step(
         edges, ident, weight_col="weight", assume_canonical=True,
-        caches=held,
+        caches=held, deg=sdeg,
     ).localCheckpoint()
     held.append(checkpoint_handle(merged))
     # sweep output + both exact Q values come from the eager guard's
@@ -6105,7 +6120,7 @@ def graph_refine_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev: dict = {}
     guarded = graph.modularity_refine_guarded(
         edges, merged, weight_col="weight", assume_canonical=True,
-        caches=held, evidence=ev,
+        caches=held, evidence=ev, deg=sdeg,
     ).persist()
     held.append(guarded)
     swept = ev["swept"]  # persisted by the guard, tracked in `held`
@@ -6203,9 +6218,18 @@ def graph_refine_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         """One loop pass on canonical weighted graph ``g``: merge from
         singletons, guarded sweep on the merge output, plus the swept
         partition and both scorings (the guard verdict's inputs)."""
+        # the merge, the guard's sweep, and its two scorings all
+        # derive the identical degree rollup from this pass's graph —
+        # computed once here and threaded through (r19, guide §1.2;
+        # VERDICT r18 next-round #3: the duplication was four degree
+        # shuffles per pass).  m stays in-plan — the eager-collect
+        # form measured slower (OPTIMIZATION_r19.md).
+        sdeg, _ = graph.modularity_stats(
+            g, weight_col="weight", caches=held, collect_m=False
+        )
         merged = graph.modularity_merge_step(
             g, _singletons(g), weight_col="weight",
-            assume_canonical=True, caches=held,
+            assume_canonical=True, caches=held, deg=sdeg,
         ).localCheckpoint()
         held.append(checkpoint_handle(merged))
         # the eager guard already ran the sweep and both scorings —
@@ -6214,20 +6238,20 @@ def graph_refine_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev: dict = {}
         guarded = graph.modularity_refine_guarded(
             g, merged, weight_col="weight", assume_canonical=True,
-            caches=held, evidence=ev,
+            caches=held, evidence=ev, deg=sdeg,
         ).localCheckpoint()
         held.append(checkpoint_handle(guarded))
         q_m = _q_lit(spark, "qm", ev["q_in_e6"])
         q_s = _q_lit(spark, "qs", ev["q_swept_e6"])
-        return merged, guarded, q_m, q_s
+        return merged, guarded, q_m, q_s, sdeg
 
-    merged1, guarded1, q_m1, q_s1 = _pass(edges)
+    merged1, guarded1, q_m1, q_s1, deg1 = _pass(edges)
     g2 = graph.contract_graph(
         edges, guarded1, weight_col="weight", assume_canonical=True,
         caches=held,
     ).localCheckpoint()
     held.append(checkpoint_handle(g2))
-    merged2, guarded2, q_m2, q_s2 = _pass(g2)
+    merged2, guarded2, q_m2, q_s2, _deg2 = _pass(g2)
     fin = (
         guarded1.select(
             "node", F.col("community").alias("__mid")
@@ -6255,6 +6279,9 @@ def graph_refine_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             weight_col="weight",
             assume_canonical=True,
             caches=held,
+            # pass 1 ran on the ORIGINAL backbone, so its degree
+            # rollup is exactly this scoring's deg — the fifth reuse
+            deg=deg1,
         )
         .agg(F.max("q_e6").alias("q_final_e6"))
     )
@@ -6993,7 +7020,13 @@ def _cached_gram_index(
 
 
 def _cached_gram_counts(
-    spark: SparkSession, sf_dir: str, tag: str, index: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    index: DataFrame,
+    *,
+    k: int,
+    max_gram_occ: int,
 ) -> DataFrame:
     """The per-gram count SIDECAR of the cached gram index (r18,
     OPTIMIZATION_r18.md "per-gram occurrence count in the gram-index
@@ -7007,7 +7040,14 @@ def _cached_gram_counts(
     keys derived from the SAME (fingerprint, tag, k, cap), and the
     counts are derived from the CACHED index frame, so cold and warm
     passes read identical rows (operators/dedup.substring_gram_counts
-    — exact, because the cap drops grams whole, never positions)."""
+    — exact, because the cap drops grams whole, never positions).
+
+    ``k`` / ``max_gram_occ`` are EXPLICIT parameters (ADVICE r18): the
+    cache key must provably describe the ``index`` argument, so the
+    caller states the parameters its index was built with instead of
+    this helper silently keying on module constants — a future call
+    site passing a differently-parameterized index would otherwise
+    read poisoned counts under the wrong key."""
     from ..operators import buildcache, dedup
 
     schema = "g string, n_occ long"
@@ -7015,8 +7055,8 @@ def _cached_gram_counts(
         "substring_gram_counts_v1",
         table_fingerprint(sf_dir, "documents"),
         tag,
-        _SUBSTR_K,
-        _SUBSTR_MAX_OCC,
+        k,
+        max_gram_occ,
     )
     hit = buildcache.lookup_frame(spark, ckey, schema)
     if hit is not None:
@@ -7195,7 +7235,14 @@ def dedup_substring_incremental(
     index = _cached_gram_index(spark, sf_dir, "corpus_mod10_7", corpus)
     # its count sidecar (r18): the combined floor/cap reads build-time
     # counts instead of re-aggregating the full index per drop
-    counts = _cached_gram_counts(spark, sf_dir, "corpus_mod10_7", index)
+    counts = _cached_gram_counts(
+        spark,
+        sf_dir,
+        "corpus_mod10_7",
+        index,
+        k=_SUBSTR_K,
+        max_gram_occ=_SUBSTR_MAX_OCC,
+    )
     runs = dedup.substring_incremental_runs(
         arrivals,
         index,

@@ -4458,6 +4458,94 @@ def test_refine_guarded_evidence_out_param(spark):
         assert guarded == (swept_ev if adopted else {1: 100, 2: 200, 3: 200})
 
 
+def test_modularity_stats_threading_is_bit_identical(spark):
+    """r19 optimization (VERDICT r18 next-round #3): precomputed
+    ``deg``/``m`` stats (modularity_stats) threaded through
+    modularity_score / modularity_refine_step / modularity_merge_step /
+    modularity_refine_guarded must leave every output row bit-identical
+    to the stat-free form — weighted (self-loops included) AND
+    unweighted, plus the canonical-only enforcement and the empty-graph
+    NULL-m case."""
+    import pytest
+
+    from stedi_human_balance_redis_kafka_spark_streaming_spark.operators.graph import (
+        _m_lit,
+        modularity_merge_step,
+        modularity_refine_guarded,
+        modularity_refine_step,
+        modularity_score,
+        modularity_stats,
+    )
+
+    comm = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 200), (9, 900)],
+        "node long, community long",
+    )
+    weighted = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 1), (2, 2, 4)],
+        "src long, dst long, weight long",
+    )
+    unweighted = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    for edges, wc in ((weighted, "weight"), (unweighted, None)):
+        deg, m = modularity_stats(edges, weight_col=wc)
+        # the stats themselves match the in-plan formulas
+        sym = {}
+        for r in edges.collect():
+            w = r["weight"] if wc else 1
+            sym[r.src] = sym.get(r.src, 0) + w
+            sym[r.dst] = sym.get(r.dst, 0) + w
+        assert {r.n: r.k for r in deg.collect()} == sym
+        assert int(m.first()["__m"]) == sum(
+            (r["weight"] if wc else 1) for r in edges.collect()
+        )
+        for op in (modularity_score, modularity_refine_step,
+                   modularity_merge_step):
+            plain = sorted(
+                map(str, op(edges, comm, weight_col=wc,
+                            assume_canonical=True).collect())
+            )
+            with_stats = sorted(
+                map(str, op(edges, comm, weight_col=wc,
+                            assume_canonical=True, deg=deg, m=m).collect())
+            )
+            assert plain == with_stats, op.__name__
+        ev_a: dict = {}
+        ev_b: dict = {}
+        g_plain = sorted(map(str, modularity_refine_guarded(
+            edges, comm, weight_col=wc, assume_canonical=True,
+            evidence=ev_a,
+        ).collect()))
+        g_stats = sorted(map(str, modularity_refine_guarded(
+            edges, comm, weight_col=wc, assume_canonical=True,
+            evidence=ev_b, deg=deg, m=m,
+        ).collect()))
+        assert g_plain == g_stats
+        assert (ev_a["q_in_e6"], ev_a["q_swept_e6"]) == (
+            ev_b["q_in_e6"], ev_b["q_swept_e6"]
+        )
+        deg.unpersist()
+    # canonical-only enforcement: stats with assume_canonical=False raise
+    deg, m = modularity_stats(unweighted)
+    for op in (modularity_score, modularity_refine_step,
+               modularity_merge_step, modularity_refine_guarded):
+        with pytest.raises(ValueError, match="assume_canonical"):
+            op(unweighted, comm, deg=deg, m=m)
+    deg.unpersist()
+    # empty graph: collected m is NULL, exactly like the in-plan agg
+    empty = spark.createDataFrame([], "src long, dst long")
+    deg, m = modularity_stats(empty)
+    assert m.first()["__m"] is None
+    assert sorted(map(str, modularity_score(
+        empty, comm, assume_canonical=True, deg=deg, m=m
+    ).collect())) == sorted(map(str, modularity_score(
+        empty, comm, assume_canonical=True
+    ).collect()))
+    assert _m_lit(spark, None).first()["__m"] is None
+    deg.unpersist()
+
+
 def test_coarsen_guarded_refine_q_on_purchase_graph(spark):
     """VERDICT r16 next-round #4, the data pin: on the real sf0.001
     purchase graph, Q of louvain_coarsen(refine='guarded') >= Q of the
