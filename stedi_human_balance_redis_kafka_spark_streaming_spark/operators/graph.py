@@ -1872,6 +1872,14 @@ def stress_centrality(
     # query, whose cost is job-launch floor, not data).  Lineage depth
     # is bounded by ``depth``; every 8 layers the accumulated frame is
     # checkpointed to keep the plan tree shallow on deep graphs.
+    #
+    # NOT persisted per layer, deliberately (r19 probe): each lay_h is
+    # referenced twice (the final union and the layer below), but
+    # exchange reuse already dedupes the repeated subtrees at runtime —
+    # per-layer persists left the stage count unchanged (76→76) and
+    # MEASURED SLOWER (same-session alternating probe: 7.4/6.9 s
+    # unpersisted vs 9.0/8.2 s persisted — block-manager writes with
+    # zero avoided recompute).
     adj_b = adj.select(
         F.col("a").alias("node"), F.col("b").alias("succ")
     )
