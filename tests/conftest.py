@@ -15,6 +15,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_collection_modifyitems(config, items):
+    """FAST default profile (VERDICT r18 item 1): skip the measured
+    slowest tests (tests/_slow_tests.py, ~4 s+ each) so a plain
+    ``pytest tests/ -x -q`` finishes inside the driver's verify window
+    (~11 min vs the full suite's ~28).  ``SPARK_GRAFT_FULL_TESTS=1``
+    disables the profile and runs every test — the builder's own final
+    gate uses the full profile."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _slow_tests import SLOW_TESTS
+
+    skip = pytest.mark.skip(
+        reason="slow profile: set SPARK_GRAFT_FULL_TESTS=1 to run"
+    )
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="stedi-tests", cpus=8, shuffle_partitions=8)
