@@ -1787,11 +1787,19 @@ def stress_centrality(
 
     Scale shape: each forward round is one (s, node)-keyed
     frontier-adjacency join + partial-aggregable sigma sum + one
-    anti-join; each backward round joins one layer to the adjacency
-    and the layer below (both node-keyed equi-joins); lineage is
-    truncated per round via eager localCheckpoint with synchronous
-    release of the superseded round (bfs_distances' contract), and
-    non-convergence RAISES past ``max_iter`` rather than returning
+    anti-join, and checkpoints ONLY the new layer (the visited set is
+    the lazy union of the per-layer checkpoints — total checkpoint
+    writes are O(|visited|), not the O(rounds x |visited|) of
+    re-materializing the accumulated frame every round); the DAG
+    successor edges (v -> w with dist(w) = dist(v) + 1) are derived
+    ONCE from the layered frames and checkpointed, so each backward
+    round is one cached-DAG slice joined to the layer below — the
+    full adjacency is scanned exactly once after the forward pass
+    instead of once per backward layer (r19: the per-layer adjacency
+    join sat inside a doubly-referenced lazy subtree and re-executed
+    quadratically; event-log evidence showed three identical
+    20.4 MB-write stages and 122 s task time for a ~7 s wall job).
+    Non-convergence RAISES past ``max_iter`` rather than returning
     truncated counts.
     """
     from ..session import checkpoint_handle, scope_caches
@@ -1812,15 +1820,21 @@ def stress_centrality(
         adj = adj.distinct()
     adj = adj.persist()
     adj.count()
-    # forward: visited = (s, node, dist, sigma); frontier = last layer
-    visited = sources.select(
+    # forward: layers[d] = (s, node, dist, sigma) checkpointed per
+    # round; visited = the LAZY union of the cached layers (each
+    # layer's lineage is already truncated, so the union never deepens
+    # — and the accumulated set is never re-written, unlike a per-round
+    # visited.localCheckpoint whose writes total O(rounds x |visited|))
+    l0 = sources.select(
         F.col("node").cast("long").alias("s"),
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
         F.lit(1).cast("long").alias("sigma"),
     ).distinct().localCheckpoint(eager=True)
-    live_handle = checkpoint_handle(visited)
-    frontier = visited.select("s", "node", "sigma")
+    layers = [l0]
+    handles = [checkpoint_handle(l0)]
+    visited = l0
+    frontier = l0.select("s", "node", "sigma")
     depth = 0
     converged = False
     for d in range(1, max_iter + 1):
@@ -1839,23 +1853,21 @@ def stress_centrality(
                 F.lit(d).cast("long").alias("dist"),
                 "sigma",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        nxt_handle = checkpoint_handle(nxt)
         if nxt.count() == 0:
-            nxt.unpersist()
+            nxt_handle.unpersist(False)
             converged = True
             depth = d - 1
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        new_handle = checkpoint_handle(visited)
-        live_handle.unpersist(False)
-        live_handle = new_handle
-        frontier = visited.filter(F.col("dist") == d).select(
-            "s", "node", "sigma"
-        )
-        nxt.unpersist()
+        layers.append(nxt)
+        handles.append(nxt_handle)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("s", "node", "sigma")
     if not converged:
-        live_handle.unpersist(False)
+        for hd in handles:
+            hd.unpersist(False)
         adj.unpersist()
         raise RuntimeError(
             f"stress_centrality did not exhaust the frontier within "
@@ -1863,15 +1875,21 @@ def stress_centrality(
             "eccentricity exceeds the bound)"
         )
     # backward: h per layer, deepest first.  h(deepest) = 0; layer d's
-    # h sums (h + 1) over DAG successors in layer d+1.  Unlike the
-    # forward pass (which MUST materialize each round to detect the
-    # empty frontier), the backward pass has a KNOWN round count
-    # (depth), so the per-layer frames stay LAZY — the whole chain
-    # executes as stages of the single final job instead of one
-    # driver-scheduled job per layer (measured ~2x on the registered
-    # query, whose cost is job-launch floor, not data).  Lineage depth
-    # is bounded by ``depth``; every 8 layers the accumulated frame is
-    # checkpointed to keep the plan tree shallow on deep graphs.
+    # h sums (h + 1) over DAG successors in layer d+1.  The DAG edges
+    # (per-source edges v -> w with dist(w) = dist(v) + 1) are derived
+    # ONCE — one adjacency join + one layer join over the whole
+    # layered frame — and eagerly checkpointed: each backward layer
+    # then slices the cached DAG instead of re-joining the full
+    # adjacency, which previously sat inside a doubly-referenced lazy
+    # subtree and re-executed quadratically over the layers (r19
+    # event-log evidence: three identical 20.4 MB-write stages, 122 s
+    # task time for a ~7 s wall job).  Past the DAG precompute the
+    # per-layer frames stay LAZY — the whole chain executes as stages
+    # of the single final job instead of one driver-scheduled job per
+    # layer (measured ~2x on the registered query, whose cost is
+    # job-launch floor, not data).  Lineage depth is bounded by
+    # ``depth``; every 8 layers the accumulated frame is checkpointed
+    # to keep the plan tree shallow on deep graphs.
     #
     # NOT persisted per layer, deliberately (r19 probe): each lay_h is
     # referenced twice (the final union and the layer below), but
@@ -1883,20 +1901,39 @@ def stress_centrality(
     adj_b = adj.select(
         F.col("a").alias("node"), F.col("b").alias("succ")
     )
-    handles = [live_handle]
-    acc = visited.filter(F.col("dist") == depth).select(
+    dag = (
+        visited.select("s", "node", "dist")
+        .join(adj_b, "node")
+        .join(
+            visited.select(
+                "s",
+                F.col("node").alias("succ"),
+                F.col("dist").alias("dsucc"),
+            ),
+            ["s", "succ"],
+        )
+        .filter(F.col("dsucc") == F.col("dist") + 1)
+        .select("s", "node", "dist", "succ")
+        .localCheckpoint(eager=True)
+    )
+    handles.append(checkpoint_handle(dag))
+    # the eager DAG checkpoint was the last adjacency reader — release
+    # the symmetrized edge cache before the backward chain runs
+    adj.unpersist()
+    acc = layers[depth].select(
         "s", "node", F.lit(0).cast("long").alias("h")
     )
     h = acc  # the layer just processed
     for d in range(depth - 1, -1, -1):
-        layer = visited.filter(F.col("dist") == d).select("s", "node")
+        layer = layers[d].select("s", "node")
         below_h = h.select(
             "s", F.col("node").alias("succ"), F.col("h").alias("hs")
         )
-        # DAG successors of this layer: edges into the d+1 layer,
-        # joined to that layer's h values
+        # DAG successors of this layer: the cached DAG's dist == d
+        # slice, joined to the d+1 layer's h values
         succ_h = (
-            layer.join(adj_b, "node")
+            dag.filter(F.col("dist") == d)
+            .select("s", "node", "succ")
             .join(below_h, ["s", "succ"])
             .groupBy("s", "node")
             .agg(F.sum(F.col("hs") + F.lit(1)).alias("h"))
@@ -1927,12 +1964,6 @@ def stress_centrality(
         .groupBy("node")
         .agg(F.sum("p").cast("long").alias("stress"))
     )
-    # adj stays persisted until the returned lazy frame is consumed:
-    # the backward h-chain references adj_b once per layer, so an
-    # eager unpersist here would re-derive the symmetrized/deduped
-    # edge list at every layer of the single final job, undoing the
-    # lazy-chain speedup.  Release rides the handles path instead.
-    handles.append(adj)
     if caches is not None:
         caches.extend(handles)
         return stress
