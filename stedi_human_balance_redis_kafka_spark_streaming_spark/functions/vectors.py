@@ -48,23 +48,57 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Dot product as an explicit ``dim``-term codegen'd expression."""
+# Construction cost (r19): every Column operator is one py4j round trip
+# (~1–2 ms), so a dim-wide unrolled expression built operator-by-operator
+# costs hundreds of milliseconds of DRIVER time per call site — measured
+# 3–7 s of pure query CONSTRUCTION per ANN query at dim=64, dwarfing
+# execution at sf0.1 and still a per-query constant at 100 TB.  The
+# unrolled builders therefore assemble the SQL TEXT in Python (free) and
+# parse it with ONE ``F.expr`` call.  The parsed tree is the identical
+# left-associated expression the operator-by-operator form produced, so
+# plans, codegen, and values are unchanged.  Double literals in SQL text
+# need the ``D`` suffix (a bare ``0.0`` parses as DECIMAL(1,1)).
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product as an explicit ``dim``-term codegen'd expression.
+
+    ``a``/``b`` may be SQL text (one-call construction, preferred) or
+    Columns (legacy operator-by-operator form, kept for callers holding
+    computed Columns).
+    """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"element_at({a}, {i}) * element_at({b}, {i})"
+                for i in range(1, dim + 1)
+            )
+        )
     out = F.element_at(a, 1) * F.element_at(b, 1)
     for i in range(2, dim + 1):
         out = out + F.element_at(a, i) * F.element_at(b, i)
     return out
 
 
-def norm_unrolled(a: Column, dim: int) -> Column:
-    """L2 norm as an explicit codegen'd expression."""
+def norm_unrolled(a: Column | str, dim: int) -> Column:
+    """L2 norm as an explicit codegen'd expression (SQL-text or Column
+    input — see :func:`dot_unrolled`)."""
+    if isinstance(a, str):
+        return F.sqrt(
+            F.expr(
+                " + ".join(
+                    f"element_at({a}, {i}) * element_at({a}, {i})"
+                    for i in range(1, dim + 1)
+                )
+            )
+        )
     out = F.element_at(a, 1) * F.element_at(a, 1)
     for i in range(2, dim + 1):
         out = out + F.element_at(a, i) * F.element_at(a, i)
     return F.sqrt(out)
 
 
-def flatten(vec: Column, prefix: str, dim: int) -> list[Column]:
+def flatten(vec: Column | str, prefix: str, dim: int) -> list[Column]:
     """Project an ``array<double>`` column into ``dim`` scalar columns
     ``prefix0 .. prefix{dim-1}``.
 
@@ -72,8 +106,34 @@ def flatten(vec: Column, prefix: str, dim: int) -> list[Column]:
     bounds/null checks that array indexing pays on every pair of a
     quadratic stage (measured 20.7 s → 3.0 s for 50 M pairs × 64 dims at
     sf0.1).  Flatten ONCE on the linear side, before the join.
+    ``vec`` may be SQL text (one ``F.expr`` per column instead of two
+    py4j ops) or a Column.
     """
+    if isinstance(vec, str):
+        return [
+            F.expr(f"({vec})[{i}] AS {prefix}{i}") for i in range(dim)
+        ]
     return [vec[i].alias(f"{prefix}{i}") for i in range(dim)]
+
+
+def flatten_sql(vec: str, prefix: str, dim: int) -> list[str]:
+    """:func:`flatten` as raw ``selectExpr`` strings — zero py4j calls;
+    the whole projection parses in the single ``selectExpr``."""
+    return [f"({vec})[{i}] AS {prefix}{i}" for i in range(dim)]
+
+
+def norm_unrolled_sql(a: str, dim: int) -> str:
+    """:func:`norm_unrolled` as a raw SQL string for ``selectExpr``."""
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({a}, {i})"
+        for i in range(1, dim + 1)
+    )
+    return f"SQRT({terms})"
+
+
+def flat_dot_sql(pa: str, pb: str, dim: int) -> str:
+    """:func:`flat_dot` as a raw SQL string."""
+    return " + ".join(f"{pa}{i} * {pb}{i}" for i in range(dim))
 
 
 def flat_dot(pa: str, pb: str, dim: int) -> Column:
@@ -84,10 +144,7 @@ def flat_dot(pa: str, pb: str, dim: int) -> Column:
     as :func:`dot_unrolled` and DuckDB's ``list_sum``, so values — and
     oracle hashes — are bit-identical.
     """
-    out = F.col(f"{pa}0") * F.col(f"{pb}0")
-    for i in range(1, dim):
-        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
-    return out
+    return F.expr(flat_dot_sql(pa, pb, dim))
 
 
 def embedding_dim(emb, col: str = "embedding") -> int:

@@ -37,16 +37,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import embedding_dim, flat_dot, flatten, norm_unrolled
+from ..functions.vectors import (
+    embedding_dim,
+    flat_dot,
+    flat_dot_sql,
+    flatten,
+    flatten_sql,
+    norm_unrolled,
+    norm_unrolled_sql,
+)
+
+# The wide (dim-term) projections below are assembled as SQL text and
+# parsed with ONE selectExpr/F.expr call instead of operator-by-operator
+# Column construction: each Column operator is a py4j round trip, and at
+# dim=64 the per-query CONSTRUCTION cost measured 3-7 s driver time —
+# bigger than execution at sf0.1 and a per-query constant at any scale.
+# The parsed trees are the identical expressions, so plans and values
+# are unchanged (see functions/vectors.py).
+
+_EMB_SQL = "CAST(embedding AS ARRAY<DOUBLE>)"
 
 
 def _flat(emb: DataFrame, id_col: str, prefix: str, dim: int) -> DataFrame:
     """(id, nrm, prefix0..prefix{dim-1}) from an embedding table."""
-    v = F.col("embedding").cast("array<double>")
-    return emb.select(
-        F.col(id_col),
-        norm_unrolled(v, dim).alias("nrm"),
-        *flatten(v, prefix, dim),
+    return emb.selectExpr(
+        id_col,
+        f"{norm_unrolled_sql(_EMB_SQL, dim)} AS nrm",
+        *flatten_sql(_EMB_SQL, prefix, dim),
+    )
+
+
+def _q_flat(queries: DataFrame, dim: int) -> DataFrame:
+    """(query_id, qnrm, q0..q{dim-1}) from a (query_id, qv) frame —
+    the query-side twin of :func:`_flat`."""
+    return queries.selectExpr(
+        "query_id",
+        f"{norm_unrolled_sql('qv', dim)} AS qnrm",
+        *flatten_sql("qv", "q", dim),
     )
 
 
@@ -76,11 +103,7 @@ def brute_force_topk(
     # split and the O(n·q) scoring stage would run on a single core.
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = _flat(emb, "vec_id", "d", dim).repartition(par)
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     cos = F.round(flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits)
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id", "vec_id", cos.alias("cos_sim")
@@ -403,10 +426,10 @@ def ivf_topk(
             round_digits=round_digits, cache_key=cache_key,
         )
     else:
-        cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-            F.col("vec_id").alias("cid"),
-            F.col("nrm").alias("cnrm"),
-            *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+        cents = e.filter(F.col("vec_id") % centroid_modulus == 0).selectExpr(
+            "vec_id AS cid",
+            "nrm AS cnrm",
+            *[f"d{i} AS c{i}" for i in range(dim)],
         )
 
     if spill > 1:
@@ -426,11 +449,7 @@ def ivf_topk(
         )
         assigned = e.join(bucket_map, "vec_id")
 
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     cos_probe = F.round(
         flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")), round_digits
     )
@@ -499,10 +518,10 @@ def ivf_range_search(
     """
     dim = embedding_dim(emb)
     e = _flat(emb, "vec_id", "d", dim)
-    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("nrm").alias("cnrm"),
-        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).selectExpr(
+        "vec_id AS cid",
+        "nrm AS cnrm",
+        *[f"d{i} AS c{i}" for i in range(dim)],
     )
     assigned = assign_nearest_centroid(e, cents, dim, round_digits)
     if cache_key is not None:
@@ -514,11 +533,7 @@ def ivf_range_search(
              round_digits),
         )
         assigned = e.join(bucket_map, "vec_id")
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     cos_probe = F.round(
         flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")), round_digits
     )
@@ -563,11 +578,7 @@ def brute_force_range(
     dim = embedding_dim(emb)
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = _flat(emb, "vec_id", "d", dim).repartition(par)
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     cos = F.round(
         flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")), round_digits
     )
@@ -742,11 +753,11 @@ def pq_codebooks(
     w = dim // n_sub
     seeds = e.filter(F.col("vec_id") % seed_modulus == 0)
     parts = [
-        seeds.select(
-            F.lit(m).cast("int").alias("m"),
-            F.col("vec_id").alias("code"),
-            F.col("nrm").alias("cnrm"),
-            *[F.col(f"d{m * w + j}").alias(f"cw{j}") for j in range(w)],
+        seeds.selectExpr(
+            f"CAST({m} AS INT) AS m",
+            "vec_id AS code",
+            "nrm AS cnrm",
+            *[f"d{m * w + j} AS cw{j}" for j in range(w)],
         )
         for m in range(n_sub)
     ]
@@ -756,14 +767,14 @@ def pq_codebooks(
     return out
 
 
-def _case_component(prefix: str, j: int, n_sub: int, w: int) -> F.Column:
+def _case_component_sql(prefix: str, j: int, n_sub: int, w: int) -> str:
     """The j-th component of the CURRENT row's subspace ``m`` — an
     n_sub-way CASE over the flattened columns, codegen'd (no arrays,
-    no UDF)."""
-    expr = F.when(F.col("m") == 0, F.col(f"{prefix}{j}"))
-    for m in range(1, n_sub):
-        expr = expr.when(F.col("m") == m, F.col(f"{prefix}{m * w + j}"))
-    return expr
+    no UDF), as SQL text (one-call construction)."""
+    whens = " ".join(
+        f"WHEN m = {m} THEN {prefix}{m * w + j}" for m in range(n_sub)
+    )
+    return f"CASE {whens} END"
 
 
 def _sub_slices(
@@ -784,31 +795,31 @@ def _sub_slices(
     w = dim // n_sub
     structs = []
     for m in range(n_sub):
-        fields: list[Column] = [F.lit(m).alias("m")]
+        fields = [f"'m', {m}"]
         for j in range(w):
-            c: Column = F.col(f"d{m * w + j}")
+            c = f"d{m * w + j}"
             if quant is not None:
-                c = F.round(c / F.col("nrm") * quant).cast("long")
-            fields.append(c.alias(f"s{j}"))
-        structs.append(F.struct(*fields))
-    return e.select(
-        "vec_id", "nrm", F.explode(F.array(*structs)).alias("__s")
+                c = f"CAST(ROUND({c} / nrm * {quant}, 0) AS BIGINT)"
+            fields.append(f"'s{j}', {c}")
+        structs.append(f"named_struct({', '.join(fields)})")
+    return e.selectExpr(
+        "vec_id", "nrm", f"explode(array({', '.join(structs)})) AS __s"
     ).select("vec_id", "nrm", "__s.*")
 
 
 def _sub_terms(prefix: str, n_sub: int, w: int):
     """(sub_sq, sub_dot) for the current row's subspace ``m``: the
     subspace's raw squared-norm and its raw dot with cw0..cw{w-1},
-    both as fixed-order left-associated sums."""
-    sq = None
-    dp = None
+    both as fixed-order left-associated sums (SQL-text construction;
+    the CASE subtree is duplicated per term exactly as the Column form
+    duplicated its shared Column object in the tree)."""
+    sq_terms = []
+    dp_terms = []
     for j in range(w):
-        x = _case_component(prefix, j, n_sub, w)
-        sq_t = x * x
-        dp_t = x * F.col(f"cw{j}")
-        sq = sq_t if sq is None else sq + sq_t
-        dp = dp_t if dp is None else dp + dp_t
-    return sq, dp
+        x = _case_component_sql(prefix, j, n_sub, w)
+        sq_terms.append(f"({x}) * ({x})")
+        dp_terms.append(f"({x}) * cw{j}")
+    return F.expr(" + ".join(sq_terms)), F.expr(" + ".join(dp_terms))
 
 
 def pq_encode(
@@ -829,22 +840,13 @@ def pq_encode(
     """
     w = dim // n_sub
     sl = _sub_slices(e, dim, n_sub)
-    sub_sq = None
-    sub_dot = None
-    csub_sq = None
-    for j in range(w):
-        x = F.col(f"s{j}")
-        sq_t = x * x
-        dp_t = x * F.col(f"cw{j}")
-        c_t = F.col(f"cw{j}") * F.col(f"cw{j}")
-        sub_sq = sq_t if sub_sq is None else sub_sq + sq_t
-        sub_dot = dp_t if sub_dot is None else sub_dot + dp_t
-        csub_sq = c_t if csub_sq is None else csub_sq + c_t
-    dist = F.round(
-        sub_sq / (F.col("nrm") * F.col("nrm"))
-        + csub_sq / (F.col("cnrm") * F.col("cnrm"))
-        - F.lit(2.0) * sub_dot / (F.col("nrm") * F.col("cnrm")),
-        round_digits,
+    sub_sq = " + ".join(f"s{j} * s{j}" for j in range(w))
+    sub_dot = " + ".join(f"s{j} * cw{j}" for j in range(w))
+    csub_sq = " + ".join(f"cw{j} * cw{j}" for j in range(w))
+    dist = F.expr(
+        f"ROUND(({sub_sq}) / (nrm * nrm)"
+        f" + ({csub_sq}) / (cnrm * cnrm)"
+        f" - 2.0D * ({sub_dot}) / (nrm * cnrm), {round_digits})"
     )
     return (
         sl.join(F.broadcast(cb), "m")
@@ -899,11 +901,7 @@ def pq_topk(
                   round_digits)
         )
 
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     _, qsub_dot = _sub_terms("q", n_sub, w)
     lut = q.crossJoin(F.broadcast(cb)).select(
         "query_id",
@@ -991,10 +989,10 @@ def ivfpq_topk(
     e = _flat(emb, "vec_id", "d", dim)
     # Coarse quantizer: deterministic seed centroids (see ivf_topk's
     # measured trained-vs-seed note — seeds win on the query path here).
-    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("nrm").alias("cnrm"),
-        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).selectExpr(
+        "vec_id AS cid",
+        "nrm AS cnrm",
+        *[f"d{i} AS c{i}" for i in range(dim)],
     )
     if spill > 1:
         assigned = assign_spill_centroids(e, cents, dim, spill, round_digits)
@@ -1021,11 +1019,7 @@ def ivfpq_topk(
         )
     enc_b = enc.join(buckets, "vec_id")
 
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     cos_probe = F.round(
         flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")), round_digits
     )
@@ -1250,11 +1244,7 @@ def pq_topk_trained(
                   train_iters, quant)
         )
 
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
 
     def _qsub_case(j: int) -> F.Column:
         expr = F.when(F.col("m") == 0, F.col(f"q{j}"))
@@ -1429,29 +1419,27 @@ def _sq8_recon(
     LIMIT gate.  At scale this is the point of SQ8: scoring scans the
     1-byte/dim code table (8× less IO than float64 vectors); recon is
     the scoring-time view of the cached codes."""
-    v = F.col("embedding").cast("array<double>")
-    xi = emb.select(
+    xi = emb.selectExpr(
         "vec_id",
         *[
-            F.round(v[i] * 1_000_000).cast("long").alias(f"x{i}")
+            f"CAST(ROUND({_EMB_SQL}[{i}] * 1000000, 0) AS BIGINT) AS x{i}"
             for i in range(dim)
         ],
     )
     par = emb.sparkSession.sparkContext.defaultParallelism
     xi = xi.repartition(par)
-    mm = xi.agg(
-        *[F.min(f"x{i}").alias(f"mn{i}") for i in range(dim)],
-        *[F.max(f"x{i}").alias(f"mx{i}") for i in range(dim)],
+    mm = xi.selectExpr(
+        *[f"MIN(x{i}) AS mn{i}" for i in range(dim)],
+        *[f"MAX(x{i}) AS mx{i}" for i in range(dim)],
     )
-    code_cols = [
-        F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.lit(0).cast("long"))
-        .otherwise(
-            F.expr(f"(x{i} - mn{i}) * 255 div (mx{i} - mn{i})")
-        )
-        .alias(f"k{i}")
-        for i in range(dim)
-    ]
-    codes = xi.crossJoin(F.broadcast(mm)).select("vec_id", *code_cols)
+    codes = xi.crossJoin(F.broadcast(mm)).selectExpr(
+        "vec_id",
+        *[
+            f"CASE WHEN mx{i} = mn{i} THEN CAST(0 AS BIGINT) "
+            f"ELSE (x{i} - mn{i}) * 255 div (mx{i} - mn{i}) END AS k{i}"
+            for i in range(dim)
+        ],
+    )
     if cache_key is not None:
         # Deliberately TWO cache entries (ADVICE r11): the pair may
         # split — LRU can evict one, and the n-row codes frame can
@@ -1466,17 +1454,15 @@ def _sq8_recon(
         # corpora can never pair.
         mm = _cached_build(mm, ("sq8_minmax", cache_key, dim))
         codes = _cached_build(codes, ("sq8_codes", cache_key, dim))
-    recon_cols = []
-    for i in range(dim):
-        mid = F.expr(
-            f"mn{i} + (2 * k{i} + 1) * (mx{i} - mn{i}) div 510"
-        )
-        recon_cols.append(
-            F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.col(f"mn{i}"))
-            .otherwise(mid)
-            .alias(f"r{i}")
-        )
-    recon = codes.crossJoin(F.broadcast(mm)).select("vec_id", *recon_cols)
+    recon = codes.crossJoin(F.broadcast(mm)).selectExpr(
+        "vec_id",
+        *[
+            f"CASE WHEN mx{i} = mn{i} THEN mn{i} "
+            f"ELSE mn{i} + (2 * k{i} + 1) * (mx{i} - mn{i}) div 510 "
+            f"END AS r{i}"
+            for i in range(dim)
+        ],
+    )
     if cache_key is not None:
         # Third entry of the SQ8 family (r13): the reconstruction VIEW
         # itself.  It is a pure deterministic function of the two
@@ -1536,18 +1522,14 @@ def sq8_topk(
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     dim = embedding_dim(emb)
     recon = _sq8_recon(emb, dim, cache_key)
-    q = queries.select(
+    q = queries.selectExpr(
         "query_id",
         *[
-            F.round(F.col("qv")[i] * 1_000_000)
-            .cast("long")
-            .alias(f"q{i}")
+            f"CAST(ROUND(qv[{i}] * 1000000, 0) AS BIGINT) AS q{i}"
             for i in range(dim)
         ],
     )
-    ip = F.col("q0") * F.col("r0")
-    for i in range(1, dim):
-        ip = ip + F.col(f"q{i}") * F.col(f"r{i}")
+    ip = F.expr(flat_dot_sql("q", "r", dim))
     scored = recon.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select("query_id", "vec_id", ip.alias("ip"))
@@ -1561,11 +1543,7 @@ def sq8_topk(
     )
     # exact re-rank: full vectors touched only for shortlist x q rows
     e = _flat(emb, "vec_id", "d", dim)
-    qf = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    qf = _q_flat(queries, dim)
     cos = F.round(
         flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")),
         round_digits,
@@ -1621,10 +1599,10 @@ def ivfsq_topk(
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     dim = embedding_dim(emb)
     e = _flat(emb, "vec_id", "d", dim)
-    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("nrm").alias("cnrm"),
-        *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+    cents = e.filter(F.col("vec_id") % centroid_modulus == 0).selectExpr(
+        "vec_id AS cid",
+        "nrm AS cnrm",
+        *[f"d{i} AS c{i}" for i in range(dim)],
     )
     assigned = assign_nearest_centroid(e, cents, dim, round_digits)
     buckets = assigned.select("vec_id", "cid")
@@ -1637,11 +1615,7 @@ def ivfsq_topk(
         )
     recon_b = _sq8_recon(emb, dim, cache_key).join(buckets, "vec_id")
 
-    q = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    q = _q_flat(queries, dim)
     cos_probe = F.round(
         flat_dot("q", "c", dim) / (F.col("qnrm") * F.col("cnrm")),
         round_digits,
@@ -1656,17 +1630,15 @@ def ivfsq_topk(
         .filter(F.col("prank") <= nprobe)
         .select("query_id", "cid")
     )
-    qe = queries.select(
+    qe = queries.selectExpr(
         "query_id",
         *[
-            F.round(F.col("qv")[i] * 1_000_000).cast("long").alias(f"q{i}")
+            f"CAST(ROUND(qv[{i}] * 1000000, 0) AS BIGINT) AS q{i}"
             for i in range(dim)
         ],
     )
     probe_q = probes.join(qe, "query_id")  # bounded × bounded
-    ip = F.col("q0") * F.col("r0")
-    for i in range(1, dim):
-        ip = ip + F.col(f"q{i}") * F.col(f"r{i}")
+    ip = F.expr(flat_dot_sql("q", "r", dim))
     scored = (
         recon_b.join(F.broadcast(probe_q), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1678,11 +1650,7 @@ def ivfsq_topk(
         .filter(F.col("__rn") <= shortlist)
         .select("query_id", "vec_id")
     )
-    qf = queries.select(
-        "query_id",
-        norm_unrolled(F.col("qv"), dim).alias("qnrm"),
-        *flatten(F.col("qv"), "q", dim),
-    )
+    qf = _q_flat(queries, dim)
     cos = F.round(
         flat_dot("d", "q", dim) / (F.col("nrm") * F.col("qnrm")),
         round_digits,
