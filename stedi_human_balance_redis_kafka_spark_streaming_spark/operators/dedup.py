@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
-from ..functions.vectors import embedding_dim, flat_dot, flatten, norm_unrolled
+from ..functions.vectors import (
+    embedding_dim,
+    flat_dot,
+    flatten_sql,
+    norm_unrolled_sql,
+)
 from ..session import scope_caches
 
 
@@ -536,11 +541,11 @@ def embedding_cosine_pairs(
     # 20.7 s → 3.0 s at sf0.1, 50 M pairs).  The adds run in the same
     # d0..d{dim-1} sequential order as the array fold, so values — and
     # the DuckDB oracle hash — are bit-identical.
-    v = F.col("embedding").cast("array<double>")
-    e = emb.select(
+    _v = "CAST(embedding AS ARRAY<DOUBLE>)"
+    e = emb.selectExpr(
         "vec_id",
-        norm_unrolled(v, dim).alias("nrm"),
-        *flatten(v, "d", dim),
+        f"{norm_unrolled_sql(_v, dim)} AS nrm",
+        *flatten_sql(_v, "d", dim),
     )
     # The source is typically a single parquet file → one input split; the
     # O(n²) nested-loop stage inherits that and runs on ONE core unless the
@@ -603,13 +608,13 @@ def embedding_bucketed_pairs(
     )
 
     dim = embedding_dim(emb)
-    v = F.col("embedding").cast("array<double>")
+    _v = "CAST(embedding AS ARRAY<DOUBLE>)"
     # Flattened scalar columns before every scored stage (see
     # embedding_cosine_pairs for the measured rationale).
-    e = emb.select(
+    e = emb.selectExpr(
         "vec_id",
-        norm_unrolled(v, dim).alias("nrm"),
-        *flatten(v, "d", dim),
+        f"{norm_unrolled_sql(_v, dim)} AS nrm",
+        *flatten_sql(_v, "d", dim),
     )
     # Re-split: single-file sources arrive as one input partition.
     par = emb.sparkSession.sparkContext.defaultParallelism
@@ -620,10 +625,10 @@ def embedding_bucketed_pairs(
             round_digits=round_digits, cache_key=cache_key,
         )
     else:
-        cents = e.filter(F.col("vec_id") % centroid_modulus == 0).select(
-            F.col("vec_id").alias("cid"),
-            F.col("nrm").alias("cnrm"),
-            *[F.col(f"d{i}").alias(f"c{i}") for i in range(dim)],
+        cents = e.filter(F.col("vec_id") % centroid_modulus == 0).selectExpr(
+            "vec_id AS cid",
+            "nrm AS cnrm",
+            *[f"d{i} AS c{i}" for i in range(dim)],
         )
     if spill > 1:
         assigned = assign_spill_centroids(e, cents, dim, spill, round_digits)
@@ -741,15 +746,15 @@ def srp_lsh_pairs(
     r = num_hyperplanes // bands
     dim = embedding_dim(emb)
     ws = srp_weights(num_hyperplanes, dim, salt=salt)
-    v = F.col("embedding").cast("array<double>")
+    _v = "CAST(embedding AS ARRAY<DOUBLE>)"
     # Quantized flat int64 columns for the sign stage + double norm/dims
     # for the verify stage — both from one scan, flattened so the whole
     # signature is codegen'd scalar arithmetic (see embedding_cosine_pairs
     # for the measured flat-vs-array rationale).
-    e = emb.select(
+    e = emb.selectExpr(
         "vec_id",
-        norm_unrolled(v, dim).alias("nrm"),
-        *flatten(v, "d", dim),
+        f"{norm_unrolled_sql(_v, dim)} AS nrm",
+        *flatten_sql(_v, "d", dim),
     )
     par = emb.sparkSession.sparkContext.defaultParallelism
     # The flattened frame feeds the signature stage AND both verify

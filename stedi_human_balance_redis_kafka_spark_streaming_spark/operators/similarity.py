@@ -236,12 +236,13 @@ def kmeans_centroids(
     schema = "cid long, " + ", ".join(f"k{i} long" for i in range(dim))
 
     def as_double(cq: DataFrame) -> DataFrame:
-        cd = cq.select(
-            "cid", *[F.col(f"k{i}").cast("double").alias(f"c{i}") for i in range(dim)]
-        )
-        return cd.select(
+        cd = cq.selectExpr(
             "cid",
-            F.sqrt(flat_dot("c", "c", dim)).alias("cnrm"),
+            *[f"CAST(k{i} AS DOUBLE) AS c{i}" for i in range(dim)],
+        )
+        return cd.selectExpr(
+            "cid",
+            f"SQRT({flat_dot_sql('c', 'c', dim)}) AS cnrm",
             *[f"c{i}" for i in range(dim)],
         )
 
@@ -256,16 +257,16 @@ def kmeans_centroids(
     # small-corpus build).  Scoped strictly to this function
     # (try/finally unpersist) — nothing leaks into the caller's session.
     e = e.persist()
-    eq = e.select(
+    eq = e.selectExpr(
         "vec_id",
         *[
-            F.round(F.col(f"d{i}") * quant).cast("long").alias(f"q{i}")
+            f"CAST(ROUND(d{i} * {quant}, 0) AS BIGINT) AS q{i}"
             for i in range(dim)
         ],
     ).persist()
-    cents_q = eq.filter(F.col("vec_id") % seed_modulus == 0).select(
-        F.col("vec_id").alias("cid"),
-        *[F.col(f"q{i}").alias(f"k{i}") for i in range(dim)],
+    cents_q = eq.filter(F.col("vec_id") % seed_modulus == 0).selectExpr(
+        "vec_id AS cid",
+        *[f"q{i} AS k{i}" for i in range(dim)],
     )
 
     rows: list[tuple] = []
@@ -647,17 +648,17 @@ def mmr_topk(
         # query set, n_cand) and servable from the build cache.
         flat = _flat(emb, "vec_id", "d", dim)
         cv = cand.select("query_id", "vec_id").join(flat, "vec_id")
-        a = cv.select(
+        a = cv.selectExpr(
             "query_id",
-            F.col("vec_id").alias("va"),
-            F.col("nrm").alias("anrm"),
-            *[F.col(f"d{i}").alias(f"a{i}") for i in range(dim)],
+            "vec_id AS va",
+            "nrm AS anrm",
+            *[f"d{i} AS a{i}" for i in range(dim)],
         )
-        b = cv.select(
+        b = cv.selectExpr(
             "query_id",
-            F.col("vec_id").alias("vb"),
-            F.col("nrm").alias("bnrm"),
-            *[F.col(f"d{i}").alias(f"b{i}") for i in range(dim)],
+            "vec_id AS vb",
+            "nrm AS bnrm",
+            *[f"d{i} AS b{i}" for i in range(dim)],
         )
         pair_cos = F.round(
             flat_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm")),

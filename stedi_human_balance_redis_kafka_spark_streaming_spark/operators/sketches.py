@@ -49,6 +49,19 @@ def _cms_bucket(seed: int, key: Column, width: int) -> Column:
     )
 
 
+def _cms_bucket_sql(seed: int, key_sql: str, width: int) -> str:
+    """:func:`_cms_bucket` as SQL text — one-call construction for the
+    depth×width grid builders, whose operator-by-operator Column form
+    costs seconds of py4j round trips per query (see
+    functions/vectors.py for the measured pattern).  Parses to the
+    identical expression tree."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}:', "
+        f"CAST({key_sql} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {width}"
+    )
+
+
 def cms_cells(
     facts: DataFrame,
     key_col: str,

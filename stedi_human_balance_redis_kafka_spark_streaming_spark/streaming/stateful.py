@@ -1417,41 +1417,50 @@ def windowed_cms_watchlist(
 
     d = sketches.CMS_DEPTH if depth is None else depth
     w = sketches.CMS_WIDTH if width is None else width
-    k = F.col(key_col)
-    e = events.withWatermark("ts", watermark).select(
+    # The depth·width grid expressions are assembled as SQL text and
+    # parsed in single selectExpr/F.expr calls: the Column form cost
+    # ~3 s of py4j round trips per call at 4×64 (see
+    # functions/vectors.py for the measured pattern); the parsed trees
+    # — and the streaming state layout — are identical.
+    e = events.withWatermark("ts", watermark).selectExpr(
         "ts",
         *[
-            sketches._cms_bucket(s, k, w).alias(f"b{s}")
+            f"{sketches._cms_bucket_sql(s, key_col, w)} AS b{s}"
             for s in range(d)
         ],
     )
     agg = e.groupBy(F.window("ts", win).alias("w")).agg(
         F.count("*").cast("long").alias("n_total"),
         *[
-            F.count(F.when(F.col(f"b{s}") == b, 1))
-            .cast("long")
-            .alias(f"c_{s}_{b}")
+            F.expr(
+                f"CAST(COUNT(CASE WHEN b{s} = {b} THEN 1 END) AS BIGINT)"
+                f" AS c_{s}_{b}"
+            )
             for s in range(d)
             for b in range(w)
         ],
     )
-    cell_map = F.map_from_arrays(
-        F.array(*[F.lit(f"{s}:{b}") for s in range(d) for b in range(w)]),
-        F.array(*[F.col(f"c_{s}_{b}") for s in range(d) for b in range(w)]),
+    cell_keys = ", ".join(
+        f"'{s}:{b}'" for s in range(d) for b in range(w)
     )
-    grid = agg.select(
-        F.col("w.start").alias("win_start"),
+    cell_vals = ", ".join(
+        f"c_{s}_{b}" for s in range(d) for b in range(w)
+    )
+    grid = agg.selectExpr(
+        "w.start AS win_start",
         "n_total",
-        cell_map.alias("__cells"),
-        F.lit(1).alias("__j"),
+        f"map_from_arrays(array({cell_keys}), array({cell_vals}))"
+        " AS __cells",
+        "1 AS __j",
     )
-    probes = watch.select(
+    probes = watch.selectExpr(
         key_col,
         *[
-            sketches._cms_bucket(s, k, w).cast("string").alias(f"wb{s}")
+            f"CAST({sketches._cms_bucket_sql(s, key_col, w)} AS STRING)"
+            f" AS wb{s}"
             for s in range(d)
         ],
-        F.lit(1).alias("__j"),
+        "1 AS __j",
     )
     est = F.least(
         *[
