@@ -579,10 +579,22 @@ def k_core(
 
 
 def _coreness_hindex(
-    und: DataFrame, *, max_iter: int, caches: list | None
+    und: DataFrame,
+    *,
+    max_iter: int,
+    caches: list | None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """h-index fixpoint engine for :func:`coreness` — ``und`` is the
     caller-persisted canonical simple edge set (u < v).
+
+    ``deg``: optional PRECOMPUTED degree rollup (node, deg) over the
+    same canonical edge set — ``coreness(algorithm='auto')`` already
+    shuffles it for the engine probe, and c₀ IS that rollup (the
+    symmetrized per-node count equals the endpoint count), so threading
+    it here removes a duplicate full-edge-list shuffle (the guard
+    deg-sharing discipline, r19).  The frame is consumed once into the
+    c₀ checkpoint and unpersisted as soon as that materializes.
 
     Per round: ONE b-keyed join ships every node its neighbors' current
     values, one per-node descending rank computes H (h = max rank r
@@ -602,11 +614,13 @@ def _coreness_hindex(
     )
     sym.count()
     und.unpersist()  # sym supersedes the caller's canonical edge cache
-    c = (
-        sym.groupBy(F.col("a").alias("node"))
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    if deg is None:
+        c = sym.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+    else:
+        c = deg.select("node", F.col("deg").cast("long").alias("c"))
+    c = c.localCheckpoint(eager=False)
     live_handle = checkpoint_handle(c)
 
     def _sum(df: DataFrame):
@@ -615,6 +629,10 @@ def _coreness_hindex(
         ).first()["s"]
 
     prev_sum = _sum(c)
+    if deg is not None:
+        # c0 is checkpointed (materialized by the probe above) — the
+        # shared rollup's cache is no longer referenced
+        deg.unpersist()
     converged = False
     rank_w = Window.partitionBy("a").orderBy(F.desc("c"))
     for _ in range(max_iter):
@@ -732,17 +750,26 @@ def coreness(
     from ..session import checkpoint_handle, scope_caches
 
     if algorithm == "auto":
-        max_deg = (
+        # ONE degree rollup serves both the engine probe and (for the
+        # h-index engine) c₀ — previously the probe's full-edge-list
+        # shuffle was thrown away and recomputed as c₀ (r19, the guard
+        # deg-sharing discipline; measured ~1.3 s / 3 jobs at sf0.1).
+        deg = (
             und.select(F.col("u").alias("node"))
             .unionByName(und.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .agg(F.max("deg"))
-            .first()[0]
+            .persist()
         )
+        max_deg = deg.agg(F.max("deg")).first()[0]
         algorithm = _pick_coreness_engine(
             int(max_deg or 0), hub_degree_threshold
         )
+        if algorithm == "hindex":
+            return _coreness_hindex(
+                und, max_iter=max_iter, caches=caches, deg=deg
+            )
+        deg.unpersist()
     if algorithm == "hindex":
         return _coreness_hindex(
             und, max_iter=max_iter, caches=caches
