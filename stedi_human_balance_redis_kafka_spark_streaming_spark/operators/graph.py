@@ -2458,6 +2458,11 @@ def modularity_merge_step(
         F.col(node_col).alias("n"),
         F.col(community_col).alias("c"),
     ).persist()
+    # EAGER for the same reason as best below: comm is referenced three
+    # times (degree rollup join, both sides of the community-graph
+    # double-join, final relabel) — lazy, those references materialize
+    # its upstream concurrently and re-execute it per reference.
+    comm.count()
     own.append(comm)
     m1 = m if m is not None else und.agg(F.sum("__w").cast(dec).alias("__m"))
     # a self-loop lands in BOTH union branches as the same node, so it
@@ -2473,11 +2478,22 @@ def modularity_merge_step(
             .agg(F.sum("__w").cast("long").alias("k"))
         )
     )
+    # EAGER persist (r19): d_c is |communities| rows but its chain is
+    # the |E|-sized degree rollup; gains joins it TWICE (da, db) and
+    # sym_g unions gains twice, so left lazy the rollup chain executed
+    # up to 4x inside the final action (event-log: five identical
+    # 64-task union stages, ~150 s task time for a ~7 s wall on the
+    # registered merge query).  The persisted frames are bounded by
+    # the community count — exactly the coarsened state a distributed
+    # Louvain keeps resident.
     d_c = (
         degf.join(comm, "n")
         .groupBy("c")
         .agg(F.sum("k").cast("long").alias("d"))
+        .persist()
     )
+    d_c.count()
+    own.append(d_c)
     ce = (
         und.join(
             comm.select(F.col("n").alias("u"), F.col("c").alias("cu")),
@@ -2509,7 +2525,10 @@ def modularity_merge_step(
             ).alias("__g"),
         )
         .filter(F.col("__g") > 0)
+        .persist()
     )
+    gains.count()
+    own.append(gains)
     sym_g = gains.select(
         F.col("ca").alias("c"), F.col("cb").alias("p"), "__g"
     ).unionByName(
@@ -2522,6 +2541,14 @@ def modularity_merge_step(
         .select("c", "p")
         .persist()
     )
+    # EAGER (r19): best is referenced twice (both sides of the mutual
+    # self-join below) — left lazy, the final action materializes the
+    # two references CONCURRENTLY and the whole upstream chain (the
+    # |E| double-join community graph + gains + window) executes twice
+    # (event-log: 150.7 s task time for a 7.6 s wall on the registered
+    # merge query).  One count() computes the blocks once; the
+    # self-join then reads cache.
+    best.count()
     own.append(best)
     # mutual-best pairs are disjoint by construction (best is a
     # function of c); keep each pair once, relabel the larger id

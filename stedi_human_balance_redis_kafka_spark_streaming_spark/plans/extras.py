@@ -6378,6 +6378,11 @@ def graph_modularity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # EAGER (r19): the merge pass references this cache four times
+    # (m, the degree rollup's two union branches, the community
+    # graph) — left lazy, one action materializes them concurrently
+    # and the scan+join+distinct build re-executes per reference
+    edges.count()
     held: list = [edges]
     seed = (
         edges.select(F.col("src").alias("node"))
